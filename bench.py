@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Headline set = one representative per operator family (scan/agg, join
+tree, window, set-based Aria epoch, dedup/LSH, similarity, text) so the
+number tracks the engine's breadth, not one hot loop. Each query is
+collected to the driver (row counts only) to force full execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from bishe_gpu_database_spark.registry import REGISTRY, _ensure_loaded
+from bishe_gpu_database_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_sortmerge_large",
+    "agg_cube",
+    "window_running_frame",
+    "join_asof",
+    "aria_commit_flags",
+    "dedup_minhash_lsh_pairs",
+    "ann_cosine_topk",
+    "text_quality",
+    "stream_session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _ensure_loaded()
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not first-touch session setup.
+    spark.range(1).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr, flush=True)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf else None,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

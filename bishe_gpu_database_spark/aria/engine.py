@@ -1,0 +1,162 @@
+"""Aria deterministic concurrency control as set-oriented DataFrame jobs.
+
+Reference semantics reproduced (spec, not the C++ quirks — SURVEY.md §2.1):
+
+- Execute: each transaction reads a snapshot of the table and stages its
+  writes privately (ref: src/database/ycsb/TrancM_func.cuh:21-63). Missing
+  keys are silently skipped (ref: TrancM_func.cuh:32-34). DataFrames are
+  immutable, so "read the pre-epoch version" is automatic.
+- Reserve: per-key read/write reservations where the smallest Tid wins the
+  atomicCAS race (ref: src/cuda/metadatahelper.cuh:36-90). All races
+  settled ≡ ``groupBy(k).agg(min(tid))`` — no atomics needed.
+- Commit (dependency analysis): RAW iff some read key has a smaller
+  writer; WAR iff some written key has a smaller reader; WAW iff some
+  written key has a smaller writer (ref: TrancM_func.cuh:125-164).
+- Install: plain Aria aborts on ``waw ∨ raw``
+  (ref: TrancM_func.cuh:207-227); with deterministic reordering, on
+  ``waw ∨ (raw ∧ war)`` (ref: TrancM_func.cuh:181-205). Committed writes
+  overwrite the table; WAW-freedom guarantees at most one committed
+  writer per key. Within a transaction, the last write (max seq) to a key
+  wins — the ordered per-key replay of the reference's Key-Op-Chain
+  (ref: src/database/ycsb/key_op_chain.cuh:161-189).
+- Collect: aborted transactions are compacted, re-numbered 1…m, and
+  retried next epoch (ref: src/database/ycsb/TransctionManager.cuh:165-185).
+  Tid 1 always commits, so the batch drains in ≤ n epochs.
+
+Scale: one epoch = two shuffles of the ops table (by k, then by tid) plus
+one shuffle of the delta for install. The KV table itself co-partitions
+on k across epochs; ``localCheckpoint`` truncates the iterative lineage
+(the Spark analogue of the reference's per-epoch device↔host memcpy,
+ref: src/cuda/hashTable.cuh:165-200).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+@dataclass
+class AriaEpochResult:
+    kv: DataFrame  # table after install
+    verdicts: DataFrame  # tid, raw, war, waw, committed
+    aborted_ops: DataFrame  # ops of aborted txns (same schema as input ops)
+
+
+def analyze_dependencies(ops: DataFrame, kv: DataFrame) -> DataFrame:
+    """Execute + Reserve + Commit: per-tid (raw, war, waw) flags.
+
+    ``ops`` columns: tid, seq, k, is_update, new_* staged values.
+    ``kv`` columns:  k, <value columns>.
+    """
+    # Execute: snapshot probe. Ops on missing keys are skipped (left join
+    # + found filter) exactly like the reference's failed hash probe.
+    probed = ops.join(kv.select("k", F.lit(True).alias("_found")), "k", "left")
+    found = probed.filter(F.col("_found").isNotNull())
+
+    # Reserve: all settled CAS races at once. Every op reads; updates write
+    # (read set append ref: TrancM_func.cuh:43-45, write set :55-57).
+    res = found.groupBy("k").agg(
+        F.min("tid").alias("rts"),
+        F.min(F.when(F.col("is_update"), F.col("tid"))).alias("wts"),
+    )
+
+    # Commit: dependency flags. "A smaller Tid reserved it" ≡ min-over-key < my tid.
+    joined = found.join(res, "k")
+    return joined.groupBy("tid").agg(
+        F.max(
+            F.when(F.col("wts").isNotNull() & (F.col("wts") < F.col("tid")), True).otherwise(False)
+        ).alias("raw"),
+        F.max(
+            F.when(F.col("is_update") & (F.col("rts") < F.col("tid")), True).otherwise(False)
+        ).alias("war"),
+        F.max(
+            F.when(
+                F.col("is_update") & F.col("wts").isNotNull() & (F.col("wts") < F.col("tid")),
+                True,
+            ).otherwise(False)
+        ).alias("waw"),
+    )
+
+
+def aria_epoch(kv: DataFrame, ops: DataFrame, *, reorder: bool = True) -> AriaEpochResult:
+    """One Aria epoch: Execute → Commit → Install, returning the new table
+    and per-transaction verdicts. Value columns are inferred from kv
+    (everything but k); ops must carry matching ``new_<col>`` columns."""
+    value_cols = [c for c in kv.columns if c != "k"]
+
+    flags = analyze_dependencies(ops, kv)
+    abort_cond = (
+        (F.col("waw") | (F.col("raw") & F.col("war")))
+        if reorder
+        else (F.col("waw") | F.col("raw"))
+    )
+    verdicts = flags.withColumn("committed", ~abort_cond)
+
+    committed_tids = verdicts.filter(F.col("committed")).select("tid")
+
+    # Install: staged writes of committed txns. WAW-freedom ⇒ one committed
+    # writer per key; within it, last write (max seq) wins. The key must
+    # exist in the snapshot (missing-key ops were skipped at Execute).
+    writes = (
+        ops.filter(F.col("is_update"))
+        .join(F.broadcast(committed_tids), "tid", "left_semi")
+        .join(kv.select("k"), "k", "left_semi")
+    )
+    w = W.partitionBy("k").orderBy(F.col("tid").asc(), F.col("seq").desc())
+    last_writes = (
+        writes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("k", *[F.col(f"new_{c}").alias(c) for c in value_cols])
+    )
+    new_kv = kv.join(last_writes, "k", "left_anti").unionByName(last_writes)
+
+    aborted_ops = ops.join(
+        F.broadcast(verdicts.filter(~F.col("committed")).select("tid")), "tid", "left_semi"
+    )
+    return AriaEpochResult(kv=new_kv, verdicts=verdicts, aborted_ops=aborted_ops)
+
+
+def run_batch(
+    kv: DataFrame,
+    ops: DataFrame,
+    *,
+    reorder: bool = True,
+    max_epochs: int = 64,
+) -> tuple[DataFrame, list[dict]]:
+    """Drain a batch: run epochs until no transaction remains, re-numbering
+    aborted Tids densely 1…m each round (ref: TransctionManager.cuh:176-184,
+    outer loop ref: src/database/ycsb/db.h:104-109).
+
+    Returns (final kv DataFrame, per-epoch stats). ``localCheckpoint``
+    truncates lineage each epoch so the plan doesn't grow with iterations.
+    """
+    stats: list[dict] = []
+    ops = ops.localCheckpoint()
+    kv = kv.localCheckpoint()
+    for epoch in range(1, max_epochs + 1):
+        n_txns = ops.select("tid").distinct().count()
+        if n_txns == 0:
+            break
+        result = aria_epoch(kv, ops, reorder=reorder)
+        kv = result.kv.localCheckpoint()
+        aborted = result.aborted_ops
+        # Collect: dense re-number by old tid (order-preserving compaction).
+        renum = aborted.select("tid").distinct().withColumn(
+            "new_tid", F.row_number().over(W.orderBy("tid"))
+        )
+        ops = (
+            aborted.join(F.broadcast(renum), "tid")
+            .drop("tid")
+            .withColumnRenamed("new_tid", "tid")
+            .localCheckpoint()
+        )
+        n_aborted = renum.count()
+        stats.append(
+            {"epoch": epoch, "n_txns": n_txns, "n_committed": n_txns - n_aborted, "n_aborted": n_aborted}
+        )
+        if n_aborted == 0:
+            break
+    return kv, stats

@@ -1,0 +1,94 @@
+"""Driver-verifiable queries over the Aria engine.
+
+``aria_commit_flags`` derives a deterministic transaction batch from the
+``events`` fixture with portable integer arithmetic, so the core Aria
+dependency analysis (ref: src/database/ycsb/TrancM_func.cuh:125-178) is
+checkable against a plain-SQL DuckDB oracle. ``aria_drain_batch`` runs
+the full multi-epoch engine (iterative — not SQL-expressible; the driver
+records a rows-only check and the pytest property suite compares it to a
+serial Python oracle instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bishe_gpu_database_spark.aria.engine import analyze_dependencies, run_batch
+from bishe_gpu_database_spark.aria.workload import gen_kv, gen_ops
+from bishe_gpu_database_spark.operators.relational import t
+from bishe_gpu_database_spark.registry import register
+
+
+def _ops_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ops batch: 50 txns over 500 keys, ~40% writes.
+    Pure integer arithmetic on event_id/user_id — portable to ANSI SQL."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        (F.col("event_id") % 50 + 1).cast("int").alias("tid"),
+        (F.col("event_id") / 50).cast("bigint").alias("seq"),
+        ((F.col("user_id") * 7 + F.col("event_id") % 13) % 500 + 1).alias("k"),
+        (F.col("event_id") % 5 < 2).alias("is_update"),
+    )
+
+
+@register(
+    "aria_commit_flags",
+    oracle="""
+    WITH ops AS (
+      SELECT (event_id % 50 + 1) AS tid,
+             ((user_id * 7 + event_id % 13) % 500 + 1) AS k,
+             (event_id % 5 < 2) AS is_update
+      FROM events
+    ),
+    res AS (
+      SELECT k,
+             min(tid) AS rts,
+             min(CASE WHEN is_update THEN tid END) AS wts
+      FROM ops GROUP BY k
+    ),
+    flags AS (
+      SELECT o.tid,
+             max(CASE WHEN r.wts IS NOT NULL AND r.wts < o.tid THEN 1 ELSE 0 END) = 1 AS raw,
+             max(CASE WHEN o.is_update AND r.rts < o.tid THEN 1 ELSE 0 END) = 1 AS war,
+             max(CASE WHEN o.is_update AND r.wts IS NOT NULL AND r.wts < o.tid
+                 THEN 1 ELSE 0 END) = 1 AS waw
+      FROM ops o JOIN res r ON o.k = r.k
+      GROUP BY o.tid
+    )
+    SELECT tid, raw, war, waw,
+           NOT (waw OR raw) AS commit_plain,
+           NOT (waw OR (raw AND war)) AS commit_reorder
+    FROM flags
+    """,
+)
+def aria_commit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One epoch of Aria dependency analysis (Execute→Reserve→Commit) with
+    both install policies' verdicts, SQL-oracle-checked. The KV side is the
+    full key domain so every op probe hits (pure dependency-logic test)."""
+    ops = _ops_from_events(spark, sf_dir)
+    kv = spark.range(1, 501).select(F.col("id").alias("k"))  # all keys present
+    flags = analyze_dependencies(ops, kv)
+    return flags.select(
+        "tid",
+        "raw",
+        "war",
+        "waw",
+        (~(F.col("waw") | F.col("raw"))).alias("commit_plain"),
+        (~(F.col("waw") | (F.col("raw") & F.col("war")))).alias("commit_reorder"),
+    )
+
+
+@register("aria_drain_batch")  # iterative multi-epoch loop → rows-only check
+def aria_drain_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine drain on the reference's default workload shape
+    (150 txns, ≤30 ops, 2000 keys for contention, 40% writes — ref:
+    src/database/common/Transction.h:24-33). Returns per-epoch commit
+    counts; deterministic because the workload and the engine are."""
+    kv = gen_kv(spark, n_keys=2000)
+    ops = gen_ops(spark, n_txns=150, max_ops=30, n_keys=2000, write_pct=40)
+    _, stats = run_batch(kv, ops, reorder=True)
+    return spark.createDataFrame(
+        [(s["epoch"], s["n_txns"], s["n_committed"], s["n_aborted"]) for s in stats],
+        "epoch int, n_txns bigint, n_committed bigint, n_aborted bigint",
+    )

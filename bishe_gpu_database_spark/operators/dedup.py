@@ -1,0 +1,246 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers over the ``documents`` table, each a first-class engine
+operator with a DuckDB oracle:
+
+- exact (md5 fingerprint groupBy),
+- n-gram Jaccard (w-shingling + shingle-join),
+- MinHash + LSH banding (the 100 TB near-dup path),
+- SimHash (bitwise fingerprint).
+
+Scale notes: exact dedup is one shuffle on the fingerprint. The shingle
+join's fan-out is bounded because shingles are 5-word (rare); at 100 TB
+you additionally band MinHash signatures so candidate generation is a
+join on (band_id, band_hash) — implemented here — instead of raw
+shingles. Everything is built-in expression work; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bishe_gpu_database_spark.functions.text import (
+    MINHASH_PRIME,
+    h48,
+    minhash_sig_value,
+    norm_text,
+    tokens,
+    word_shingles,
+)
+from bishe_gpu_database_spark.operators.relational import t
+from bishe_gpu_database_spark.registry import register
+
+# Shared SQL fragments for the oracles (DuckDB list lambdas).
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_SHINGLES = f"""
+  list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split({_SQL_NORM}, ' ')) - 4, 0)),
+    i -> array_to_string(string_split({_SQL_NORM}, ' ')[i:i+4], ' ')))
+"""
+_SQL_H48 = "('0x' || substr(md5({x}), 1, 12))::BIGINT"
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_SQL_NORM}) AS fingerprint,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize → md5 fingerprint → keep min doc_id per
+    group. One hash-shuffle on the fingerprint; at 100 TB the fingerprint
+    (16 bytes) shuffles instead of the document bytes."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(norm_text(F.col("text"))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by exact 5-word-shingle Jaccard ≥ 0.1.
+    Shingle inverted-index join: shuffle on shingle, then per-pair count —
+    the classic MapReduce formulation; rare shingles keep fan-out linear."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jacc = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jacc >= 0.1)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+_N_HASHES = 16
+_BAND_SIZE = 4
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_H48.format(x='shingle')} AS x
+      FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents)
+    ),
+    hashes AS (
+      SELECT doc_id, i, min(((2*i + 1) * x + 1000003*i) % {MINHASH_PRIME}) AS sig
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS i)
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id, i AS hash_id, sig FROM hashes
+    """,
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 universal hashes over 48-bit shingle hashes).
+    The signature shuffle is 16 ints per doc — constant-size regardless of
+    document length; this is what makes near-dup feasible at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")).select(
+        "doc_id", h48(F.col("shingle")).alias("x")
+    )
+    hashes = sh.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("i"), "x"
+    )
+    return (
+        hashes.groupBy("doc_id", F.col("i").alias("hash_id"))
+        .agg(F.min(minhash_sig_value(F.col("x"), F.col("i"))).alias("sig"))
+        .select("doc_id", "hash_id", "sig")
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_H48.format(x='shingle')} AS x
+      FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id, i, min(((2*i + 1) * x + 1000003*i) % {MINHASH_PRIME}) AS sig
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {_BAND_SIZE} AS band_id,
+             md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS band_hash
+      FROM sig GROUP BY doc_id, i // {_BAND_SIZE}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the MinHash signature (4 bands × 4 rows): candidate
+    pairs are docs agreeing on any full band. The join key is
+    (band_id, band_hash) — at scale this is the only pairwise step and its
+    fan-out is controlled by band collision probability, not corpus size."""
+    sig = dedup_minhash_signature(spark, sf_dir)
+    bands = (
+        sig.withColumn("band_id", (F.col("hash_id") / _BAND_SIZE).cast("bigint"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("hash_id"), F.col("sig")))
+                        ),
+                        lambda s: s["sig"].cast("string"),
+                    ),
+                )
+            ).alias("band_hash")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_H48.format(x='tk')} AS x
+      FROM (SELECT doc_id,
+                   unnest(list_distinct(string_split({_SQL_NORM}, ' '))) AS tk
+            FROM documents)
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN 1::BIGINT << b ELSE 0 END AS bit_val
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id, sum(bit_val) AS simhash16 FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens: per bit, majority vote of
+    token-hash bits. Near-dups differ in few bits (hamming ≤ 3 — checked
+    in the pytest suite); the fingerprint itself is oracle-checked here."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tk")
+    ).select("doc_id", h48(F.col("tk")).alias("x"))
+    bits = tok.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"), "x")
+    bit_is_set = F.expr("shiftright(x, b) & 1") == 1
+    per_bit = bits.groupBy("doc_id", "b").agg(
+        F.when(
+            F.sum(F.when(bit_is_set, 1).otherwise(-1)) > 0,
+            F.expr("shiftleft(CAST(1 AS BIGINT), b)"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("bit_val")
+    )
+    return per_bit.groupBy("doc_id").agg(F.sum("bit_val").alias("simhash16"))

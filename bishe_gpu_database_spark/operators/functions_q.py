@@ -1,0 +1,236 @@
+"""Scalar-function surface: string / date / math / array / JSON /
+conditional expressions — SURVEY.md §2.2 "Scalar functions" row.
+
+The reference's only scalar 'functions' are its random generators
+(ref: src/database/common/random.h:8-41); this module exposes the
+pyspark.sql.functions catalogue the analytics surface needs, each query
+oracle-checked against DuckDB's equivalent ANSI expression.
+
+Everything here is JVM-side / whole-stage-codegen — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bishe_gpu_database_spark.operators.relational import dec, t
+from bishe_gpu_database_spark.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           substr(p_name, 1, 5) AS name_prefix,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS name_snake,
+           regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
+           trim('  x  ') AS trimmed,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END AS is_widget,
+           split_part(p_name, ' ', 1) AS first_word
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function sampler (upper/length/substr/concat/replace/regexp/
+    trim/lpad/like/split)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.col("p_name").like("%widget%").cast("int").alias("is_widget"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS ym
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function sampler; results cast to DATE/INT so both
+    engines hash identical values."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_y2k"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_diff,
+           round(l_extendedprice, 1) AS price_round,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS qty_bucket,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_bucket_hi,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(pow(l_discount, 2), 6) AS disc_sq,
+           mod(CAST(l_quantity AS BIGINT), 5) AS qty_mod,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function sampler. sqrt/ln/pow on the same IEEE double input are
+    correctly-rounded (or within 1 ulp) in both engines; rounding to 6
+    decimals removes any residual ulp skew."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_diff"),
+        F.round("l_extendedprice", 1).alias("price_round"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_bucket_hi"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_coord,
+           CAST(embedding[64] AS DOUBLE) AS last_coord,
+           round(CAST(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE), 6) AS sq_norm,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_coord
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the embedding column (size / element_at /
+    aggregate / array_max). All arithmetic in double after per-element
+    cast so both engines accumulate identically (64 fixed-order adds)."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_coord"),
+        F.element_at("embedding", 64).cast("double").alias("last_coord"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("sq_norm"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_coord"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from events.props (get_json_object ≡ DuckDB
+    json_extract_string), aggregated as integers (exact)."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "fn_case_when",
+    oracle="""
+    SELECT CASE
+             WHEN o_totalprice < 50000 THEN 'small'
+             WHEN o_totalprice < 150000 THEN 'medium'
+             WHEN o_totalprice < 300000 THEN 'large'
+             ELSE 'jumbo'
+           END AS price_band,
+           o_orderstatus,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def fn_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bucketing (CASE WHEN chain) + aggregation."""
+    o = t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+    )
+    return o.groupBy(band.alias("price_band"), F.col("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "fn_hash_portable",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           ('0x' || substr(md5(text), 1, 12))::BIGINT AS text_hash48,
+           ('0x' || substr(md5(text), 1, 12))::BIGINT % 1024 AS bucket
+    FROM documents
+    """,
+)
+def fn_hash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable deterministic hashing: md5 hex → 48-bit int → bucket.
+    This is the cross-engine analogue of the reference's multiplicative
+    hashKey (ref: src/cuda/hashTable.cuh:24-28) and underpins the dedup /
+    LSH operators."""
+    d = t(spark, sf_dir, "documents")
+    h48 = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        h48.alias("text_hash48"),
+        F.pmod(h48, F.lit(1024)).alias("bucket"),
+    )

@@ -1,0 +1,173 @@
+"""Text-analysis operators for training-data pipelines over ``documents``:
+language-ID (marker-token voting), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting.
+
+All pure column expressions (whole-stage codegen; no UDFs) with exact
+DuckDB oracles. At 100 TB each of these is a narrow map over the corpus —
+no shuffle until the final per-source/per-lang aggregate, which is
+partial-aggregated map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bishe_gpu_database_spark.functions.text import h48, norm_text, tokens
+from bishe_gpu_database_spark.operators.relational import t
+from bishe_gpu_database_spark.registry import register
+
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_TOKENS = f"string_split({_SQL_NORM}, ' ')"
+
+# Deterministic marker vocabularies for the language-ID vote. The corpus
+# is synthetic (same vocabulary across langs), so this demonstrates the
+# operator's shape — marker-token voting with a deterministic tie-break —
+# rather than real linguistics.
+_MARKERS = {
+    "en": ["the", "a", "value", "fast"],
+    "de": ["der", "die", "und", "nicht"],
+    "es": ["el", "la", "que", "por"],
+    "fr": ["le", "la", "et", "pour"],
+    "zh": ["window", "merge", "stream", "batch"],
+}
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length({_SQL_NORM}) AS n_chars_norm,
+           len({_SQL_TOKENS}) AS n_tokens,
+           round(CAST(length(replace({_SQL_NORM}, ' ', '')) AS DOUBLE)
+                 / len({_SQL_TOKENS}), 6) AS avg_token_len,
+           round(CAST(length({_SQL_NORM})
+                      - length(regexp_replace({_SQL_NORM}, '[^a-z0-9 ]', '', 'g'))
+                 AS DOUBLE) / length({_SQL_NORM}), 6) AS punct_ratio,
+           round(CAST(len(list_filter({_SQL_TOKENS},
+                      tk -> list_contains({_sql_list(_STOPWORDS)}, tk))) AS DOUBLE)
+                 / len({_SQL_TOKENS}), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: normalized length, token count, mean token length,
+    punctuation ratio, stopword ratio — the standard pre-training filters."""
+    d = t(spark, sf_dir, "documents")
+    norm = norm_text(F.col("text"))
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.length(norm).alias("n_chars_norm"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.length(F.replace(norm, F.lit(" "), F.lit(""))).cast("double") / F.size(toks), 6
+        ).alias("avg_token_len"),
+        F.round(
+            (F.length(norm) - F.length(F.regexp_replace(norm, "[^a-z0-9 ]", ""))).cast("double")
+            / F.length(norm),
+            6,
+        ).alias("punct_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda tk: F.array_contains(stop_arr, tk))).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {" , ".join(
+                f"len(list_filter({_SQL_TOKENS}, tk -> list_contains({_sql_list(ws)}, tk))) AS score_{lg}"
+                for lg, ws in sorted(_MARKERS.items())
+             )}
+      FROM documents
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE greatest(score_de, score_en, score_es, score_fr, score_zh)
+             {" ".join(
+                f"WHEN score_{lg} THEN '{lg}'" for lg in sorted(_MARKERS)
+             )}
+           END AS pred_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: count marker-token hits per language, take
+    the argmax with alphabetical tie-break (the CASE/greatest encodes the
+    same tie order on both engines)."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def marker_hits(ws: list[str]) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda tk: F.array_contains(arr, tk)))
+
+    scores = {lg: marker_hits(ws) for lg, ws in sorted(_MARKERS.items())}
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    # CASE evaluated in alphabetical order: first language whose score
+    # equals the max wins — mirror the SQL CASE's first-match semantics.
+    expr = None
+    for lg in sorted(_MARKERS):
+        cond = scores[lg] == best
+        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
+    pred = expr
+    return d.select("doc_id", F.col("lang").alias("actual_lang"), pred.alias("pred_lang"))
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len({_SQL_TOKENS})) AS ws_tokens,
+           sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS bpe_ish_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (letter runs / digit runs / single punctuation) — the pre-training
+    'how many tokens is this corpus' primitive."""
+    d = t(spark, sf_dir, "documents")
+    ws_tok = F.size(tokens(F.col("text")))
+    bpe_tok = F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws_tok).alias("ws_tokens"),
+        F.sum(bpe_tok).alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_SQL_NORM}) AS fp_md5,
+           ('0x' || substr(md5({_SQL_NORM}), 1, 12))::BIGINT % 65536 AS fp_bucket
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of the normalized text + 16-bit shard
+    bucket (the partitioning key a 100 TB dedup would shuffle on)."""
+    d = t(spark, sf_dir, "documents")
+    norm = norm_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        (h48(norm) % 65536).alias("fp_bucket"),
+    )

@@ -1,0 +1,73 @@
+"""Source/sink format coverage: parquet (native fixtures), CSV, JSON, ORC.
+
+The reference has no file formats at all — data is generated in-memory
+and stdout is the only sink (ref: src/database/ycsb/db.h:42-53). Here
+each round-trip query writes a projection to a scratch dir in format X,
+reads it back, and aggregates; the DuckDB oracle computes the same
+aggregate straight from the source table, so the check proves the
+round-trip is lossless, not just that it ran.
+
+Sinks write partitioned directories (the 100 TB pattern: one file per
+task, partition-pruned on read via the partitioning column).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bishe_gpu_database_spark.operators.relational import t
+from bishe_gpu_database_spark.registry import register
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "bishe_spark_scratch")
+
+_AGG_ORACLE = """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_total
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Write orders (price as exact integer cents) in ``fmt``, read back,
+    aggregate. Integer cents make the round-trip exact for text formats."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    path = os.path.join(_SCRATCH, f"orders_{fmt}_{os.path.basename(sf_dir.rstrip('/'))}")
+    writer = o.write.mode("overwrite").partitionBy("o_orderstatus")
+    getattr(writer, fmt)(path)
+    back = (
+        spark.read.schema("o_orderkey bigint, cents bigint, o_orderstatus string").csv(path)
+        if fmt == "csv"
+        else getattr(spark.read, fmt)(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("cents_total"),
+    )
+
+
+@register("source_roundtrip_csv", oracle=_AGG_ORACLE)
+def source_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source round-trip (header, explicit schema, partitioned)."""
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@register("source_roundtrip_json", oracle=_AGG_ORACLE)
+def source_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source round-trip (partitioned directory)."""
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@register("source_roundtrip_orc", oracle=_AGG_ORACLE)
+def source_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip (columnar alternative to parquet)."""
+    return _roundtrip(spark, sf_dir, "orc")

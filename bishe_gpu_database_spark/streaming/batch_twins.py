@@ -1,0 +1,131 @@
+"""Batch twins of the streaming aggregations (oracle-checkable).
+
+Each streaming operator in ``streams.py`` has a deterministic batch
+formulation here with a DuckDB oracle; the pytest streaming suite then
+asserts stream-output == batch-twin-output, closing the loop:
+oracle ⇔ batch twin ⇔ stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bishe_gpu_database_spark.operators.relational import dec, t
+from bishe_gpu_database_spark.registry import register
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (batch twin of the streaming
+    version — F.window().start on an aligned grid ≡ date_trunc('hour'))."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(dec("value")).cast("double").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH expanded AS (
+      SELECT e.*, time_bucket(INTERVAL '30 minutes', ts)
+                  - k * (INTERVAL '30 minutes') AS window_start
+      FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start, count(*) AS n_events
+    FROM expanded
+    GROUP BY window_start
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h wide, 30 min slide): every event lands in two
+    windows. Spark's F.window(slide=) does the expansion; the oracle
+    replicates it with an explicit 2-way unnest."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts > lag(ts) OVER w + INTERVAL '5 minutes' THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 5-minute inactivity gap — the batch
+    formulation (lag → new-session flag → running sum) of Spark's
+    ``session_window``. Ties broken by event_id; one shuffle on user_id."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 5 MINUTES")), 1
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "stream_dedup_by_key",
+    oracle="""
+    SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n_dupes
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup (batch twin of streaming dropDuplicates within the
+    watermark): first event per (user, type) + duplicate count."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n_dupes")
+    )

@@ -1,0 +1,84 @@
+"""Structured Streaming runtime operators (tested in tests/test_streaming.py).
+
+File-source replay of the ``events`` fixture → watermarked event-time
+windows, streaming dedup, and the streamed Aria epoch driver: the
+reference's Execute→Commit→Install→Collect loop re-expressed as
+``foreachBatch`` over a transaction stream (ref: src/database/ycsb/
+db.h:104-125 — epoch ≡ micro-batch trigger, Collect ≡ state commit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from bishe_gpu_database_spark.aria.engine import run_batch
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events fixture as a file-source stream (one file = one
+    micro-batch with availableNow). Schema comes from the batch read —
+    streaming file sources require an explicit schema."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).format("parquet").load(path)
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling 1-hour counts — late rows beyond the watermark
+    are dropped; in append mode a window emits once it's closed."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup by key within the watermark horizon —
+    state-store-backed dropDuplicates."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["user_id", "event_type"])
+
+
+def run_to_memory(df: DataFrame, name: str) -> StreamingQuery:
+    """Drain a stream into an in-memory table with availableNow (test/
+    verification harness; production would writeStream to a real sink)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if not df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def aria_foreach_batch(
+    spark: SparkSession,
+    kv: DataFrame,
+    ops_stream: DataFrame,
+    *,
+    reorder: bool = True,
+) -> tuple[StreamingQuery, list]:
+    """Drive the Aria engine from a transaction stream: every micro-batch
+    of ops is one *batch* in the reference's sense, drained to empty with
+    the same Execute→Commit→Install→Collect semantics before the next
+    trigger — deterministic stateful stream processing via foreachBatch."""
+    state = {"kv": kv.localCheckpoint()}
+    epochs_log: list = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_kv, stats = run_batch(state["kv"], batch_df, reorder=reorder)
+        state["kv"] = new_kv
+        epochs_log.append({"batch_id": batch_id, "epochs": stats})
+
+    q = ops_stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return state["kv"], epochs_log
