@@ -21,10 +21,23 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch with availableNow). Schema comes from the batch read —
     streaming file sources require an explicit schema."""
     import os
+    import tempfile
 
     path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).format("parquet").load(path)
+    # FileStreamSource requires a directory; expose the fixture file
+    # through a symlink dir (read-only testdata stays untouched).
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    raw = spark.readStream.schema(schema).format("parquet").load(stream_dir)
+    # ts arrives as raw nanos (see operators.relational.t) → micros timestamp.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def tumbling_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:

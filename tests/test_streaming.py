@@ -1,0 +1,79 @@
+"""Structured Streaming runtime tests: each stream's availableNow drain
+must equal its oracle-checked batch twin (SURVEY.md §5.2), and the
+foreachBatch Aria driver must equal the batch engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bishe_gpu_database_spark.aria.workload import gen_kv, gen_ops, kv_checksum
+from bishe_gpu_database_spark.streaming import streams
+from bishe_gpu_database_spark.streaming.batch_twins import stream_tumbling_window
+from tests.conftest import SF_SMALL
+
+
+def _drain_to_rows(spark, df, name):
+    q = df.writeStream.format("memory").queryName(name).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_equals_batch_twin(spark):
+    stream = streams.events_stream(spark, SF_SMALL)
+    # Complete-ish comparison: with availableNow over one file, append mode
+    # emits only closed windows; use update-free aggregation into memory
+    # with watermark far in the past so every window closes at end-of-data.
+    agg = streams.tumbling_counts(stream, watermark="0 seconds")
+    got = _drain_to_rows(spark, agg, "tumbling_test")
+    # Append mode emits a window only once the watermark passes its end;
+    # the window containing the final event never closes — exclude it.
+    max_ts = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select(F.timestamp_micros(F.expr("max(ts) DIV 1000")).alias("m"))
+        .collect()[0]["m"]
+    )
+    batch = (
+        stream_tumbling_window(spark, SF_SMALL)
+        .filter(F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(max_ts))
+        .groupBy("window_start", "event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+    )
+    g = {(r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()}
+    b = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    assert g == b
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    stream = streams.events_stream(spark, SF_SMALL)
+    deduped = streams.dedup_stream(stream, watermark="365 days")
+    got = _drain_to_rows(spark, deduped, "dedup_test")
+    n_got = got.select("user_id", "event_type").distinct().count()
+    assert got.count() == n_got  # one row per key survived
+    batch_n = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert n_got == batch_n
+
+
+def test_aria_foreach_batch_equals_batch_engine(spark):
+    from bishe_gpu_database_spark.aria.engine import run_batch
+
+    kv_df = gen_kv(spark, 100, seed="stream_kv")
+    ops_df = gen_ops(spark, n_txns=20, max_ops=5, n_keys=100, seed="stream_ops")
+
+    expected_kv, expected_stats = run_batch(kv_df, ops_df, reorder=True)
+
+    # Stream the same ops as one micro-batch through foreachBatch.
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="aria_ops_")
+    ops_df.write.mode("overwrite").parquet(d)
+    ops_stream = spark.readStream.schema(ops_df.schema).parquet(d)
+    final_kv, log = streams.aria_foreach_batch(spark, kv_df, ops_stream, reorder=True)
+
+    assert len(log) == 1
+    assert log[0]["epochs"] == expected_stats
+    assert kv_checksum(final_kv) == kv_checksum(expected_kv)
