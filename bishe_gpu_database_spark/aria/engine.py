@@ -133,30 +133,41 @@ def run_batch(
     Returns (final kv DataFrame, per-epoch stats). ``localCheckpoint``
     truncates lineage each epoch so the plan doesn't grow with iterations.
     """
+    spark = kv.sparkSession
     stats: list[dict] = []
     ops = ops.localCheckpoint()
     kv = kv.localCheckpoint()
+    n_txns = ops.select("tid").distinct().count()
     for epoch in range(1, max_epochs + 1):
-        n_txns = ops.select("tid").distinct().count()
         if n_txns == 0:
             break
         result = aria_epoch(kv, ops, reorder=reorder)
         kv = result.kv.localCheckpoint()
-        aborted = result.aborted_ops
-        # Collect: dense re-number by old tid (order-preserving compaction).
-        renum = aborted.select("tid").distinct().withColumn(
-            "new_tid", F.row_number().over(W.orderBy("tid"))
+        # Verdicts are at most one row per in-flight transaction (≤ batch
+        # capacity, ref: TransctionManager.cuh:15) — collect them and do
+        # the Collect-phase compaction driver-side, like the reference's
+        # host-side re-numbering (ref: TransctionManager.cuh:176-184).
+        verd = {r["tid"]: r["committed"] for r in result.verdicts.collect()}
+        aborted_tids = sorted(tid for tid, committed in verd.items() if not committed)
+        n_aborted = len(aborted_tids)
+        stats.append(
+            {
+                "epoch": epoch,
+                "n_txns": n_txns,
+                "n_committed": n_txns - n_aborted,
+                "n_aborted": n_aborted,
+            }
+        )
+        if n_aborted == 0:
+            break
+        renum = spark.createDataFrame(
+            [(old, i + 1) for i, old in enumerate(aborted_tids)], "tid int, new_tid int"
         )
         ops = (
-            aborted.join(F.broadcast(renum), "tid")
+            ops.join(F.broadcast(renum), "tid")
             .drop("tid")
             .withColumnRenamed("new_tid", "tid")
             .localCheckpoint()
         )
-        n_aborted = renum.count()
-        stats.append(
-            {"epoch": epoch, "n_txns": n_txns, "n_committed": n_txns - n_aborted, "n_aborted": n_aborted}
-        )
-        if n_aborted == 0:
-            break
+        n_txns = n_aborted
     return kv, stats

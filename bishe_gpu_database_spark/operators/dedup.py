@@ -113,6 +113,17 @@ _N_HASHES = 16
 _BAND_SIZE = 4
 
 
+def minhash_sigs_array(text_col) -> F.Column:
+    """16-element MinHash signature as a single array column — narrow,
+    zero-shuffle per-row compute (nested transform + array_min), the shape
+    that scales: the signature (16 ints) is all that ever shuffles."""
+    xs = F.transform(word_shingles(text_col), lambda s: h48(s))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_N_HASHES - 1)),
+        lambda i: F.array_min(F.transform(xs, lambda x: minhash_sig_value(x, i))),
+    )
+
+
 @register(
     "dedup_minhash_signature",
     oracle=f"""
@@ -129,20 +140,12 @@ _BAND_SIZE = 4
     """,
 )
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (16 universal hashes over 48-bit shingle hashes).
-    The signature shuffle is 16 ints per doc — constant-size regardless of
-    document length; this is what makes near-dup feasible at 100 TB."""
+    """MinHash signatures (16 universal hashes over 48-bit shingle hashes),
+    computed entirely map-side; exploded here only to match the row-per-
+    (doc, hash) oracle shape."""
     d = t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")).select(
-        "doc_id", h48(F.col("shingle")).alias("x")
-    )
-    hashes = sh.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("i"), "x"
-    )
-    return (
-        hashes.groupBy("doc_id", F.col("i").alias("hash_id"))
-        .agg(F.min(minhash_sig_value(F.col("x"), F.col("i"))).alias("sig"))
-        .select("doc_id", "hash_id", "sig")
+    return d.select("doc_id", F.posexplode(minhash_sigs_array(F.col("text")))).select(
+        "doc_id", F.col("pos").alias("hash_id"), F.col("col").alias("sig")
     )
 
 
@@ -171,26 +174,26 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding over the MinHash signature (4 bands × 4 rows): candidate
-    pairs are docs agreeing on any full band. The join key is
-    (band_id, band_hash) — at scale this is the only pairwise step and its
-    fan-out is controlled by band collision probability, not corpus size."""
-    sig = dedup_minhash_signature(spark, sf_dir)
-    bands = (
-        sig.withColumn("band_id", (F.col("hash_id") / _BAND_SIZE).cast("bigint"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("hash_id"), F.col("sig")))
-                        ),
-                        lambda s: s["sig"].cast("string"),
-                    ),
-                )
-            ).alias("band_hash")
-        )
+    pairs are docs agreeing on any full band. Signatures and band hashes
+    are all narrow map-side work; the (band_id, band_hash) equi-join is
+    the only pairwise step and its fan-out is controlled by band collision
+    probability, not corpus size."""
+    d = t(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", minhash_sigs_array(F.col("text")).alias("sigs"))
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_HASHES // _BAND_SIZE - 1)),
+        lambda bidx: F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sigs"), bidx * _BAND_SIZE + 1, _BAND_SIZE),
+                    lambda s: s.cast("string"),
+                ),
+            )
+        ),
+    )
+    bands = sigs.select("doc_id", F.posexplode(band_hashes)).select(
+        "doc_id", F.col("pos").alias("band_id"), F.col("col").alias("band_hash")
     )
     a = bands.alias("a")
     b = bands.alias("b")
