@@ -33,11 +33,14 @@ def h48(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
 
 
-def word_shingles(col, n: int = 5) -> F.Column:
-    """Distinct n-word shingles (w-shingling).
+def shingles_of(toks, n: int = 5) -> F.Column:
+    """Distinct n-word shingles from an already-computed token array.
+    Pass an *attribute* (materialized column), not an expression: ``toks``
+    is referenced per shingle position inside the lambda, and higher-order
+    functions are interpreted without subexpression elimination — an
+    inline split/regexp here is O(len²) per document.
     SQL: list_distinct(list_transform(generate_series(1, len(words)-n+1),
          i -> array_to_string(words[i:i+n-1], ' ')))"""
-    toks = tokens(col)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
@@ -46,9 +49,34 @@ def word_shingles(col, n: int = 5) -> F.Column:
     )
 
 
+def word_shingles(col, n: int = 5) -> F.Column:
+    """Distinct n-word shingles straight from a text column (small inputs
+    only — see shingles_of for the two-step form used in hot paths)."""
+    return shingles_of(tokens(col), n)
+
+
 def minhash_sig_value(x_col, i_col) -> F.Column:
     """Universal-hash family h_i(x) = ((2i+1)·x + 1000003·i) mod p over
     48-bit shingle hashes. Exact in int64; identical in ANSI SQL."""
     a = i_col * 2 + 1
     b = i_col * 1_000_003
     return (a * x_col + b) % F.lit(MINHASH_PRIME)
+
+
+def minhash_sigs_of(xs, n_hashes: int) -> F.Column:
+    """MinHash signature array from a *materialized* array column of
+    48-bit shingle hashes: one fold over xs with an n_hashes-wide
+    running-min accumulator. Single pass — the naive
+    ``transform(0..n-1, i -> array_min(transform(xs, …)))`` re-evaluates
+    the xs expression once per hash id (HOF lambdas are interpreted, no
+    CSE), a 16× blowup at n_hashes=16."""
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("bigint"), n_hashes)
+    return F.aggregate(
+        xs,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda m, i: F.least(m, minhash_sig_value(x, i.cast("bigint"))),
+        ),
+    )

@@ -23,12 +23,12 @@ from pyspark.sql import functions as F
 from bishe_gpu_database_spark.functions.text import (
     MINHASH_PRIME,
     h48,
-    minhash_sig_value,
+    minhash_sigs_of,
     norm_text,
+    shingles_of,
     tokens,
-    word_shingles,
 )
-from bishe_gpu_database_spark.operators.relational import t
+from bishe_gpu_database_spark.operators.relational import t, widen
 from bishe_gpu_database_spark.registry import register
 
 # Shared SQL fragments for the oracles (DuckDB list lambdas).
@@ -88,8 +88,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by exact 5-word-shingle Jaccard ≥ 0.1.
     Shingle inverted-index join: shuffle on shingle, then per-pair count —
     the classic MapReduce formulation; rare shingles keep fan-out linear."""
-    d = t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sh = toks.select("doc_id", F.explode(shingles_of(F.col("toks"))).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -113,15 +114,19 @@ _N_HASHES = 16
 _BAND_SIZE = 4
 
 
-def minhash_sigs_array(text_col) -> F.Column:
-    """16-element MinHash signature as a single array column — narrow,
-    zero-shuffle per-row compute (nested transform + array_min), the shape
-    that scales: the signature (16 ints) is all that ever shuffles."""
-    xs = F.transform(word_shingles(text_col), lambda s: h48(s))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(_N_HASHES - 1)),
-        lambda i: F.array_min(F.transform(xs, lambda x: minhash_sig_value(x, i))),
+def _doc_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sigs: array<bigint>[16]) — the whole MinHash pipeline as
+    narrow map-side stages. Each intermediate array (tokens, shingle
+    hashes) is materialized as its own projection so lambdas only read
+    attributes: HOFs are interpreted with no subexpression elimination,
+    so an inline expression inside a lambda re-evaluates per element.
+    The signature (16 ints) is all that ever shuffles."""
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    xs = toks.select(
+        "doc_id", F.transform(shingles_of(F.col("toks")), lambda s: h48(s)).alias("xs")
     )
+    return xs.select("doc_id", minhash_sigs_of(F.col("xs"), _N_HASHES).alias("sigs"))
 
 
 @register(
@@ -143,8 +148,7 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (16 universal hashes over 48-bit shingle hashes),
     computed entirely map-side; exploded here only to match the row-per-
     (doc, hash) oracle shape."""
-    d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", F.posexplode(minhash_sigs_array(F.col("text")))).select(
+    return _doc_sigs(spark, sf_dir).select("doc_id", F.posexplode("sigs")).select(
         "doc_id", F.col("pos").alias("hash_id"), F.col("col").alias("sig")
     )
 
@@ -178,8 +182,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are all narrow map-side work; the (band_id, band_hash) equi-join is
     the only pairwise step and its fan-out is controlled by band collision
     probability, not corpus size."""
-    d = t(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", minhash_sigs_array(F.col("text")).alias("sigs"))
+    sigs = _doc_sigs(spark, sf_dir)
     band_hashes = F.transform(
         F.sequence(F.lit(0), F.lit(_N_HASHES // _BAND_SIZE - 1)),
         lambda bidx: F.md5(

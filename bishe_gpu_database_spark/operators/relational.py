@@ -43,6 +43,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to full parallelism iff the scan is
+    narrower than the core count. Compute-heavy per-row operators (minhash,
+    shingling, embedding math) are otherwise serialized by file splits — a
+    small parquet file reads as ONE task no matter how many cores. At
+    100 TB the scan already has thousands of splits and this is a no-op,
+    so no shuffle is added where it would hurt."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def dec(c: str):
     return F.col(c).cast(D12)
 
