@@ -45,16 +45,26 @@ class AriaEpochResult:
     aborted_ops: DataFrame  # ops of aborted txns (same schema as input ops)
 
 
-def analyze_dependencies(ops: DataFrame, kv: DataFrame) -> DataFrame:
+def analyze_dependencies(
+    ops: DataFrame, kv: DataFrame, *, insert_missing: bool = False
+) -> DataFrame:
     """Execute + Reserve + Commit: per-tid (raw, war, waw) flags.
 
     ``ops`` columns: tid, seq, k, is_update, new_* staged values.
     ``kv`` columns:  k, <value columns>.
+
+    ``insert_missing=True`` is the reference's op-parallel Execute, which
+    inserts absent keys on the fly instead of skipping the op
+    (ref: src/database/ycsb/operation_parallel.cuh:72-83): every op then
+    participates in reservation/dependency analysis.
     """
     # Execute: snapshot probe. Ops on missing keys are skipped (left join
     # + found filter) exactly like the reference's failed hash probe.
-    probed = ops.join(kv.select("k", F.lit(True).alias("_found")), "k", "left")
-    found = probed.filter(F.col("_found").isNotNull())
+    if insert_missing:
+        found = ops
+    else:
+        probed = ops.join(kv.select("k", F.lit(True).alias("_found")), "k", "left")
+        found = probed.filter(F.col("_found").isNotNull())
 
     # Reserve: all settled CAS races at once. Every op reads; updates write
     # (read set append ref: TrancM_func.cuh:43-45, write set :55-57).
@@ -81,13 +91,21 @@ def analyze_dependencies(ops: DataFrame, kv: DataFrame) -> DataFrame:
     )
 
 
-def aria_epoch(kv: DataFrame, ops: DataFrame, *, reorder: bool = True) -> AriaEpochResult:
+def aria_epoch(
+    kv: DataFrame,
+    ops: DataFrame,
+    *,
+    reorder: bool = True,
+    insert_missing: bool = False,
+) -> AriaEpochResult:
     """One Aria epoch: Execute → Commit → Install, returning the new table
     and per-transaction verdicts. Value columns are inferred from kv
-    (everything but k); ops must carry matching ``new_<col>`` columns."""
+    (everything but k); ops must carry matching ``new_<col>`` columns.
+    ``insert_missing`` switches Execute to the reference's op-parallel
+    insert-on-miss variant (see analyze_dependencies)."""
     value_cols = [c for c in kv.columns if c != "k"]
 
-    flags = analyze_dependencies(ops, kv)
+    flags = analyze_dependencies(ops, kv, insert_missing=insert_missing)
     abort_cond = (
         (F.col("waw") | (F.col("raw") & F.col("war")))
         if reorder
@@ -100,11 +118,13 @@ def aria_epoch(kv: DataFrame, ops: DataFrame, *, reorder: bool = True) -> AriaEp
     # Install: staged writes of committed txns. WAW-freedom ⇒ one committed
     # writer per key; within it, last write (max seq) wins. The key must
     # exist in the snapshot (missing-key ops were skipped at Execute).
-    writes = (
-        ops.filter(F.col("is_update"))
-        .join(F.broadcast(committed_tids), "tid", "left_semi")
-        .join(kv.select("k"), "k", "left_semi")
+    writes = ops.filter(F.col("is_update")).join(
+        F.broadcast(committed_tids), "tid", "left_semi"
     )
+    if not insert_missing:
+        # Only pre-existing keys are writable (missing-key ops skipped at
+        # Execute); with insert_missing the write creates the key.
+        writes = writes.join(kv.select("k"), "k", "left_semi")
     w = W.partitionBy("k").orderBy(F.col("tid").asc(), F.col("seq").desc())
     last_writes = (
         writes.withColumn("_rn", F.row_number().over(w))
@@ -124,6 +144,7 @@ def run_batch(
     ops: DataFrame,
     *,
     reorder: bool = True,
+    insert_missing: bool = False,
     max_epochs: int = 64,
 ) -> tuple[DataFrame, list[dict]]:
     """Drain a batch: run epochs until no transaction remains, re-numbering
@@ -141,7 +162,7 @@ def run_batch(
     for epoch in range(1, max_epochs + 1):
         if n_txns == 0:
             break
-        result = aria_epoch(kv, ops, reorder=reorder)
+        result = aria_epoch(kv, ops, reorder=reorder, insert_missing=insert_missing)
         kv = result.kv.localCheckpoint()
         # Verdicts are at most one row per in-flight transaction (≤ batch
         # capacity, ref: TransctionManager.cuh:15) — collect them and do

@@ -79,6 +79,42 @@ def aria_commit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "aria_missing_skip_flags",
+    oracle="""
+    WITH ops AS (
+      SELECT (event_id % 50 + 1) AS tid,
+             ((user_id * 7 + event_id % 13) % 500 + 1) AS k,
+             (event_id % 5 < 2) AS is_update
+      FROM events
+      WHERE ((user_id * 7 + event_id % 13) % 500 + 1) <= 250
+    ),
+    res AS (
+      SELECT k,
+             min(tid) AS rts,
+             min(CASE WHEN is_update THEN tid END) AS wts
+      FROM ops GROUP BY k
+    )
+    SELECT o.tid,
+           max(CASE WHEN r.wts IS NOT NULL AND r.wts < o.tid THEN 1 ELSE 0 END) = 1 AS raw,
+           max(CASE WHEN o.is_update AND r.rts < o.tid THEN 1 ELSE 0 END) = 1 AS war,
+           max(CASE WHEN o.is_update AND r.wts IS NOT NULL AND r.wts < o.tid
+               THEN 1 ELSE 0 END) = 1 AS waw
+    FROM ops o JOIN res r ON o.k = r.k
+    GROUP BY o.tid
+    """,
+)
+def aria_missing_skip_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute's missing-key skip (ref: src/database/ycsb/
+    TrancM_func.cuh:32-34): only half the key domain exists, so ops on
+    absent keys must drop out of reservation & dependency analysis — the
+    oracle filters them with a WHERE; the engine must do it via its
+    snapshot probe."""
+    ops = _ops_from_events(spark, sf_dir)
+    kv = spark.range(1, 251).select(F.col("id").alias("k"))  # half the domain
+    return analyze_dependencies(ops, kv).select("tid", "raw", "war", "waw")
+
+
 @register("aria_drain_batch")  # iterative multi-epoch loop → rows-only check
 def aria_drain_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine drain on the reference's default workload shape

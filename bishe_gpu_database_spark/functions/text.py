@@ -41,11 +41,14 @@ def shingles_of(toks, n: int = 5) -> F.Column:
     inline split/regexp here is O(len²) per document.
     SQL: list_distinct(list_transform(generate_series(1, len(words)-n+1),
          i -> array_to_string(words[i:i+n-1], ' ')))"""
+    # Guard: Spark's sequence(1, 0) is DESCENDING [1, 0] (DuckDB's
+    # generate_series(1, 0) is empty) — docs shorter than n words must
+    # yield an empty array, not a slice(toks, 0, …) crash.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     )
 
 

@@ -1,0 +1,215 @@
+"""The user-defined-function surface: every Python-extension hook the
+engine exposes, each on its fastest available path.
+
+The reference's only "user logic" hooks are compile-time C++ value
+generators (ref: src/cuda/kv.cuh:64-78, src/database/common/random.h:8-41);
+an analytics engine needs runtime-pluggable logic. Four tiers, slowest
+path avoided throughout:
+
+- scalar ``@pandas_udf``      — Arrow-batched, vectorized pandas ops
+- grouped-agg ``@pandas_udf`` — UDAF over a whole group as a Series
+- ``applyInPandas``           — full-DataFrame-per-group UDF (grouped map)
+- Python UDTF                 — table function, one row in → many out
+
+Everything here is deliberately *integer/string-exact* so the DuckDB
+oracles hash-match bit-for-bit: float folds stay JVM-side in
+``operators.similarity``; Python re-implementations of them would differ
+in last-ulp summation order.
+
+Scale: all four run as Arrow batches inside executors — no collect, no
+driver loop. Grouped variants shuffle once on the group key, same as any
+groupBy; a group must fit one executor's memory (documented limit of the
+grouped-map API).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import IntegerType, LongType
+
+from bishe_gpu_database_spark.operators.relational import t, widen
+from bishe_gpu_database_spark.registry import register
+
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# 1. Scalar pandas UDF (Arrow-vectorized, one Series in → one Series out)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(IntegerType())
+def _token_count_vec(text: pd.Series) -> pd.Series:
+    """Vectorized token count: lower → collapse whitespace → split.
+    Mirrors functions.text.norm_text/tokens exactly (ASCII fixtures)."""
+    norm = text.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    return norm.str.split(" ").str.len().astype("int32")
+
+
+@register(
+    "udf_pandas_token_count",
+    oracle=f"""
+    SELECT doc_id, len(string_split({_SQL_NORM}, ' ')) AS n_tokens
+    FROM documents
+    """,
+)
+def udf_pandas_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF: Arrow ships string batches to Python once; the
+    pandas str ops are vectorized C under the hood — the 10-100× faster
+    alternative to a row-at-a-time Python UDF."""
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return d.select("doc_id", _token_count_vec(F.col("text")).alias("n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# 2. Grouped-aggregate pandas UDF (UDAF: Series per group → one scalar)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(LongType())
+def _char_spread(n_chars: pd.Series) -> int:
+    """UDAF body: max-min spread — integer-exact, order-independent."""
+    return int(n_chars.max() - n_chars.min())
+
+
+@pandas_udf(LongType())
+def _group_size(n_chars: pd.Series) -> int:
+    """UDAF body: group cardinality (grouped-agg pandas UDFs cannot mix
+    with built-in aggregates in one agg, so the count is a UDAF too)."""
+    return int(len(n_chars))
+
+
+@register(
+    "udf_grouped_agg_spread",
+    oracle="""
+    SELECT lang, max(n_chars) - min(n_chars) AS char_spread,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def udf_grouped_agg_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDFs: each UDAF column gets the whole group's
+    values as one Arrow batch (one shuffle on lang, same as any agg)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        _char_spread(F.col("n_chars")).alias("char_spread"),
+        _group_size(F.col("n_chars")).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. applyInPandas (grouped map: DataFrame per group → DataFrame)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udf_apply_in_pandas_summary",
+    oracle="""
+    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           max(n_chars) AS max_chars, min(doc_id) AS first_doc
+    FROM documents GROUP BY source
+    """,
+)
+def udf_apply_in_pandas_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF: each source's docs arrive as ONE pandas frame
+    (shuffle on source, then Arrow transfer). The shape for custom
+    per-group model logic the built-in aggs can't express — here doing
+    exact integer stats so the oracle can still verify it."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "total_chars": [int(pdf["n_chars"].sum())],
+                "max_chars": [int(pdf["n_chars"].max())],
+                "first_doc": [int(pdf["doc_id"].min())],
+            }
+        )
+
+    return d.groupBy("source").applyInPandas(
+        summarize,
+        schema="source string, n_docs bigint, total_chars bigint, "
+        "max_chars bigint, first_doc bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Python UDTF (table function: one row → many rows)
+# ---------------------------------------------------------------------------
+
+
+class ShingleUDTF:
+    """5-word w-shingling as a table function (lateral join source).
+    Python mirror of functions.text.shingles_of. Wrapped with
+    ``udtf(returnType=...)`` at registration time — decorating at import
+    would require an active SparkContext to parse the DDL schema."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        words = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        seen = set()
+        for i in range(max(0, len(words) - 4)):
+            sh = " ".join(words[i : i + 5])
+            if sh not in seen:
+                seen.add(sh)
+                yield (sh,)
+
+
+@register(
+    "udf_udtf_shingles",
+    oracle=f"""
+    SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split({_SQL_NORM}, ' ')) - 4, 0)),
+      i -> array_to_string(string_split({_SQL_NORM}, ' ')[i:i+4], ' ')))) AS shingle
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def udf_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join: each document row fans out to its
+    distinct shingles. UDTFs run Arrow-batched like pandas UDFs; at scale
+    the fan-out happens executor-side with no shuffle before it."""
+    spark.udtf.register("shingle_udtf", udtf(ShingleUDTF, returnType="shingle: string"))
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.shingle FROM _udtf_docs d, "
+        "LATERAL shingle_udtf(d.text) s"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. mapInPandas (iterator of batches — already exercised in
+#    operators.multimodal; registered here as the partition-stream shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udf_map_in_pandas_filter",
+    oracle=f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE len(string_split({_SQL_NORM}, ' ')) >= 40
+    """,
+)
+def udf_map_in_pandas_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas as a streaming per-partition filter+project: batches in,
+    batches out, nothing materialized per group — the shape for quality
+    filtering with a Python-only model in the loop."""
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars"))
+
+    def keep_long(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            norm = pdf["text"].str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+            mask = norm.str.split(" ").str.len() >= 40
+            yield pdf.loc[mask, ["doc_id", "n_chars"]]
+
+    return d.mapInPandas(keep_long, schema="doc_id bigint, n_chars bigint")

@@ -71,3 +71,84 @@ def source_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink+source round-trip (columnar alternative to parquet)."""
     return _roundtrip(spark, sf_dir, "orc")
+
+
+@register(
+    "source_partition_pruning",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           count(*) AS n_items,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents_total
+    FROM lineitem
+    WHERE year(l_shipdate) >= 1997
+    GROUP BY 1
+    """,
+)
+def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition layout + pruning: lineitem written partitioned
+    by ship_year, then read back filtered on the partition column — the
+    scan touches only the matching ``ship_year=…/`` directories (visible
+    as 'partition filters' in .explain, asserted in tests/test_plans.py).
+    At 100 TB this is the first line of defense: whole years of data are
+    never opened."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    path = os.path.join(
+        _SCRATCH, f"lineitem_byyear_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    li.write.mode("overwrite").partitionBy("ship_year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("ship_year") >= 1997)
+    return back.groupBy("ship_year").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("cents").alias("cents_total"),
+    )
+
+
+@register(
+    "source_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents_total
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed storage co-located join: both sides written bucketBy(8,
+    orderkey) so the join needs NO shuffle — each task joins bucket i to
+    bucket i (no Exchange above the scans, asserted in test_plans). This
+    is the 100 TB pattern for repeated fact-fact joins: pay the shuffle
+    once at write time, never per query."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    names = {}
+    for tbl, key, cols in (
+        ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+        ("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice"]),
+    ):
+        name = f"bkt_{tbl}_{sf_tag}"
+        names[tbl] = name
+        if not spark.catalog.tableExists(name):
+            (
+                t(spark, sf_dir, tbl)
+                .select(*cols)
+                .write.mode("overwrite")
+                .option("path", os.path.join(_SCRATCH, name))
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+    o = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
+                "cents_total"
+            ),
+        )
+    )

@@ -71,6 +71,36 @@ def run_to_memory(df: DataFrame, name: str) -> StreamingQuery:
     return q
 
 
+def user_running_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value sum) carried in the state store across
+    micro-batches, emitting the updated totals each trigger — the
+    arbitrary-state API the built-in windowed aggs can't express (e.g.
+    per-entity counters, sessionized models). State is (bigint, double);
+    partitioned by user_id, so it scales with distinct users, not events."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(tot, 6)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, tot double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def aria_foreach_batch(
     spark: SparkSession,
     kv: DataFrame,

@@ -21,9 +21,11 @@ class Op:
     new_value: tuple | None  # staged write value (None for reads)
 
 
-def epoch(kv: dict[int, tuple], ops: list[Op], *, reorder: bool):
-    """One epoch. Returns (new_kv, committed_tids, aborted_tids)."""
-    found = [o for o in ops if o.k in kv]
+def epoch(kv: dict[int, tuple], ops: list[Op], *, reorder: bool, insert_missing: bool = False):
+    """One epoch. Returns (new_kv, committed_tids, aborted_tids).
+    ``insert_missing``: the op-parallel variant — missing keys are not
+    skipped; a committed write creates the key."""
+    found = ops if insert_missing else [o for o in ops if o.k in kv]
     rts: dict[int, int] = {}
     wts: dict[int, int] = {}
     for o in found:
@@ -55,14 +57,21 @@ def epoch(kv: dict[int, tuple], ops: list[Op], *, reorder: bool):
     return new_kv, committed, aborted
 
 
-def drain(kv: dict[int, tuple], ops: list[Op], *, reorder: bool, max_epochs: int = 64):
+def drain(
+    kv: dict[int, tuple],
+    ops: list[Op],
+    *,
+    reorder: bool,
+    insert_missing: bool = False,
+    max_epochs: int = 64,
+):
     """Run epochs until no transaction remains; returns (kv, stats)."""
     stats = []
     for ep in range(1, max_epochs + 1):
         tids = sorted({o.tid for o in ops})
         if not tids:
             break
-        kv, committed, aborted = epoch(kv, ops, reorder=reorder)
+        kv, committed, aborted = epoch(kv, ops, reorder=reorder, insert_missing=insert_missing)
         stats.append(
             {"epoch": ep, "n_txns": len(tids), "n_committed": len(committed), "n_aborted": len(aborted)}
         )

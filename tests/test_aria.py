@@ -51,6 +51,19 @@ def test_drain_matches_serial_oracle(spark, reorder, seed):
 
 
 @pytest.mark.parametrize("reorder", [False, True])
+def test_drain_insert_missing_matches_serial_oracle(spark, reorder):
+    """The op-parallel insert-on-miss variant (ref: src/database/ycsb/
+    operation_parallel.cuh:72-83): writes to absent keys create them."""
+    kv_df, ops_df, kv, ops = _collect_workload(spark, f"ins_{reorder}")
+    expect_kv, expect_stats = drain(kv, ops, reorder=reorder, insert_missing=True)
+    got_kv_df, got_stats = run_batch(kv_df, ops_df, reorder=reorder, insert_missing=True)
+    assert got_stats == expect_stats
+    assert _kv_as_dict(got_kv_df) == expect_kv
+    # The workload targets keys beyond the table, so inserts DID happen.
+    assert len(expect_kv) > N_KEYS
+
+
+@pytest.mark.parametrize("reorder", [False, True])
 def test_single_epoch_verdicts_match_oracle(spark, reorder):
     from tests.serial_oracle import epoch as serial_epoch
 

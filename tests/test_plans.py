@@ -47,3 +47,42 @@ def test_no_cartesian_in_range_join(spark):
 def test_topn_uses_take_ordered(spark):
     plan = formatted_plan(R.sort_limit_topn(spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_partition_pruning_reaches_scan(spark):
+    from bishe_gpu_database_spark.sources import formats as S
+
+    plan = formatted_plan(S.source_partition_pruning(spark, SF_SMALL))
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and "ship_year" in scan[0], plan  # pruned on the dir column
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    from bishe_gpu_database_spark.sources import formats as S
+
+    # Force the large-large strategy (at test scale AQE would broadcast).
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = S.source_bucketed_join(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # Bucket layout satisfies the join distribution: the ONLY shuffle
+        # is the post-join groupBy — none between scan and join.
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_minhash_sig_is_map_side_only(spark):
+    """The signature query must be shuffle-free after widen()'s round-robin
+    — one Exchange at most (the repartition), none from the minhash math."""
+    from bishe_gpu_database_spark.operators import dedup as D
+
+    plan = formatted_plan(D.dedup_minhash_signature(spark, SF_SMALL))
+    tree = plan.split("== Physical Plan ==")[-1].split("(1) ")[0]
+    assert tree.count("Exchange") <= 1, plan
+    # And no Filter below the Exchange: InferFiltersFromGenerate must not
+    # clone the signature expression into a pre-repartition filter.
+    assert "Filter" not in tree, plan

@@ -12,8 +12,14 @@ from bishe_gpu_database_spark.streaming.batch_twins import stream_tumbling_windo
 from tests.conftest import SF_SMALL
 
 
-def _drain_to_rows(spark, df, name):
-    q = df.writeStream.format("memory").queryName(name).trigger(availableNow=True).start()
+def _drain_to_rows(spark, df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
 
@@ -56,6 +62,23 @@ def test_stream_dedup_matches_batch_distinct(spark):
         .count()
     )
     assert n_got == batch_n
+
+
+def test_stateful_running_totals_match_batch(spark):
+    stream = streams.events_stream(spark, SF_SMALL)
+    got = _drain_to_rows(
+        spark, streams.user_running_totals(stream), "stateful_test", mode="update"
+    )
+    # Update mode with one availableNow batch → one row per user, holding
+    # the final state; must equal the batch aggregate.
+    latest = {r["user_id"]: r["n_events"] for r in got.collect()}
+    batch = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expect = {r["user_id"]: r["n"] for r in batch.collect()}
+    assert latest == expect
 
 
 def test_aria_foreach_batch_equals_batch_engine(spark):
