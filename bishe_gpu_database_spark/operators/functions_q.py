@@ -234,3 +234,41 @@ def fn_hash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         h48.alias("text_hash48"),
         F.pmod(h48, F.lit(1024)).alias("bucket"),
     )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT user_id,
+           COALESCE(count(CASE WHEN event_type = 'click' THEN 1 END), 0) AS n_click,
+           COALESCE(count(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS n_purchase,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type functions: per-user event-type histogram built as a real
+    MapType column (map_from_entries over a collected agg), then consumed
+    with element_at / map_keys. The map column itself never leaves the
+    executors — only the extracted scalars do, which keeps the result
+    oracle-comparable and the shuffle narrow."""
+    e = t(spark, sf_dir, "events")
+    hist = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("event_type", "n"))
+            ).alias("histogram")
+        )
+    )
+    return hist.select(
+        "user_id",
+        F.coalesce(F.element_at("histogram", F.lit("click")), F.lit(0)).alias("n_click"),
+        F.coalesce(F.element_at("histogram", F.lit("purchase")), F.lit(0)).alias(
+            "n_purchase"
+        ),
+        F.size(F.map_keys("histogram")).alias("n_types"),
+    )

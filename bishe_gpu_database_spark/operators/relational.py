@@ -875,3 +875,118 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(dsum(dec("l_extendedprice") * one_minus_disc, "revenue"))
     )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, count(l.l_orderkey) AS n_items
+    FROM (SELECT * FROM lineitem WHERE l_quantity > 49) l
+    RIGHT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every supplier survives even with zero matching
+    high-quantity items (build side preserved)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    s = t(spark, sf_dir, "supplier")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey, "right")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_above
+    FROM customer
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * (SELECT count(*) FROM customer)
+          > (SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) FROM customer)
+    GROUP BY c_mktsegment
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subqueries through the SQL front-end:
+    above-average filter done exactly in integer cents (cents·n > total —
+    no float division). Catalyst plans the scalar subqueries as one-row
+    broadcast plans computed once."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_sq_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_above
+        FROM _sq_customer
+        WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+              * (SELECT count(*) FROM _sq_customer)
+              > (SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) FROM _sq_customer)
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "subquery_correlated_exists",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_dormant
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+    )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS via SQL — Catalyst decorrelates it to a left
+    anti join (no per-row re-execution; the same shuffle as an explicit
+    anti join at scale)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_sq_c")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_sq_o")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, count(*) AS n_dormant
+        FROM _sq_c c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM _sq_o o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+        )
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+@register(
+    "agg_stats_exact",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             SUM(user_id) AS sum_uid,
+             SUM(user_id * user_id) AS sum_uid2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sum_uid2 - sum_uid * sum_uid AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_pop
+    FROM s
+    """,
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics with exact arithmetic: population variance
+    derived from integer sums (n·Σx² − (Σx)²)/n² — order-independent and
+    bit-identical cross-engine, unlike a streaming double `var_pop`. The
+    shuffle carries three longs per group (partial sums combine map-side)."""
+    e = t(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_uid"),
+        F.sum(F.col("user_id") * F.col("user_id")).alias("sum_uid2"),
+    )
+    var = (F.col("n") * F.col("sum_uid2") - F.col("sum_uid") * F.col("sum_uid")).cast(
+        "double"
+    ) / (F.col("n").cast("double") * F.col("n").cast("double"))
+    return s.select("event_type", "n", var.alias("var_pop"))
