@@ -154,7 +154,7 @@ def run_batch(
     Returns (final kv DataFrame, per-epoch stats). ``localCheckpoint``
     truncates lineage each epoch so the plan doesn't grow with iterations.
     """
-    spark = kv.sparkSession
+    value_cols = [c for c in kv.columns if c != "k"]
     stats: list[dict] = []
     ops = ops.localCheckpoint()
     kv = kv.localCheckpoint()
@@ -162,15 +162,35 @@ def run_batch(
     for epoch in range(1, max_epochs + 1):
         if n_txns == 0:
             break
-        result = aria_epoch(kv, ops, reorder=reorder, insert_missing=insert_missing)
-        kv = result.kv.localCheckpoint()
-        # Verdicts are at most one row per in-flight transaction (≤ batch
-        # capacity, ref: TransctionManager.cuh:15) — collect them and do
-        # the Collect-phase compaction driver-side, like the reference's
-        # host-side re-numbering (ref: TransctionManager.cuh:176-184).
-        verd = {r["tid"]: r["committed"] for r in result.verdicts.collect()}
+        # Commit verdicts first, ONE job: flags are ≤ one row per in-flight
+        # transaction (batch capacity, ref: TransctionManager.cuh:15), so
+        # the Collect-phase compaction happens driver-side, like the
+        # reference's host re-numbering (ref: TransctionManager.cuh:176-184).
+        flags = analyze_dependencies(ops, kv, insert_missing=insert_missing)
+        abort_cond = (
+            (F.col("waw") | (F.col("raw") & F.col("war")))
+            if reorder
+            else (F.col("waw") | F.col("raw"))
+        )
+        verd = {r["tid"]: not r["abort"] for r in
+                flags.withColumn("abort", abort_cond).select("tid", "abort").collect()}
         aborted_tids = sorted(tid for tid, committed in verd.items() if not committed)
+        committed_tids = [t for t, c in verd.items() if c]
         n_aborted = len(aborted_tids)
+
+        # Install from the LITERAL committed-tid list — the verdict subtree
+        # (two shuffles) is not recomputed for the table materialization.
+        writes = ops.filter(F.col("is_update") & F.col("tid").isin(committed_tids))
+        if not insert_missing:
+            writes = writes.join(kv.select("k"), "k", "left_semi")
+        w = W.partitionBy("k").orderBy(F.col("tid").asc(), F.col("seq").desc())
+        last_writes = (
+            writes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("k", *[F.col(f"new_{c}").alias(c) for c in value_cols])
+        )
+        kv = kv.join(last_writes, "k", "left_anti").unionByName(last_writes).localCheckpoint()
+
         stats.append(
             {
                 "epoch": epoch,
@@ -181,13 +201,14 @@ def run_batch(
         )
         if n_aborted == 0:
             break
-        renum = spark.createDataFrame(
-            [(old, i + 1) for i, old in enumerate(aborted_tids)], "tid int, new_tid int"
+        renum = {old: i + 1 for i, old in enumerate(aborted_tids)}
+        renum_col = F.element_at(
+            F.create_map(*[F.lit(x) for kvp in renum.items() for x in kvp]),
+            F.col("tid"),
         )
         ops = (
-            ops.join(F.broadcast(renum), "tid")
-            .drop("tid")
-            .withColumnRenamed("new_tid", "tid")
+            ops.filter(F.col("tid").isin(aborted_tids))
+            .withColumn("tid", renum_col)
             .localCheckpoint()
         )
         n_txns = n_aborted

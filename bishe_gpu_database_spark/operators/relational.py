@@ -990,3 +990,65 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     ) / (F.col("n").cast("double") * F.col("n").cast("double"))
     return s.select("event_type", "n", var.alias("var_pop"))
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT c_mktsegment,
+           COALESCE(count(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_f,
+           COALESCE(count(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_o,
+           COALESCE(count(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_p
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order-status counts per market segment. With
+    explicit pivot values Spark plans ONE pass — the same conditional
+    aggregation as the oracle, no per-value scan."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    pivoted = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}") for s in ["F", "O", "P"]],
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS median_cents,
+           quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS p90_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort-based, linear interpolation) over integer
+    cents — deterministic doubles, unlike approx_percentile's sketch.
+    Exact percentile is a full sort per group; the documented scale path
+    is approx_percentile (t-digest), kept rows-only because sketches
+    differ across engines."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile(cents, F.lit(0.5)).alias("median_cents"),
+        F.percentile(cents, F.lit(0.9)).alias("p90_cents"),
+    )
+
+
+@register("sample_seeded")  # engines sample differently → rows-only check
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sampling with a fixed seed — reproducible within Spark
+    (same seed + same partitioning → same rows), the pipeline primitive
+    for corpus subsampling. Cross-engine row identity is undefined, so
+    this is a rows-only check."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
