@@ -120,16 +120,10 @@ def _doc_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes) is materialized as its own projection so lambdas only read
     attributes: HOFs are interpreted with no subexpression elimination,
     so an inline expression inside a lambda re-evaluates per element.
-    The signature (16 ints) is all that ever shuffles."""
-    # InferFiltersFromGenerate would clone the ENTIRE signature expression
-    # into a `size(…) > 0 AND isnotnull(…)` filter and push it below the
-    # widen() repartition — the whole minhash then runs twice, one copy
-    # single-threaded on the narrow scan. The sigs array is always
-    # 16-long, so the inferred filter is pure waste; exclude the rule.
-    spark.conf.set(
-        "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    )
+    The signature (16 ints) is all that ever shuffles.
+    (InferFiltersFromGenerate is excluded session-wide by ``t()`` — it
+    would clone the signature expression into a filter below the widen()
+    repartition, running the minhash twice, once single-threaded.)"""
     d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
     xs = toks.select(

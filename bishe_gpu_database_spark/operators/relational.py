@@ -35,7 +35,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; read it as raw nanos and floor-convert to
     microseconds — exactly what DuckDB's reader does — so both engines see
-    identical timestamps."""
+    identical timestamps.
+
+    Also disables InferFiltersFromGenerate for the session: the rule
+    clones a Generate's child expression into `size(e)>0 AND isnotnull(e)`
+    filters, and for the computed arrays this engine explodes (minhash
+    signatures, winnowing fingerprints, shingles) that inlined clone
+    re-evaluates the whole array expression per lambda element —
+    measured 470s vs 3s on text_winnow_fingerprint. Our generated arrays
+    are never null and rarely empty, so the rule only ever costs."""
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -1052,3 +1064,32 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is a rows-only check."""
     li = t(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, the pushdown showcase —
+    all three predicates reach the parquet row-group statistics, and the
+    whole query is one codegen stage with a scalar result."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(dec("l_extendedprice") * F.col("l_discount").cast("decimal(6,4)"), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -171,3 +171,54 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         (h48(norm) % 65536).alias("fp_bucket"),
     )
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_NORM} AS norm FROM documents WHERE doc_id < 50
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(length(norm) - 7, 0)),
+               i -> ('0x' || substr(md5(substr(norm, i, 8)), 1, 12))::BIGINT
+             ) AS h
+      FROM base
+    )
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(h) - 3, 0)),
+             j -> list_min(h[j:j+3])))) AS fingerprint
+    FROM hs
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: hash every 8-char k-gram of
+    the normalized text, keep the min hash of each 4-wide sliding window,
+    dedupe — the classic local fingerprinting scheme (MOSS). Guarantees a
+    shared fingerprint for any shared substring ≥ 11 chars. All map-side
+    (staged columns so lambdas read attributes); only (doc_id, int64)
+    pairs shuffle. doc_id < 50 keeps the oracle comparison bounded."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    K, W = 8, 4
+    base = d.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    n = F.length("norm")
+    idx = F.when(n >= K, F.sequence(F.lit(1), n - (K - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    hs = base.select(
+        "doc_id",
+        F.transform(idx, lambda i: h48(F.col("norm").substr(i, F.lit(K)))).alias("h"),
+    )
+    widx = F.when(F.size("h") >= W, F.sequence(F.lit(1), F.size("h") - (W - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = hs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(widx, lambda j: F.array_min(F.slice(F.col("h"), j, W)))
+        ).alias("fps"),
+    )
+    return wins.select("doc_id", F.explode("fps").alias("fingerprint"))
