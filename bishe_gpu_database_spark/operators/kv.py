@@ -274,3 +274,20 @@ def kv_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = kv.insert_if_absent(fresh)
     return out.df.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "kv_rehash_scan",
+    oracle="""
+    SELECT c_mktsegment AS segment, count(*) AS n_rows
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def kv_rehash_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1 #7: rehash/resize — repartition(n, k) re-places every row by
+    key hash exactly like the reference's parallel re-insert kernel
+    (ref: src/cuda/hashTable.cuh:208-242); the post-rehash aggregate
+    verifies no row was lost or duplicated (the kernel's atomicAdd row
+    counter, ref: src/cuda/hashTable_gpuFunc.cuh:11)."""
+    kv = _customer_kv(spark, sf_dir).rehash(16)
+    return kv.df.groupBy(F.col("segment")).agg(F.count(F.lit(1)).alias("n_rows"))
