@@ -152,3 +152,42 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT k) AS n_keys,
+           min(f0) AS min_f0, max(f9) AS max_f9
+    FROM (
+      SELECT k,
+             substr(md5('srccheck_' || k || '#0'), 1, 10) AS f0,
+             substr(md5('srccheck_' || k || '#9'), 1, 10) AS f9
+      FROM (SELECT unnest(generate_series(1, 1000)) AS k)
+    )
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 API): the YCSB-shaped generator
+    as spark.read.format('ycsb') — executor-side partition generation,
+    verified field-exact against the same md5 derivation in SQL."""
+    from bishe_gpu_database_spark.sources.ycsb_source import YcsbDataSource
+
+    try:
+        spark.dataSource.register(YcsbDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("ycsb")
+        .option("n_keys", 1000)
+        .option("seed", "srccheck")
+        .option("partitions", 8)
+        .load()
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("k").alias("n_keys"),
+        F.min("f0").alias("min_f0"),
+        F.max("f9").alias("max_f9"),
+    )

@@ -81,6 +81,81 @@ def test_stateful_running_totals_match_batch(spark):
     assert latest == expect
 
 
+def test_python_datasource_matches_workload_gen(spark):
+    """The custom 'ycsb' Python DataSource must produce byte-identical
+    rows to the JVM-side workload generator (same md5 derivation)."""
+    from bishe_gpu_database_spark.sources.ycsb_source import YcsbDataSource
+
+    try:
+        spark.dataSource.register(YcsbDataSource)
+    except Exception:
+        pass
+    src = (
+        spark.read.format("ycsb")
+        .option("n_keys", 200)
+        .option("seed", "xk")
+        .option("partitions", 5)
+        .load()
+    )
+    expect = gen_kv(spark, 200, seed="xk")
+    assert [(f.name, f.dataType) for f in src.schema] == [
+        (f.name, f.dataType) for f in expect.schema
+    ]
+    assert sorted(map(tuple, src.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_watermark_drops_late_rows(spark):
+    """Late-data semantics: a row arriving in a later micro-batch, older
+    than the advanced watermark, must NOT update its (closed) window."""
+    import os
+    import tempfile
+
+    import time
+    from datetime import datetime
+
+    d = tempfile.mkdtemp(prefix="late_events_")
+    schema = "ts timestamp, user_id bigint"
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    # Batch 0: two events far apart — the watermark will advance to
+    # max(ts) - 10m. Batch 1: keeps the query moving (the watermark a
+    # batch computes takes effect one batch later). Batch 2: a late row
+    # for the long-closed 00:00 window — must be dropped, not merged.
+    spark.createDataFrame(
+        [(ts("2024-01-01 00:05:00"), 1), (ts("2024-01-01 03:00:00"), 2)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b1"))
+    time.sleep(1.2)  # distinct mtimes: the file source orders batches by them
+    spark.createDataFrame([(ts("2024-01-01 03:10:00"), 9)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "b2"))
+    time.sleep(1.2)
+    spark.createDataFrame([(ts("2024-01-01 00:10:00"), 3)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "b3"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one file per micro-batch
+        .parquet(os.path.join(d, "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["ws"]: r["n"] for r in spark.sql("SELECT * FROM late_test").collect()}
+    # The 00:00 window closed with exactly ONE row; the late row was dropped.
+    assert got.get("2024-01-01 00:00:00") == 1, got
+
+
 def test_aria_foreach_batch_equals_batch_engine(spark):
     from bishe_gpu_database_spark.aria.engine import run_batch
 
