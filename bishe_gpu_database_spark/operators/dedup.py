@@ -253,3 +253,81 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bit_val")
     )
     return per_bit.groupBy("doc_id").agg(F.sum("bit_val").alias("simhash16"))
+
+
+_SQL_LSH_PAIRS = f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_H48.format(x='shingle')} AS x
+      FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id, i, min(((2*i + 1) * x + 1000003*i) % {MINHASH_PRIME}) AS sig
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {_BAND_SIZE} AS band_id,
+             md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS band_hash
+      FROM sig GROUP BY doc_id, i // {_BAND_SIZE}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (SELECT * FROM ({_SQL_LSH_PAIRS}) p),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the LSH candidate-pair
+    graph by iterative min-label propagation — the step that turns
+    pairwise candidates into keep/drop groups (cluster_id = min doc_id =
+    the canonical keeper). Each iteration is one shuffle (neighbor-min
+    join + groupBy); iterations = graph diameter, and near-dup components
+    are tiny in practice, so the loop converges in a handful of rounds at
+    any corpus size. Oracle: DuckDB recursive-CTE transitive closure."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint()
+    )
+    labels = edges.select("u").distinct().select("u", F.col("u").alias("label"))
+    for _ in range(32):  # diameter bound; tiny components converge fast
+        neigh_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "u", "left")
+            .select("u", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))

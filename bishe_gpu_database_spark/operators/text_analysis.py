@@ -10,12 +10,18 @@ partial-aggregated map-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bishe_gpu_database_spark.functions.text import h48, norm_text, tokens
-from bishe_gpu_database_spark.operators.relational import t
+from bishe_gpu_database_spark.operators.relational import t, widen
 from bishe_gpu_database_spark.registry import register
+
+
+def widen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread across all cores (the fixture is one file = one
+    task; no-op at real scale — see relational.widen)."""
+    return widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 _SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _SQL_TOKENS = f"string_split({_SQL_NORM}, ' ')"
@@ -222,3 +228,113 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fps"),
     )
     return wins.select("doc_id", F.explode("fps").alias("fingerprint"))
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS chunk_id,
+           array_to_string(tk[(i - 1) * 24 + 1 : (i - 1) * 24 + 32], ' ') AS chunk,
+           least(len(tk) - (i - 1) * 24, 32) AS n_tokens
+    FROM toks
+    CROSS JOIN unnest(generate_series(1, greatest((len(tk) - 8 + 23) // 24, 1))) AS t(i)
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for LLM context windows: 32-token chunks with
+    8-token overlap (stride 24). Chunk boundaries are pure arithmetic on
+    the materialized token array — map-side fan-out with no shuffle; the
+    chunk count scales with corpus tokens, never with document count
+    alone. The staple operator of embedding/RAG ingestion pipelines."""
+    SIZE, STRIDE = 32, 24
+    d = widen_docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    n_chunks = F.greatest(
+        F.ceil((F.size("tk") - (SIZE - STRIDE)) / STRIDE).cast("int"), F.lit(1)
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("tk"), (i - 1) * STRIDE + 1, SIZE)
+                ),
+            )
+        ),
+    ).select("doc_id", F.col("pos").alias("_i"), F.col("col").alias("chunk"))
+    toks_n = toks.select("doc_id", F.size("tk").alias("_n"))
+    return (
+        chunks.join(toks_n, "doc_id")
+        .select(
+            "doc_id",
+            F.col("_i").cast("int").alias("chunk_id"),
+            "chunk",
+            F.least(F.col("_n") - F.col("_i") * STRIDE, F.lit(SIZE)).alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "text_redact",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}',
+                            '<EMAIL>', 'g'),
+             '\\d{{3}}[-. ]?\\d{{3}}[-. ]?\\d{{4}}', '<PHONE>', 'g') AS redacted,
+           length(text)
+             - length(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}', '', 'g'))
+             AS email_chars
+    FROM documents
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction: email and phone patterns replaced with typed
+    placeholder tokens — narrow regexp map over the corpus (the standard
+    pre-training scrub), plus a per-doc 'how much was redacted' signal."""
+    d = t(spark, sf_dir, "documents")
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    phone = r"\d{3}[-. ]?\d{3}[-. ]?\d{4}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        (
+            F.length("text") - F.length(F.regexp_replace(F.col("text"), email, ""))
+        ).alias("email_chars"),
+    )
+
+
+@register(
+    "text_top_tokens",
+    oracle=f"""
+    SELECT tk, n, rnk
+    FROM (
+      SELECT tk, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, tk) AS rnk
+      FROM (SELECT unnest({_SQL_TOKENS}) AS tk FROM documents)
+      GROUP BY tk
+    ) WHERE rnk <= 50
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: global token frequencies, top-50 with a
+    deterministic tie-break. Explode → two-level aggregation (partial
+    count map-side, so the shuffle carries (token, count), not tokens);
+    the final top-k is a TakeOrdered, not a full sort."""
+    d = widen_docs(spark, sf_dir)
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("tk"))
+    counts = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("n"))
+    w = W.orderBy(F.col("n").desc(), "tk")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+        .select("tk", "n", "rnk")
+    )

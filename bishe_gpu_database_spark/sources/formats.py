@@ -73,6 +73,22 @@ def source_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "orc")
 
 
+def _byyear_path(spark: SparkSession, sf_dir: str) -> str:
+    """lineitem re-laid-out hive-partitioned by ship year (written once
+    per scale factor, reused by the pruning and DPP queries)."""
+    path = os.path.join(
+        _SCRATCH, f"lineitem_byyear_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        li = t(spark, sf_dir, "lineitem").select(
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+        li.write.mode("overwrite").partitionBy("ship_year").parquet(path)
+    return path
+
+
 @register(
     "source_partition_pruning",
     oracle="""
@@ -91,15 +107,9 @@ def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     as 'partition filters' in .explain, asserted in tests/test_plans.py).
     At 100 TB this is the first line of defense: whole years of data are
     never opened."""
-    li = t(spark, sf_dir, "lineitem").select(
-        F.year("l_shipdate").cast("int").alias("ship_year"),
-        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+    back = spark.read.parquet(_byyear_path(spark, sf_dir)).filter(
+        F.col("ship_year") >= 1997
     )
-    path = os.path.join(
-        _SCRATCH, f"lineitem_byyear_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    li.write.mode("overwrite").partitionBy("ship_year").parquet(path)
-    back = spark.read.parquet(path).filter(F.col("ship_year") >= 1997)
     return back.groupBy("ship_year").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("cents").alias("cents_total"),
@@ -190,4 +200,85 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("k").alias("n_keys"),
         F.min("f0").alias("min_f0"),
         F.max("f9").alias("max_f9"),
+    )
+
+
+@register(
+    "source_dpp_join",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           count(*) AS n_items,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents_total
+    FROM lineitem
+    WHERE year(l_shipdate) IN (1996, 1998)
+    GROUP BY 1
+    """,
+)
+def source_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is hive-partitioned on
+    ship_year and the filter lives on the DIM side — at plan time no
+    static partition filter exists, so Catalyst injects a runtime
+    dynamicpruning subquery that reads only the dim-selected year
+    directories (asserted in tests/test_plans.py). At 100 TB this is the
+    difference between scanning two years and scanning all of them, with
+    the year set only known from data."""
+    fact = spark.read.parquet(_byyear_path(spark, sf_dir))
+    # The selective predicate on the dim side is what licenses DPP
+    # (a bare unfiltered relation does not trigger the rewrite).
+    dim = spark.createDataFrame(
+        [(y, "campaign" if y in (1996, 1998) else "baseline") for y in range(1992, 1999)],
+        "yr int, tag string",
+    ).filter(F.col("tag") == "campaign")
+    return (
+        fact.join(dim, fact.ship_year == dim.yr)
+        .groupBy("ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("cents_total"),
+        )
+    )
+
+
+_SALT = 8
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT user_id, user_id % 10 AS cohort FROM events
+    )
+    SELECT d.cohort,
+           count(*) AS n_events,
+           sum(CAST(round(e.value * 100) AS BIGINT)) AS cents
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY d.cohort
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join: the fact side carries a deterministic salt
+    (event_id % 8) and the dim side is exploded ×8, so a hot user_id
+    spreads over 8 reducers instead of one. The result is identical to
+    the plain join (the oracle IS the plain join). This is the manual
+    fallback when AQE's skew-join can't kick in (e.g. pre-AQE sinks or
+    stateful ops); salt count scales with observed skew, not data size."""
+    e = t(spark, sf_dir, "events")
+    dim = e.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") % 10).alias("cohort")
+    )
+    fact = e.select(
+        "user_id",
+        (F.col("event_id") % _SALT).cast("int").alias("_salt"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    dim_salted = dim.select(
+        "user_id", "cohort", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))).alias("_salt")
+    )
+    return (
+        fact.join(dim_salted, ["user_id", "_salt"])
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("cents"),
+        )
     )

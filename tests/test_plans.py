@@ -75,6 +75,14 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_dynamic_partition_pruning_subquery(spark):
+    from bishe_gpu_database_spark.sources import formats as S
+
+    plan = formatted_plan(S.source_dpp_join(spark, SF_SMALL))
+    # Catalyst injected a runtime pruning subquery on the partition column.
+    assert "dynamicpruning" in plan.lower(), plan
+
+
 def test_minhash_sig_is_map_side_only(spark):
     """The signature query must be shuffle-free after widen()'s round-robin
     — one Exchange at most (the repartition), none from the minhash math."""
