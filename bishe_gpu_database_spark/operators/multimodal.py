@@ -98,3 +98,89 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(
         decode_batches, schema="doc_id bigint, width int, height int, mean_px double"
     )
+
+
+def _fake_resize(payload: bytes, target_w: int) -> tuple[bytes, int, int]:
+    """STUB resize (no PIL in container): deterministic downsample — keep
+    every (len//target)-th byte. Real deploy: PIL resize + re-encode."""
+    w, h, _ = _fake_decode(payload)
+    stride = max(1, w // target_w)
+    out = payload[::stride]
+    return out, min(w, target_w), max(1, h // stride)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(CAST(text AS BLOB)) AS n,
+             octet_length(CAST(text AS BLOB)) % 640 + 1 AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(least(w, 64) AS INT) AS new_w,
+           CAST((n + greatest(w // 64, 1) - 1) // greatest(w // 64, 1) AS BIGINT) AS new_bytes
+    FROM m
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize via mapInPandas: binary in → smaller binary + new dims out,
+    Arrow batch at a time. The byte-stride stub is deterministic, so the
+    output SIZE is oracle-checkable even though the 'image' is fake —
+    at scale this is the bandwidth-dominant op, which is why it stays in
+    the same task as the decode (no shuffle between them)."""
+    d = t(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = pdf["payload"].map(lambda p: _fake_resize(p, 64))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "new_w": res.map(lambda r: r[1]).astype("int32"),
+                    "new_bytes": res.map(lambda r: len(r[0])).astype("int64"),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        resize_batches, schema="doc_id bigint, new_w int, new_bytes bigint"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           unnest(generate_series(0, 2)) AS frame_id,
+           (octet_length(CAST(text AS BLOB)) * (unnest(generate_series(0, 2)) + 1)) % 97
+             AS frame_checksum
+    FROM documents
+    WHERE octet_length(CAST(text AS BLOB)) >= 3
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling via mapInPandas: one 'video' row fans out to 3
+    sampled 'frames' (stub: segment checksums of the payload). The
+    one-in/many-out iterator shape is exactly the ffmpeg frame-extraction
+    hot path; fan-out happens inside the executor, before any shuffle."""
+    d = t(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+
+    N_FRAMES = 3
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                if n < N_FRAMES:
+                    continue  # too short to sample
+                for f in range(N_FRAMES):
+                    rows.append((doc_id, f, (n * (f + 1)) % 97))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_id", "frame_checksum"])
+
+    return with_payload.mapInPandas(
+        sample_batches, schema="doc_id bigint, frame_id bigint, frame_checksum bigint"
+    )

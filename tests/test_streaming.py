@@ -81,6 +81,46 @@ def test_stateful_running_totals_match_batch(spark):
     assert latest == expect
 
 
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Stream-stream inner join with watermarks + time-interval condition:
+    each purchase joined to same-user clicks in the preceding 30 minutes.
+    Must equal the identical join on the static frame."""
+    stream = streams.events_stream(spark, SF_SMALL)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), "event_id")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("event_id", "c_ts")
+    got = _drain_to_rows(spark, joined, "ssjoin_test")
+
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    bc = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("c_ts")
+    )
+    bp = e.filter(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("p_ts"), "event_id")
+    batch = bp.join(
+        bc,
+        (bp.user_id == bc.cu)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    assert got.count() == batch.count()
+
+
 def test_python_datasource_matches_workload_gen(spark):
     """The custom 'ycsb' Python DataSource must produce byte-identical
     rows to the JVM-side workload generator (same md5 derivation)."""
