@@ -1093,3 +1093,95 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(dec("l_extendedprice") * F.col("l_discount").cast("decimal(6,4)"), "revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "window_range_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_last_hour,
+           sum(CAST(round(value * 100) AS BIGINT)) OVER w AS cents_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user trailing-1-hour event count and
+    value sum — the sliding aggregation WITHOUT exploding rows into
+    overlapping windows. One shuffle on user_id + one sort; at 100 TB
+    this replaces a self-join that would be quadratic in events-per-user.
+    (Spark's DataFrame rangeBetween is numeric-only, so the interval
+    frame goes through the SQL window clause — same engine either way.)"""
+    t(spark, sf_dir, "events").createOrReplaceTempView("_wri_events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_last_hour,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER w AS cents_last_hour
+        FROM _wri_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id >> 8 AS high_part,
+           xor(event_id, user_id) AS mixed,
+           CAST(bit_count(event_id & 1048575) AS INT) AS popcount20
+    FROM events
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function sampler (&, >>, xor, popcount) — the primitives
+    under simhash/bloom/bucket operators, all codegen'd."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.expr("event_id & 255").alias("low_byte"),
+        F.expr("shiftright(event_id, 8)").alias("high_part"),
+        F.expr("event_id ^ user_id").alias("mixed"),
+        F.bit_count(F.expr("event_id & 1048575")).alias("popcount20"),
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a cross-table predicate
+    ('some item shipped >60 days after ordering') → left semi join with a
+    compound condition; the selective order-date filter is applied before
+    the shuffle."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
