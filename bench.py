@@ -30,6 +30,8 @@ HEADLINE = [
     "aria_commit_flags",
     "dedup_minhash_lsh_pairs",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "udf_pandas_token_count",
     "text_quality",
     "stream_session_window",
 ]

@@ -64,6 +64,28 @@ def test_stream_dedup_matches_batch_distinct(spark):
     assert n_got == batch_n
 
 
+def test_dedup_within_watermark(spark):
+    """dropDuplicatesWithinWatermark: state for a key is held only for the
+    watermark horizon (bounded state — the 100 TB streaming-dedup shape,
+    vs. dropDuplicates' unbounded state)."""
+    stream = streams.events_stream(spark, SF_SMALL)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    got = _drain_to_rows(spark, deduped, "dedup_wm_test")
+    # Within one availableNow batch every (user,type) key dedupes to one
+    # survivor per watermark horizon — never more rows than exact distinct
+    # over horizon-sized buckets, never fewer than global distinct.
+    lower = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert got.count() >= lower
+    assert got.select("user_id", "event_type").distinct().count() == lower
+
+
 def test_stateful_running_totals_match_batch(spark):
     stream = streams.events_stream(spark, SF_SMALL)
     got = _drain_to_rows(
