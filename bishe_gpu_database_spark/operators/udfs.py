@@ -175,8 +175,11 @@ class ShingleUDTF:
 )
 def udf_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF via LATERAL join: each document row fans out to its
-    distinct shingles. UDTFs run Arrow-batched like pandas UDFs; at scale
-    the fan-out happens executor-side with no shuffle before it."""
+    distinct shingles, executor-side with no shuffle before it. Arrow
+    transfer enabled explicitly — UDTFs default to pickled row-at-a-time
+    (BatchEvalPython in the plan); with the flag they ride the same Arrow
+    batches as pandas UDFs."""
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     spark.udtf.register("shingle_udtf", udtf(ShingleUDTF, returnType="shingle: string"))
     t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
         "doc_id", "text"

@@ -1,0 +1,38 @@
+"""Whole-registry plan hygiene sweep: every registered query's physical
+plan must be free of scale red flags — accidental cartesian products,
+pickled row-at-a-time Python evaluation, and unintended nested-loop
+joins. Broadcast cross-joins that ARE the algorithm (scoring every
+centroid / hyperplane / query vector) are whitelisted explicitly."""
+
+from __future__ import annotations
+
+from bishe_gpu_database_spark.plans import formatted_plan
+from bishe_gpu_database_spark.registry import REGISTRY, _ensure_loaded
+from tests.conftest import SF_SMALL
+
+# Intentional broadcast nested-loop joins: small side is the algorithm's
+# constant factor (centroids, hyperplanes, query batch), not a data side.
+_BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
+            "dedup_embedding_cosine"}
+# Iterative drivers plan per-epoch; their inner plans are covered by the
+# single-epoch queries.
+_SKIP = {"aria_drain_batch"}
+
+
+def test_no_plan_red_flags(spark):
+    _ensure_loaded()
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if name in _SKIP:
+            continue
+        plan = formatted_plan(spec.fn(spark, SF_SMALL))
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("cartesian-product")
+        if "BatchEvalPython" in plan:
+            bad.append("row-at-a-time-python")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
+            bad.append("nested-loop-join")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
