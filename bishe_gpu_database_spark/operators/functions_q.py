@@ -272,3 +272,34 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.map_keys("histogram")).alias("n_types"),
     )
+
+
+@register(
+    "fn_json_schema_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           '{"k":' || json_extract_string(props, '$.k') || ',"t":"' || event_type || '"}'
+             AS rebuilt
+    FROM events WHERE event_id % 7 = 0
+    """,
+)
+def fn_json_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON: from_json parses props into a typed struct
+    (vectorized Jackson parse, not per-path re-parsing like repeated
+    get_json_object), then to_json re-serializes an enriched struct.
+    At 100 TB parse-once-into-struct is the only sane way to touch many
+    JSON fields."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    parsed = e.select(
+        "event_id",
+        "event_type",
+        F.from_json("props", "k BIGINT").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_val"),
+        F.to_json(
+            F.struct(F.col("p.k").alias("k"), F.col("event_type").alias("t"))
+        ).alias("rebuilt"),
+    )
