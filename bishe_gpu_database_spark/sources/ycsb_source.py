@@ -18,7 +18,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from bishe_gpu_database_spark.aria.workload import N_VALUE_FIELDS
 
@@ -71,3 +76,93 @@ class YcsbDataSource(DataSource):
 
     def reader(self, schema) -> YcsbReader:
         return YcsbReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming: deterministic transaction batches (the reference's
+# generate→execute loop, ref: src/database/ycsb/db.h:60-66 + main.cu:48-57,
+# as an unbounded source; each micro-batch is one Aria batch).
+# ---------------------------------------------------------------------------
+
+OPS_SCHEMA = (
+    "tid int, seq int, k bigint, is_update boolean, "
+    + ", ".join(f"new_f{j} string" for j in range(N_VALUE_FIELDS))
+)
+
+
+def _h48_int(*parts) -> int:
+    return int(hashlib.md5("|".join(str(p) for p in parts).encode()).hexdigest()[:12], 16)
+
+
+def txn_batch_rows(
+    batch: int, n_txns: int, max_ops: int, n_keys: int, write_pct: int, seed: str
+):
+    """One deterministic batch of exploded transaction ops — same
+    md5-derivation style as aria.workload.gen_ops, parameterized by the
+    batch number so every micro-batch differs but replays identically."""
+    rows = []
+    bseed = f"{seed}_b{batch}"
+    for tid in range(1, n_txns + 1):
+        n_ops = _h48_int(bseed, "cnt", tid) % (max_ops + 1)
+        for seq in range(n_ops):
+            k = _h48_int(bseed, "key", tid, seq) % n_keys + 1
+            is_upd = (_h48_int(bseed, "wr", tid, seq) % 100) < write_pct
+            if is_upd:
+                vals = [
+                    hashlib.md5(f"{bseed}_val_{tid}_{seq}#{j}".encode()).hexdigest()[:10]
+                    for j in range(N_VALUE_FIELDS)
+                ]
+            else:
+                vals = [None] * N_VALUE_FIELDS
+            rows.append((tid, seq, k, is_upd, *vals))
+    return rows
+
+
+class YcsbTxnStreamReader(SimpleDataSourceStreamReader):
+    """SimpleDataSourceStreamReader: offset = batch number. Bounded by
+    ``max_batches`` so availableNow drains cleanly; replay between
+    offsets is exact (pure function of the batch number)."""
+
+    def __init__(self, options):
+        self.n_txns = int(options.get("n_txns", 20))
+        self.max_ops = int(options.get("max_ops", 5))
+        self.n_keys = int(options.get("n_keys", 100))
+        self.write_pct = int(options.get("write_pct", 40))
+        self.seed = options.get("seed", "txn0")
+        self.max_batches = int(options.get("max_batches", 3))
+
+    def initialOffset(self):
+        return {"batch": 0}
+
+    def read(self, start):
+        b = start["batch"]
+        if b >= self.max_batches:
+            return iter([]), {"batch": b}
+        rows = txn_batch_rows(
+            b, self.n_txns, self.max_ops, self.n_keys, self.write_pct, self.seed
+        )
+        return iter(rows), {"batch": b + 1}
+
+    def readBetweenOffsets(self, start, end):
+        for b in range(start["batch"], end["batch"]):
+            yield from txn_batch_rows(
+                b, self.n_txns, self.max_ops, self.n_keys, self.write_pct, self.seed
+            )
+
+    def commit(self, end):
+        pass
+
+
+class YcsbTxnStreamDataSource(DataSource):
+    """``spark.readStream.format("ycsb_txns")`` — unbounded deterministic
+    transaction-batch source; one micro-batch per Aria batch."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ycsb_txns"
+
+    def schema(self) -> str:
+        return OPS_SCHEMA
+
+    def simpleStreamReader(self, schema) -> YcsbTxnStreamReader:
+        return YcsbTxnStreamReader(self.options)

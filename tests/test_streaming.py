@@ -218,6 +218,66 @@ def test_watermark_drops_late_rows(spark):
     assert got.get("2024-01-01 00:00:00") == 1, got
 
 
+def test_ycsb_txn_stream_drives_aria(spark):
+    """Capstone: the custom streaming DataSource emits deterministic
+    transaction micro-batches; foreachBatch drains each through the Aria
+    engine. Final table must equal feeding the same batches to run_batch
+    directly — streamed execution changes nothing but the transport."""
+    from bishe_gpu_database_spark.aria.engine import run_batch
+    from bishe_gpu_database_spark.sources.ycsb_source import (
+        OPS_SCHEMA,
+        YcsbTxnStreamDataSource,
+        txn_batch_rows,
+    )
+
+    try:
+        spark.dataSource.register(YcsbTxnStreamDataSource)
+    except Exception:
+        pass
+    opts = dict(n_txns=10, max_ops=4, n_keys=50, write_pct=50, seed="cap", max_batches=2)
+
+    kv0 = gen_kv(spark, 50, seed="cap_kv")
+    ops_stream = (
+        spark.readStream.format("ycsb_txns")
+        .options(**{k: str(v) for k, v in opts.items()})
+        .load()
+    )
+    # Python micro-batch sources don't support availableNow (it falls back
+    # to one giant batch), so drive a processing-time trigger and stop
+    # once both batches have drained.
+    import time
+
+    state = {"kv": kv0.localCheckpoint()}
+    log = []
+
+    def process(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        new_kv, stats = run_batch(state["kv"], batch_df, reorder=True)
+        state["kv"] = new_kv
+        log.append({"batch_id": batch_id, "epochs": stats})
+
+    q = ops_stream.writeStream.foreachBatch(process).trigger(
+        processingTime="1 second"
+    ).start()
+    deadline = time.time() + 180
+    while len(log) < 2 and time.time() < deadline:
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination()
+    final_kv = state["kv"]
+    assert len(log) == 2  # two micro-batches drained
+
+    expect_kv = kv0
+    for b in range(2):
+        rows = txn_batch_rows(
+            b, opts["n_txns"], opts["max_ops"], opts["n_keys"], opts["write_pct"], opts["seed"]
+        )
+        ops_df = spark.createDataFrame(rows, OPS_SCHEMA)
+        expect_kv, _ = run_batch(expect_kv, ops_df, reorder=True)
+    assert kv_checksum(final_kv) == kv_checksum(expect_kv)
+
+
 def test_aria_foreach_batch_equals_batch_engine(spark):
     from bishe_gpu_database_spark.aria.engine import run_batch
 
