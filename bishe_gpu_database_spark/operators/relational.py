@@ -1185,3 +1185,91 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1.0 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4))))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last quarter —
+    selective date+flag filters before the joins, nation broadcast,
+    global top-20 via TakeOrdered."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    one_minus_disc = one() - F.col("l_discount").cast("decimal(6,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(dsum(dec("l_extendedprice") * one_minus_disc, "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "nation", "revenue")
+    )
+
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+    SELECT CAST(
+             100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+               THEN CAST(l.l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1.0 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))
+               ELSE CAST(0 AS DECIMAL(12,4)) END)
+             / SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                   * (CAST(1.0 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4))))
+             AS DOUBLE) AS promo_revenue_pct,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    GROUP BY ALL
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional decimal
+    aggregate over a broadcast dimension join; the division happens once
+    on the exact sums, so the percentage is bit-stable."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    one_minus_disc = one() - F.col("l_discount").cast("decimal(6,4)")
+    rev = dec("l_extendedprice") * one_minus_disc
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(12,4)")
+    )
+    agged = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.sum(promo).alias("_promo"),
+        F.sum(rev).alias("_total"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agged.select(
+        (F.lit(100.0) * F.col("_promo") / F.col("_total"))
+        .cast("double")
+        .alias("promo_revenue_pct"),
+        "n_items",
+    )
