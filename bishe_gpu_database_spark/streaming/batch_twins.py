@@ -129,3 +129,26 @@ def stream_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id", "event_type").agg(
         F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n_dupes")
     )
+
+
+@register(
+    "stream_runtime_tumbling",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM events, mx
+    GROUP BY 1, 2, mx.m
+    HAVING time_bucket(INTERVAL 1 HOUR, min(ts)) + INTERVAL 1 HOUR <= mx.m
+    """,
+)
+def stream_runtime_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual Structured Streaming runtime, oracle-checked: replay
+    events as a file stream, watermarked tumbling counts, availableNow
+    drain. Append mode emits exactly the windows closed by the final
+    watermark — the oracle computes that same set in SQL (every window
+    except those still open at max event time)."""
+    from bishe_gpu_database_spark.streaming.streams import run_tumbling_runtime
+
+    return run_tumbling_runtime(spark, sf_dir)

@@ -125,3 +125,30 @@ def aria_foreach_batch(
     q = ops_stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
     q.awaitTermination()
     return state["kv"], epochs_log
+
+
+def run_tumbling_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the REAL streaming runtime (file-replay source → watermark
+    → tumbling agg → availableNow drain into a memory sink) and return
+    the emitted rows. With watermark 0s, append mode emits exactly the
+    windows whose end ≤ the final watermark (= max event time) — a
+    closed-form set a SQL oracle can compute, so the runtime itself is
+    correctness-gated, not just its batch twin."""
+    import os
+
+    name = "stream_rt_tumbling_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    stream = events_stream(spark, sf_dir)
+    agg = tumbling_counts(stream, watermark="0 seconds")
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("window_start", "event_type", "n_events")
