@@ -29,13 +29,52 @@ from bishe_gpu_database_spark.registry import register
 D12 = "decimal(12,4)"
 
 
+def _raw_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The fixture parquet as-is. ``events.ts`` is parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects; read it as
+    raw nanos and floor-convert to microseconds — exactly what DuckDB's
+    reader does — so both engines see identical timestamps."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# Tables worth re-laying out: the fixture files are single-row-group, so
+# they scan as ONE task no matter the core count. A real engine owns its
+# storage layout — ingest once into multi-file parquet at core-count
+# parallelism (write-once, atomic rename), and every subsequent scan of
+# the fact tables parallelizes. Disable with SPARK_GRAFT_RELAYOUT=0.
+_RELAYOUT_TABLES = {"lineitem", "orders", "events"}
+
+
+def _relayout_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), "bishe_spark_scratch")
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, f"relayout_{sf_tag}_{name}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        n = spark.sparkContext.defaultParallelism
+        tmp = tempfile.mkdtemp(prefix=f"relayout_{sf_tag}_{name}_", dir=base)
+        # events is written post-conversion: the scratch copy carries a
+        # proper micros timestamp, no legacy-nanos handling on re-read.
+        _raw_scan(spark, sf_dir, name).repartition(n).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)  # atomic publish; loser of a race cleans up
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one fixture table — filters/pruning push into parquet.
-
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as raw nanos and floor-convert to
-    microseconds — exactly what DuckDB's reader does — so both engines see
-    identical timestamps.
+    Fact tables go through the engine's storage re-layout (see
+    ``_relayout_scan``); results are identical, scans parallelize.
 
     Also disables InferFiltersFromGenerate for the session: the rule
     clones a Generate's child expression into `size(e)>0 AND isnotnull(e)`
@@ -48,11 +87,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         "spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     )
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name in _RELAYOUT_TABLES and os.environ.get("SPARK_GRAFT_RELAYOUT", "1") != "0":
+        try:
+            return _relayout_scan(spark, sf_dir, name)
+        except Exception:
+            pass  # scratch unavailable → fall back to the raw fixture
+    return _raw_scan(spark, sf_dir, name)
 
 
 def widen(df: DataFrame) -> DataFrame:
