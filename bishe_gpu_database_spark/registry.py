@@ -64,6 +64,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     import bishe_gpu_database_spark.operators.relational  # noqa: F401
+    import bishe_gpu_database_spark.operators.tpch_extra  # noqa: F401
     import bishe_gpu_database_spark.operators.kv  # noqa: F401
     import bishe_gpu_database_spark.operators.functions_q  # noqa: F401
     import bishe_gpu_database_spark.operators.dedup  # noqa: F401
