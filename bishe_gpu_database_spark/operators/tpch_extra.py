@@ -38,6 +38,73 @@ def _rev():
 
 
 @register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey, p.p_type,
+           CAST(sp.cost AS DOUBLE) AS supplycost
+    FROM part p
+    JOIN supply sp  ON p.p_partkey = sp.l_partkey
+    JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'LARGE'
+      AND r.r_name = 'ASIA'
+      AND sp.cost = (
+        SELECT MIN(sp2.cost)
+        FROM supply sp2
+        JOIN supplier s2 ON sp2.l_suppkey = s2.s_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE sp2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 variant: cheapest regional supplier per part. partsupp is
+    derived from lineitem (supply cost = minimum observed unit price —
+    one IEEE division per row and MIN are both order-independent, so the
+    doubles match DuckDB's bit-for-bit and the min-equality can't
+    straddle). The official correlated MIN becomes a window MIN over the
+    region-filtered supply — one shuffle instead of a re-executed
+    subquery, which is the decorrelation Catalyst would want anyway."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    regional = (
+        supply.join(F.broadcast(s), supply.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        regional.withColumn("_min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("_min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_type",
+            F.col("cost").cast("double").alias("supplycost"),
+        )
+    )
+
+
+@register(
     "q7_volume_shipping",
     oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
