@@ -1,0 +1,161 @@
+"""Training-data pipeline operators: the corpus-management steps an LLM
+data pipeline runs between raw documents and a training run.
+
+- deterministic train/valid/test split (hash-bucketed, reshuffle-proof),
+- sequence packing (token-budget binning for training batches),
+- benchmark decontamination (drop train docs sharing shingles with eval).
+
+All three are pure built-in-expression DataFrame work — no Python UDFs —
+so they stay inside whole-stage codegen and scale with the shuffle, not
+with the driver. Reference parity: the reference engine has no pipeline
+surface at all (SURVEY.md §2.2 GAP rows; its only data op is YCSB
+generation, src/database/ycsb/Transction_y.h:17-26) — these are part of
+the driver-mandated LLM-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bishe_gpu_database_spark.functions.text import shingles_of, tokens
+from bishe_gpu_database_spark.operators.dedup import _SQL_SHINGLES
+from bishe_gpu_database_spark.operators.relational import t, widen
+from bishe_gpu_database_spark.registry import register
+
+# Portable doc-id hash: md5 of the decimal string → 48-bit int. Both
+# engines print a BIGINT the same way, so the buckets agree bit-for-bit.
+_SQL_ID_BUCKET = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100"
+)
+
+# The same bpe-ish token counter text_token_count validates cross-engine.
+_SQL_NTOK = "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+
+
+def _id_bucket():
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+    return F.pmod(h.cast("bigint"), F.lit(100))
+
+
+@register(
+    "pipeline_train_test_split",
+    oracle=f"""
+    SELECT CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM (SELECT lang, n_chars, {_SQL_ID_BUCKET} AS b FROM documents) x
+    GROUP BY split, lang
+    """,
+)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split: md5(doc_id) bucket, so membership is a
+    pure function of the document id — stable under reshuffles, repartition,
+    and incremental corpus growth (new docs land in splits i.i.d. without
+    moving old ones). No shuffle until the final stats aggregation."""
+    d = t(spark, sf_dir, "documents")
+    b = _id_bucket()
+    split = (
+        F.when(b < 90, "train").when(b < 95, "valid").otherwise("test").alias("split")
+    )
+    return d.select(split, "lang", "n_chars").groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH tk AS (
+      SELECT lang, doc_id, {_SQL_NTOK} AS n_tok FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM tk
+    )
+    SELECT lang, CAST(prior // 2048 AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+           CAST(MAX(n_tok) AS BIGINT) AS max_doc_tokens
+    FROM c
+    GROUP BY lang, pack_id
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget (2048)
+    training packs — contiguous greedy binning by running token count per
+    language, the deterministic streaming packer. One window shuffle on
+    (lang, doc_id); at 100 TB you'd sub-partition the window key by
+    corpus shard, which only renames pack_id."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        d.select("lang", "doc_id", n_tok.alias("n_tok"))
+        .withColumn("pack_id", F.floor(prior / F.lit(2048)))
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.max("n_tok").cast("long").alias("max_doc_tokens"),
+        )
+    )
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    bad AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh s JOIN ev USING (shingle)
+      WHERE s.source <> 'src0'
+    )
+    SELECT d.source, COUNT(*) AS n_clean, SUM(d.n_chars) AS clean_chars
+    FROM documents d
+    WHERE d.source <> 'src0'
+      AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)
+    GROUP BY d.source
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop every training document sharing a
+    5-word shingle with the held-out corpus (source 'src0' plays the eval
+    set). The eval shingle set is tiny next to the training corpus — a
+    benchmark, not a crawl — so it broadcasts and contamination detection
+    is a map-side semi join; only the doc-id anti join shuffles."""
+    d = t(spark, sf_dir, "documents")
+    sh = widen(d.select("doc_id", "source", "text")).select(
+        "doc_id",
+        "source",
+        F.explode(shingles_of(tokens(F.col("text")))).alias("shingle"),
+    )
+    ev = sh.filter(F.col("source") == "src0").select("shingle").distinct()
+    bad = (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(ev), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.filter(F.col("source") != "src0")
+        .join(bad, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_clean"), F.sum("n_chars").alias("clean_chars"))
+    )
