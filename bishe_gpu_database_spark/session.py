@@ -53,6 +53,19 @@ def get_spark(app_name: str = "bishe_gpu_database_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # GPU path (the north-star deployment shape): when a RAPIDS Accelerator
+    # jar is provided, register the plugin and let it claim whatever plan
+    # nodes it supports — everything here is DataFrame/SQL-declarative, so
+    # the same logical plans run columnar-on-GPU without code changes.
+    # Off by default: this container has no GPU; correctness never depends
+    # on it (the DuckDB oracle gates the CPU plans).
+    rapids_jar = os.environ.get("SPARK_RAPIDS_PLUGIN_JAR", "")
+    if rapids_jar:
+        builder = (
+            builder.config("spark.jars", rapids_jar)
+            .config("spark.plugins", "com.nvidia.spark.SQLPlugin")
+            .config("spark.rapids.sql.enabled", "true")
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
