@@ -159,3 +159,57 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_clean"), F.sum("n_chars").alias("clean_chars"))
     )
+
+
+# Mixture keep-rates per corpus source, in percent. A real pipeline reads
+# these from config; hash-sampling makes membership a pure function of
+# (salt, doc_id) — reproducible across runs, clusters, and partitionings.
+_MIX_WEIGHTS = {"src0": 100, "src1": 60, "src2": 30}
+_MIX_DEFAULT = 10
+
+_SQL_MIX_BUCKET = (
+    "('0x' || substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100"
+)
+
+
+@register(
+    "pipeline_source_mixture",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, lang, n_chars, {_SQL_MIX_BUCKET} AS b,
+             CASE source WHEN 'src0' THEN {_MIX_WEIGHTS['src0']}
+                         WHEN 'src1' THEN {_MIX_WEIGHTS['src1']}
+                         WHEN 'src2' THEN {_MIX_WEIGHTS['src2']}
+                         ELSE {_MIX_DEFAULT} END AS keep_pct
+      FROM documents
+    )
+    SELECT source, count(*) AS n_total,
+           SUM(CASE WHEN b < keep_pct THEN 1 ELSE 0 END) AS n_sampled,
+           SUM(CASE WHEN b < keep_pct THEN n_chars ELSE 0 END) AS sampled_chars
+    FROM w GROUP BY source
+    """,
+)
+def pipeline_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: each corpus source is down-sampled to a
+    configured rate (e.g. keep 100% of curated src0, 10% of the crawl
+    tail) by hashing the doc id against the rate — deterministic, seedless,
+    stable under reshuffle, and incremental (new docs sample i.i.d.
+    without revisiting old ones). Map-only until the final per-source
+    stats; at 100 TB the sample itself is written straight back out with
+    zero shuffles."""
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    )
+    b = F.pmod(h.cast("bigint"), F.lit(100))
+    keep_pct = F.lit(_MIX_DEFAULT)
+    for src, pct in _MIX_WEIGHTS.items():
+        keep_pct = F.when(F.col("source") == src, pct).otherwise(keep_pct)
+    kept = (b < keep_pct).cast("int")
+    return d.select("source", "n_chars", kept.alias("kept")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("kept").cast("long").alias("n_sampled"),
+        F.sum(F.col("kept") * F.col("n_chars")).alias("sampled_chars"),
+    )

@@ -282,3 +282,39 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("cents"),
         )
     )
+
+
+@register(
+    "sink_partitioned_parquet",
+    oracle="""
+    SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS o_year,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE year(o_orderdate) >= 1996
+    GROUP BY 1, 2
+    """,
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink with a two-level hive partition layout
+    (o_orderstatus / o_year), read back with a filter on the partition
+    columns. Unlike the text round-trips, parquet carries doubles
+    bit-exactly, so the check aggregates o_totalprice itself — proving
+    binary fidelity through the sink — and the year filter resolves to
+    directory pruning (only ``o_year>=1996`` dirs are opened; at 100 TB
+    the sink layout IS the index)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        "o_totalprice",
+    )
+    path = os.path.join(
+        _SCRATCH, f"orders_pq_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus", "o_year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_year") >= 1996)
+    return back.groupBy("o_orderstatus", "o_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total_price"),
+    )
