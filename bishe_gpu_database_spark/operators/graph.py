@@ -1,0 +1,107 @@
+"""Iterative graph analytics over relationship edges derived from the
+fact tables — PageRank as the representative fixed-point numeric loop.
+
+Together with ``dedup_clusters`` (connected components, label
+propagation) this covers the two iterative-algorithm shapes an analytics
+engine needs: set-stabilizing (components) and value-converging
+(PageRank). The reference's only loop is its abort-retry epoch drain
+(src/main.cu:54-57) — same driver-side-loop-over-set-based-bulk-step
+skeleton this uses, per SURVEY.md §3.3.
+
+All rank arithmetic is in integer micro-units (1.0 ≡ 1_000_000) with
+truncating integer division on both engines, so a float-free PageRank
+that the DuckDB oracle reproduces bit-for-bit with nested CTEs — no
+summation-order hazard, no rounding discipline needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bishe_gpu_database_spark.operators.relational import t
+from bishe_gpu_database_spark.registry import register
+
+_ITERS = 3
+_UNIT = 1_000_000  # rank micro-units
+_BASE = 150_000  # (1 - d) in micro-units, d = 0.85
+_OFFSET = 1_000_000  # customer node-id namespace offset
+
+_ORACLE_PR = f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey + {_OFFSET} AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT s AS src, c AS dst FROM e0
+              UNION ALL SELECT c AS src, s AS dst FROM e0),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node_id, CAST({_UNIT} AS BIGINT) AS pr FROM deg),
+    m1 AS (SELECT e.dst, SUM(r.pr // d.outdeg) AS contrib
+           FROM edges e JOIN r0 r ON e.src = r.node_id
+                        JOIN deg d ON e.src = d.src GROUP BY e.dst),
+    r1 AS (SELECT n.node_id,
+                  CAST({_BASE} + (85 * COALESCE(m.contrib, 0)) // 100 AS BIGINT) AS pr
+           FROM r0 n LEFT JOIN m1 m ON n.node_id = m.dst),
+    m2 AS (SELECT e.dst, SUM(r.pr // d.outdeg) AS contrib
+           FROM edges e JOIN r1 r ON e.src = r.node_id
+                        JOIN deg d ON e.src = d.src GROUP BY e.dst),
+    r2 AS (SELECT n.node_id,
+                  CAST({_BASE} + (85 * COALESCE(m.contrib, 0)) // 100 AS BIGINT) AS pr
+           FROM r1 n LEFT JOIN m2 m ON n.node_id = m.dst),
+    m3 AS (SELECT e.dst, SUM(r.pr // d.outdeg) AS contrib
+           FROM edges e JOIN r2 r ON e.src = r.node_id
+                        JOIN deg d ON e.src = d.src GROUP BY e.dst),
+    r3 AS (SELECT n.node_id,
+                  CAST({_BASE} + (85 * COALESCE(m.contrib, 0)) // 100 AS BIGINT) AS pr
+           FROM r2 n LEFT JOIN m3 m ON n.node_id = m.dst)
+    SELECT node_id, pr AS rank_units FROM r3
+"""
+
+
+@register("graph_pagerank_3iter", oracle=_ORACLE_PR)
+def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, three fixed iterations) over the
+    bipartite supplier↔customer graph induced by lineitem⋈orders — "who
+    trades with well-connected partners". Each iteration is one shuffle:
+    join ranks to edges on src, integer-divide by out-degree, sum
+    contributions by dst. The edge list and degrees are computed once and
+    localCheckpoint-ed so the per-iteration plan stays flat (lineage
+    truncation — same discipline as the Aria epoch loop). At 100 TB:
+    edges pre-partitioned by src make the rank join co-located; only the
+    contribution aggregation reshuffles."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + F.lit(_OFFSET)).alias("c"),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        .unionByName(e0.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    ewd = edges.join(deg, "src")  # (src, dst, outdeg), outdeg >= 1 by construction
+    ranks = deg.select(F.col("src").alias("node_id"), F.lit(_UNIT).cast("long").alias("pr"))
+    for _ in range(_ITERS):
+        msgs = (
+            ewd.join(ranks, ewd.src == ranks.node_id)
+            .select("dst", F.expr("pr div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        ranks = (
+            ranks.join(msgs, ranks.node_id == msgs.dst, "left")
+            .select(
+                "node_id",
+                (
+                    F.lit(_BASE)
+                    + F.expr("(85 * coalesce(contrib, 0)) div 100")
+                ).cast("long").alias("pr"),
+            )
+        )
+    return ranks.select("node_id", F.col("pr").alias("rank_units"))

@@ -1,0 +1,175 @@
+"""Data-quality operators: constraint auditing and column profiling —
+the validation pass a training-data pipeline runs before anything else
+consumes a drop of data.
+
+The reference engine validates nothing (values are generated in-range by
+construction, src/database/ycsb/Transction_y.h:17-26); these are part of
+the driver-mandated pipeline extension. Both operators fuse all checks
+for a table into ONE conditional-aggregation scan (plus one anti-join
+per referential check) — at 100 TB you pay a single pass per table, not
+a pass per rule — and unpivot the one-row result with ``stack`` so the
+report is rows of (check, n_checked, n_violations).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bishe_gpu_database_spark.operators.relational import t
+from bishe_gpu_database_spark.registry import register
+
+
+def _viol(cond) -> F.Column:
+    """Count rows violating (i.e. failing) the asserted condition."""
+    return F.sum(F.when(~cond, 1).otherwise(0)).cast("long")
+
+
+@register(
+    "quality_constraint_audit",
+    oracle="""
+    SELECT 'lineitem_discount_in_range' AS check_name,
+           (SELECT count(*) FROM lineitem) AS n_checked,
+           (SELECT count(*) FROM lineitem
+             WHERE NOT (l_discount BETWEEN 0 AND 0.1)) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_qty_in_range',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+             WHERE NOT (l_quantity BETWEEN 1 AND 50))
+    UNION ALL
+    SELECT 'lineitem_ship_after_order',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l JOIN orders o
+               ON l.l_orderkey = o.o_orderkey
+             WHERE l.l_shipdate < o.o_orderdate)
+    UNION ALL
+    SELECT 'lineitem_order_exists',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders_customer_exists',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'events_value_positive',
+           (SELECT count(*) FROM events),
+           (SELECT count(*) FROM events WHERE NOT (value > 0))
+    """,
+)
+def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit: domain checks (range), order checks (ship date
+    after order date), and referential checks (every lineitem's order,
+    every order's customer exists). Domain checks for one table fuse into
+    a single conditional-agg scan; referential checks are broadcast/
+    shuffled anti-join counts; the date-order check rides the fact-fact
+    join. Violations are COUNTED, not dropped — the audit is a gate, the
+    fix is a policy decision downstream."""
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders")
+    ev = t(spark, sf_dir, "events")
+    cu = t(spark, sf_dir, "customer")
+
+    # One LEFT JOIN of the fact table against its dimension carries BOTH
+    # the order check and the referential check: a missing parent shows
+    # up as NULLs on the right side, a broken ordering as a failed date
+    # predicate — so all four lineitem checks ride one scan + one join,
+    # and counts arrive in the same aggregate row (no scalar cross-join).
+    li_checks = (
+        li.join(od, li.l_orderkey == od.o_orderkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _viol(F.col("l_discount").between(0, 0.1)).alias("v_disc"),
+            _viol(F.col("l_quantity").between(1, 50)).alias("v_qty"),
+            _viol(
+                F.col("o_orderkey").isNull() | ~(F.col("l_shipdate") < F.col("o_orderdate"))
+            ).alias("v_ship"),
+            _viol(F.col("o_orderkey").isNotNull()).alias("v_orphan"),
+        )
+        .select(
+            F.expr(
+                "stack(4, 'lineitem_discount_in_range', n, v_disc,"
+                "         'lineitem_qty_in_range', n, v_qty,"
+                "         'lineitem_ship_after_order', n, v_ship,"
+                "         'lineitem_order_exists', n, v_orphan)"
+                " AS (check_name, n_checked, n_violations)"
+            )
+        )
+    )
+    od_checks = (
+        od.join(cu, od.o_custkey == cu.c_custkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _viol(F.col("c_custkey").isNotNull()).alias("v_orphan"),
+        )
+        .select(
+            F.lit("orders_customer_exists").alias("check_name"),
+            F.col("n").alias("n_checked"),
+            F.col("v_orphan").alias("n_violations"),
+        )
+    )
+    ev_checks = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        _viol(F.col("value") > 0).alias("v_pos"),
+    ).select(
+        F.lit("events_value_positive").alias("check_name"),
+        F.col("n").alias("n_checked"),
+        F.col("v_pos").alias("n_violations"),
+    )
+    return reduce(lambda a, b: a.unionByName(b), [li_checks, od_checks, ev_checks])
+
+
+@register(
+    "quality_profile_documents",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n_rows,
+             count(doc_id) AS nn_doc_id,  count(DISTINCT doc_id) AS nd_doc_id,
+             count(lang) AS nn_lang,      count(DISTINCT lang) AS nd_lang,
+             count(source) AS nn_source,  count(DISTINCT source) AS nd_source,
+             count(n_chars) AS nn_n_chars, count(DISTINCT n_chars) AS nd_n_chars
+      FROM documents
+    )
+    SELECT 'doc_id' AS column_name, n_rows, n_rows - nn_doc_id AS n_null,
+           nd_doc_id AS n_distinct FROM s
+    UNION ALL SELECT 'lang', n_rows, n_rows - nn_lang, nd_lang FROM s
+    UNION ALL SELECT 'source', n_rows, n_rows - nn_source, nd_source FROM s
+    UNION ALL SELECT 'n_chars', n_rows, n_rows - nn_n_chars, nd_n_chars FROM s
+    """,
+)
+def quality_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the `dbt`-style schema report): per column, row
+    count, null count, exact distinct count — all columns in ONE scan via
+    multi-distinct conditional aggregation (Catalyst expands it to a
+    single Expand + two-level aggregate; still one pass over storage).
+    For 100 TB profiling you'd swap exact distinct for HLL
+    (approx_count_distinct) — the exact form is kept here because the
+    oracle can check it bit-for-bit."""
+    d = t(spark, sf_dir, "documents")
+    s = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("doc_id").alias("nn_doc_id"),
+        F.count_distinct("doc_id").alias("nd_doc_id"),
+        F.count("lang").alias("nn_lang"),
+        F.count_distinct("lang").alias("nd_lang"),
+        F.count("source").alias("nn_source"),
+        F.count_distinct("source").alias("nd_source"),
+        F.count("n_chars").alias("nn_n_chars"),
+        F.count_distinct("n_chars").alias("nd_n_chars"),
+    )
+    return s.select(
+        F.expr(
+            "stack(4,"
+            " 'doc_id',  n_rows, n_rows - nn_doc_id,  nd_doc_id,"
+            " 'lang',    n_rows, n_rows - nn_lang,    nd_lang,"
+            " 'source',  n_rows, n_rows - nn_source,  nd_source,"
+            " 'n_chars', n_rows, n_rows - nn_n_chars, nd_n_chars)"
+            " AS (column_name, n_rows, n_null, n_distinct)"
+        )
+    )

@@ -216,3 +216,55 @@ def udf_map_in_pandas_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pdf.loc[mask, ["doc_id", "n_chars"]]
 
     return d.mapInPandas(keep_long, schema="doc_id bigint, n_chars bigint")
+
+
+# ---------------------------------------------------------------------------
+# 6. mapInArrow — the zero-copy tier: raw Arrow RecordBatches in/out, no
+#    pandas materialization at all. The right tier for numeric kernels
+#    over fixed-width array columns (embeddings): columnar buffer →
+#    numpy view → vectorized math → columnar buffer.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6)
+             AS norm
+    FROM embeddings
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm via ``mapInArrow``: each RecordBatch's list
+    column is viewed as an (n, 64) float32 matrix with zero copies, and
+    the fold runs dimension-sequentially in float64 — the SAME operation
+    order as the oracle's ``list_sum(list_transform(...))`` and the
+    JVM-side ``aggregate`` fold in operators.similarity, so all three
+    agree bit-for-bit before the defensive round(…, 6). This is the tier
+    below pandas: no index, no block manager, just Arrow buffers — the
+    template for any custom numeric kernel at 100 TB."""
+    import numpy as np
+    import pyarrow as pa
+
+    def norms(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.table(b)
+            emb = tbl.column("embedding").combine_chunks()
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            m = flat.reshape(-1, 64).astype(np.float64)
+            acc = np.zeros(m.shape[0], dtype=np.float64)
+            for i in range(64):  # dimension-sequential => oracle's fold order
+                acc = acc + m[:, i] * m[:, i]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl.column("vec_id").combine_chunks(),
+                    tbl.column("label").combine_chunks(),
+                    pa.array(np.round(np.sqrt(acc), 6), type=pa.float64()),
+                ],
+                names=["vec_id", "label", "norm"],
+            )
+
+    e = widen(t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"))
+    return e.mapInArrow(norms, "vec_id long, label int, norm double")

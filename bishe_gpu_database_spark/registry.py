@@ -73,6 +73,9 @@ def _ensure_loaded() -> None:
     import bishe_gpu_database_spark.operators.multimodal  # noqa: F401
     import bishe_gpu_database_spark.operators.udfs  # noqa: F401
     import bishe_gpu_database_spark.operators.pipeline  # noqa: F401
+    import bishe_gpu_database_spark.operators.timeseries  # noqa: F401
+    import bishe_gpu_database_spark.operators.quality  # noqa: F401
+    import bishe_gpu_database_spark.operators.graph  # noqa: F401
     import bishe_gpu_database_spark.aria.queries  # noqa: F401
     import bishe_gpu_database_spark.streaming.batch_twins  # noqa: F401
     import bishe_gpu_database_spark.sources.formats  # noqa: F401
