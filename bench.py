@@ -34,6 +34,8 @@ HEADLINE = [
     "udf_pandas_token_count",
     "text_quality",
     "stream_session_window",
+    "rollup_time_hierarchy",
+    "graph_pagerank_3iter",
 ]
 
 

@@ -331,3 +331,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@register(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id AS latest_event_id, ts AS latest_ts,
+           n_versions
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed record dedup by recency — the CDC-compaction idiom: keep only
+    the newest version per (user_id, event_type), with event_id as the
+    total-order tie-break. One window shuffle on the key; at 100 TB this
+    is exactly the log-compaction pass a snapshot build runs, and AQE
+    splits any hot key's sort. Complements content dedup (dedup_exact):
+    that collapses identical payloads, this collapses superseded ones."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = W.partitionBy("user_id", "event_type")
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_versions"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

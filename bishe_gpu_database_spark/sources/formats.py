@@ -318,3 +318,89 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total_price"),
     )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           CASE WHEN year(o_orderdate) >= 1996 THEN o_orderpriority
+                ELSE '<pre-schema>' END AS priority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: an old batch written WITHOUT
+    o_orderpriority and a new batch written WITH it land in the same
+    dataset; ``mergeSchema`` unions the schemas and back-fills the old
+    batch with NULLs — the additive-column migration every long-lived
+    100 TB dataset goes through (no rewrite of historical files). The
+    aggregate distinguishes back-filled NULLs from real values, so the
+    oracle checks the merge semantics, not just row counts."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    path = os.path.join(
+        _SCRATCH, f"orders_evolve_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    old = o.filter(F.col("o_year") < 1996).drop("o_orderpriority", "o_year")
+    new = o.filter(F.col("o_year") >= 1996).drop("o_year")
+    old.write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+    new.write.mode("overwrite").parquet(os.path.join(path, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.select(
+            "o_orderstatus",
+            F.coalesce("o_orderpriority", F.lit("<pre-schema>")).alias("priority"),
+        )
+        .groupBy("o_orderstatus", "priority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def compaction_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write lineitem fragmented into many small files, then compact it
+    to parallelism-sized files. Returns (fragmented_dir, compacted_dir);
+    ``sink_compaction`` oracles the content, tests assert the file
+    counts."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    frag = os.path.join(_SCRATCH, f"lineitem_frag_{tag}")
+    compact = os.path.join(_SCRATCH, f"lineitem_compact_{tag}")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        li.repartition(64).write.mode("overwrite").parquet(frag)
+    n = spark.sparkContext.defaultParallelism
+    spark.read.parquet(frag).repartition(n).write.mode("overwrite").parquet(compact)
+    return frag, compact
+
+
+@register(
+    "sink_compaction",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass that keeps a
+    100 TB dataset scannable: a 64-way fragmented copy of lineitem is
+    rewritten into parallelism-sized files (round-robin repartition, so
+    output files are uniform), and the aggregate proves the rewrite lost
+    nothing. At scale this runs per-partition with atomic directory
+    swap — the same write-once/rename pattern as the ingest re-layout
+    (operators/relational._relayout_scan)."""
+    _, compact = compaction_paths(spark, sf_dir)
+    back = spark.read.parquet(compact)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
