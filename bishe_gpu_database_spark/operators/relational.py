@@ -1313,3 +1313,16 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("promo_revenue_pct"),
         "n_items",
     )
+
+
+@register("agg_approx_percentile")  # t-digest-style sketch differs across engines → rows-only
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (the 100 TB swap for agg_percentile_exact's
+    sort-bound exact form): one-pass mergeable quantile sketch per group,
+    accuracy set by the third argument. Sketches merge associatively, so
+    the shuffle carries one bounded sketch per group per map task."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("price_pcts"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -338,3 +338,47 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 50)
         .select("tk", "n", "rnk")
     )
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tk FROM documents),
+    vocab AS (
+      SELECT tk FROM (
+        SELECT tk, row_number() OVER (ORDER BY count(*) DESC, tk) AS rnk
+        FROM tok GROUP BY tk
+      ) WHERE rnk <= 20
+    )
+    SELECT t.doc_id, count(*) AS n_tokens,
+           SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS n_oov
+    FROM tok t LEFT JOIN vocab v ON t.tk = v.tk
+    GROUP BY t.doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary scoring: build the corpus vocabulary head (top-20
+    tokens, deterministic tie-break) and score every document by how many
+    of its tokens fall outside it — the cheap quality proxy for 'is this
+    text normal for the corpus'. Two passes over the token stream, both
+    aggregation-shaped; the vocabulary is top-k-bounded so it broadcasts,
+    making the scoring join map-side at any corpus size. Counts stay
+    integers — the rate is the consumer's division."""
+    d = widen_docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tk"))
+    w = W.orderBy(F.col("n").desc(), "tk")
+    vocab = (
+        tok.groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("tk", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        )
+    )
