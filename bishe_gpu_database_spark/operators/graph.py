@@ -72,7 +72,7 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     od = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e0 = (
-        li.join(od, li.l_orderkey == od.o_orderkey)
+        li.join(F.broadcast(od), li.l_orderkey == od.o_orderkey)
         .select(
             F.col("l_suppkey").alias("s"),
             (F.col("o_custkey") + F.lit(_OFFSET)).alias("c"),

@@ -213,3 +213,71 @@ def pipeline_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept").cast("long").alias("n_sampled"),
         F.sum(F.col("kept") * F.col("n_chars")).alias("sampled_chars"),
     )
+
+
+# Same whitespace-token split the text_analysis oracles use.
+_SQL_SPLIT_TOKENS = (
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+)
+
+
+@register(
+    "pipeline_tokenize_to_ids",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS tk
+      FROM (SELECT doc_id, {_SQL_SPLIT_TOKENS} AS toks FROM documents),
+           unnest(generate_series(1, len(toks))) AS u(i)
+    ),
+    vocab AS (
+      SELECT tk, token_id FROM (
+        SELECT tk, CAST(row_number() OVER (ORDER BY count(*) DESC, tk) AS BIGINT)
+                     AS token_id
+        FROM tok GROUP BY tk
+      ) WHERE token_id <= 100
+    )
+    SELECT t.doc_id, count(*) AS n_tokens,
+           array_agg(COALESCE(v.token_id, 0) ORDER BY t.pos) AS token_ids
+    FROM tok t LEFT JOIN vocab v USING (tk)
+    GROUP BY t.doc_id
+    """,
+)
+def pipeline_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization: build a frequency-ranked vocabulary (top-100,
+    deterministic tie-break; id 0 = OOV) and encode every document as its
+    token-id sequence — the text→ids step feeding sequence packing. The
+    vocabulary is top-k-bounded so it broadcasts and encoding is map-side;
+    order is restored after the grouped collect by sorting on token
+    position, so the id arrays are deterministic under any partitioning.
+    At 100 TB the vocab build is one (token, count) aggregation and the
+    encode pass is shuffle-free."""
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tk")
+    )
+    w = Window.orderBy(F.col("n").desc(), "tk")
+    vocab = (
+        tok.groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("token_id", F.row_number().over(w).cast("long"))
+        .filter(F.col("token_id") <= 100)
+        .select("tk", "token_id")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            F.coalesce("token_id", F.lit(0).cast("long")).alias("tid"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("tid"),
+            ).alias("token_ids"),
+        )
+    )
