@@ -152,3 +152,51 @@ def stream_runtime_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bishe_gpu_database_spark.streaming.streams import run_tumbling_runtime
 
     return run_tumbling_runtime(spark, sf_dir)
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    WITH c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS p_ts, event_id FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id, p.p_ts,
+           count(c.c_ts) AS n_clicks_30m,
+           max(c.c_ts) AS last_click_ts
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+     AND c.c_ts <= p.p_ts
+    GROUP BY p.event_id, p.p_ts
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream time-interval join (each purchase
+    matched to the same user's clicks in the preceding 30 minutes),
+    aggregated to attribution counts per purchase. The streaming runtime
+    form — watermarks bounding both sides' state — runs in
+    tests/test_streaming.py::test_stream_stream_interval_join_matches_batch;
+    this twin gives it a DuckDB oracle. At scale the join shuffles both
+    sides once on user_id and the interval predicate bounds each probe to
+    a 30-minute neighborhood (state ∝ watermark horizon, not history)."""
+    e = t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "event_id"
+    )
+    return (
+        p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "left",
+        )
+        .groupBy(F.col("event_id").alias("purchase_id"), "p_ts")
+        .agg(
+            F.count("c_ts").alias("n_clicks_30m"),
+            F.max("c_ts").alias("last_click_ts"),
+        )
+    )
