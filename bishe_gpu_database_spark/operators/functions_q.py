@@ -11,7 +11,7 @@ Everything here is JVM-side / whole-stage-codegen — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bishe_gpu_database_spark.operators.relational import dec, t
@@ -302,4 +302,90 @@ def fn_json_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(
             F.struct(F.col("p.k").alias("k"), F.col("event_type").alias("t"))
         ).alias("rebuilt"),
+    )
+
+
+@register(
+    "fn_regex",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)[0-9]', 1) AS first_prenum_word,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS digits_masked,
+           CAST(regexp_matches(text, 'join|merge') AS INT) AS mentions_join,
+           len(regexp_extract_all(text, '[a-z]{5,}')) AS n_long_words
+    FROM documents
+    WHERE doc_id < 500
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: capture-group extract, global replace, match test,
+    match count — all JVM-side codegen'd expressions (regexp compiled once
+    per task, not per row)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)[0-9]", 1).alias("first_prenum_word"),
+        F.regexp_replace("text", r"[0-9]+", "#").alias("digits_masked"),
+        F.col("text").rlike("join|merge").cast("int").alias("mentions_join"),
+        F.regexp_count(F.col("text"), F.lit(r"[a-z]{5,}")).alias("n_long_words"),
+    )
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, amount FROM (
+      SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS amount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_quantity', l_quantity FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    ) WHERE l_orderkey < 1000
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (UNPIVOT / melt): four measure columns become
+    (measure, amount) rows. Spark's Expand node emits all four rows per
+    input row in one narrow pass — no shuffle, no self-union re-scan (the
+    UNION ALL oracle scans the table four times; Expand scans once).
+    Values pass through unaggregated, so doubles hash exactly."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_discount", "l_extendedprice", "l_quantity", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    )
+
+
+@register(
+    "agg_mode_per_key",
+    oracle="""
+    SELECT user_id, event_type AS mode_event_type, n FROM (
+      SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY count(*) DESC, event_type
+             ) AS rk
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rk = 1
+    """,
+)
+def agg_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key mode (most frequent value) with a deterministic
+    lexicographic tie-break — count-then-rank, the exact form of an
+    operation Spark's ``mode()`` aggregate leaves tie-undefined. The
+    count and the ranking window share the user_id partition key, so the
+    second pass reuses the first's shuffle; per-key state is bounded by
+    the value domain (event types), not row count."""
+    e = t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    )
+    return (
+        counts.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), "n")
     )

@@ -1,0 +1,240 @@
+"""Corpus-mining operators over ``documents``: repetition signals
+(Gopher-style quality filters), integer-exact term salience (the TF-IDF
+shape), and bigram association lift (the PMI shape).
+
+The reference has no text surface at all (its only strings are random
+10-byte payloads, src/cuda/kv.cuh:48-79); these extend the north-star
+LLM-pipeline catalogue. All pure column expressions + hash aggregates —
+no UDFs — and every score is integer or round()-stabilized so the DuckDB
+oracle hashes bit-identically.
+
+Scale notes (100 TB): per-document signals are narrow maps; the only
+shuffles carry (doc_id, bigram) / (token) count pairs — fixed-size keys,
+partial-aggregated map-side. Corpus-wide statistics (df, unigram counts)
+are a second small aggregate joined back by broadcast; the "N docs" /
+"total tokens" scalars ride a 1-row broadcast cross join, never a
+driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bishe_gpu_database_spark.functions.text import norm_text, tokens
+from bishe_gpu_database_spark.operators.text_analysis import _SQL_NORM, _SQL_TOKENS
+from bishe_gpu_database_spark.operators.relational import t, widen
+from bishe_gpu_database_spark.registry import register
+
+
+def _toks_and_bigrams(d: DataFrame) -> DataFrame:
+    """(doc_id, tk, bg): token array + adjacent-bigram array, both
+    materialized once (HOF lambdas are interpreted — never inline the
+    split inside transform, see functions.text.shingles_of)."""
+    base = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    idx = F.when(
+        F.size("tk") >= 2, F.sequence(F.lit(1), F.size("tk") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        "doc_id",
+        "tk",
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.element_at("tk", i), F.element_at("tk", i + 1)),
+        ).alias("bg"),
+    )
+
+
+_SQL_BIGRAMS = (
+    f"CASE WHEN len({_SQL_TOKENS}) >= 2 THEN "
+    f"list_transform(generate_series(1, len({_SQL_TOKENS}) - 1), "
+    f"i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i+1]) "
+    "ELSE []::VARCHAR[] END"
+)
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_TOKENS} AS tk, {_SQL_BIGRAMS} AS bg FROM documents
+    ),
+    top AS (
+      SELECT doc_id, max(cnt) AS top_bigram_n FROM (
+        SELECT doc_id, b, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(bg) AS b FROM base)
+        GROUP BY doc_id, b
+      ) GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           len(tk) AS n_tokens,
+           round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS uniq_token_ratio,
+           coalesce(top_bigram_n, 0) AS top_bigram_n,
+           CASE WHEN len(bg) > 0
+                THEN round(CAST(coalesce(top_bigram_n, 0) AS DOUBLE) / len(bg), 6)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM base LEFT JOIN top USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token ratio
+    and most-frequent-bigram fraction — the filters that catch boilerplate
+    and degenerate repetition in pre-training corpora. Two shuffles, both
+    of count pairs: (doc_id, bigram) partial-aggregated map-side, then the
+    per-doc max joined back to the narrow per-doc stats."""
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    base = _toks_and_bigrams(d)
+    top = (
+        base.select("doc_id", F.explode("bg").alias("b"))
+        .groupBy("doc_id", "b")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bigram_n"))
+    )
+    stats = base.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).alias("n_uniq"),
+        F.size("bg").alias("n_bigrams"),
+    )
+    return stats.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_uniq").cast("double") / F.col("n_tokens"), 6).alias(
+            "uniq_token_ratio"
+        ),
+        F.coalesce("top_bigram_n", F.lit(0)).cast("bigint").alias("top_bigram_n"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(
+                F.coalesce("top_bigram_n", F.lit(0)).cast("double") / F.col("n_bigrams"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "text_salience_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+    ),
+    docfreq AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             (tf.tf * 1000000 * n.n_docs) // docfreq.df AS salience_ppm
+      FROM tf JOIN docfreq USING (token) CROSS JOIN n
+      WHERE tf.doc_id < 100
+    )
+    SELECT doc_id, token, tf, salience_ppm FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY salience_ppm DESC, token
+      ) AS rk FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def text_salience_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact TF-IDF shape: per-document term frequency × inverse
+    document frequency as the exact rational ``tf·N·10^6 // df`` (the log
+    is monotone in N/df, so top-k by this ratio ranks identically to
+    tf-idf while hashing bit-stably — floats never decide anything).
+    Corpus-wide df is one (token) aggregate; the N-docs scalar is a 1-row
+    broadcast. Output bounded to docs < 100, top-3 terms each."""
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 100)
+        .join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.expr("(tf * 1000000 * n_docs) DIV df").alias("salience_ppm"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("salience_ppm").desc(), "token")
+    )
+    return (
+        scored.withColumn("rk", rk).filter(F.col("rk") <= 3).drop("rk")
+    )
+
+
+@register(
+    "text_lift_bigrams",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bigram FROM documents
+    ),
+    pair AS (
+      SELECT bigram, count(*) AS pair_n FROM base GROUP BY bigram HAVING count(*) >= 5
+    ),
+    uni AS (
+      SELECT token, count(*) AS uni_n
+      FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+      GROUP BY token
+    ),
+    tot AS (SELECT count(*) AS total_tokens
+            FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents))
+    SELECT bigram, pair_n,
+           (pair_n * total_tokens * 1000000) // (u1.uni_n * u2.uni_n) AS lift_ppm
+    FROM pair
+    JOIN uni u1 ON u1.token = split_part(bigram, ' ', 1)
+    JOIN uni u2 ON u2.token = split_part(bigram, ' ', 2)
+    CROSS JOIN tot
+    ORDER BY lift_ppm DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_lift_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining, the PMI shape: association lift of adjacent
+    word pairs as the exact rational ``P(w1w2)/(P(w1)P(w2))`` scaled to
+    ppm — log-PMI is monotone in the lift, so the top-k is the PMI top-k
+    with integer-only arithmetic. Unigram counts broadcast back onto the
+    pair aggregate (the pair table after the HAVING floor is tiny);
+    global top-20 goes through TakeOrderedAndProject, never a full sort."""
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    base = _toks_and_bigrams(d)
+    pair = (
+        base.select(F.explode("bg").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= 5)
+    )
+    uni = (
+        base.select(F.explode("tk").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("uni_n"))
+    )
+    tot = base.select(F.explode("tk").alias("token")).agg(
+        F.count(F.lit(1)).alias("total_tokens")
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("uni_n").alias("n1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("uni_n").alias("n2"))
+    return (
+        pair.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "pair_n",
+            F.expr("(pair_n * total_tokens * 1000000) DIV (n1 * n2)").alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "bigram")
+        .limit(20)
+    )

@@ -281,3 +281,70 @@ def pipeline_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_ids"),
         )
     )
+
+
+@register(
+    "pipeline_quality_gate",
+    oracle="""
+    WITH sig AS (
+      SELECT source,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tokens,
+             CAST(length(text)
+                  - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+               AS DOUBLE) / length(text) AS punct_ratio,
+             CAST(len(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS DOUBLE)
+               / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS uniq_ratio
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END) AS n_too_short,
+           sum(CASE WHEN n_tokens > 2000 THEN 1 ELSE 0 END) AS n_too_long,
+           sum(CASE WHEN punct_ratio > 0.10 THEN 1 ELSE 0 END) AS n_high_punct,
+           sum(CASE WHEN uniq_ratio < 0.45 THEN 1 ELSE 0 END) AS n_repetitive,
+           sum(CASE WHEN n_tokens >= 30 AND n_tokens <= 2000
+                     AND punct_ratio <= 0.10 AND uniq_ratio >= 0.45
+                    THEN 1 ELSE 0 END) AS n_accepted
+    FROM sig GROUP BY source
+    """,
+)
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style acceptance gate: length bounds, punctuation ratio,
+    and distinct-token ratio decide keep/drop, with per-source rule-hit
+    counts for pipeline observability. All signals are computed in ONE
+    narrow projection and all counters in ONE conditional aggregate —
+    auditing a 100 TB corpus costs exactly one scan + a per-source-sized
+    shuffle. Ratio thresholds compare exact double divisions (no
+    aggregation before the compare), so the gate is deterministic."""
+    d = widen(t(spark, sf_dir, "documents").select("source", "text"))
+    toks = tokens(F.col("text"))
+    norm = F.lower("text")
+    sig = d.select(
+        "source",
+        F.size(toks).alias("n_tokens"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace(norm, "[^a-z0-9 ]", ""))
+            ).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("uniq_ratio"),
+    )
+    ok = (
+        (F.col("n_tokens") >= 30)
+        & (F.col("n_tokens") <= 2000)
+        & (F.col("punct_ratio") <= 0.10)
+        & (F.col("uniq_ratio") >= 0.45)
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt(F.col("n_tokens") < 30).alias("n_too_short"),
+        cnt(F.col("n_tokens") > 2000).alias("n_too_long"),
+        cnt(F.col("punct_ratio") > 0.10).alias("n_high_punct"),
+        cnt(F.col("uniq_ratio") < 0.45).alias("n_repetitive"),
+        cnt(ok).alias("n_accepted"),
+    )

@@ -123,3 +123,118 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("carried_sum"),
         )
     )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a 30-minute inactivity gap starts a new
+    session (lag → flag → running sum — the classic gap-and-island), then
+    one aggregate per (user, session). Deterministic total order per user
+    via (ts, event_id). This is the batch twin of session_window streaming
+    state: ONE shuffle on user_id serves both window passes and the final
+    aggregate (same partition key), and the per-user state is a sort —
+    linear, spillable, no driver loop. Gap comparison in integer
+    microseconds; duration in whole seconds — no float time math."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("duration_s"),
+    )
+
+
+@register(
+    "timeseries_zscore_outliers",
+    oracle="""
+    WITH cents AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(value_cents) AS HUGEINT) AS s,
+             CAST(sum(value_cents * value_cents) AS HUGEINT) AS ssq
+      FROM cents GROUP BY event_type
+    )
+    SELECT event_id, cents.event_type, value_cents
+    FROM cents JOIN stats USING (event_type)
+    WHERE (n * value_cents - s) * (n * value_cents - s) > 9 * (n * ssq - s * s)
+    """,
+)
+def timeseries_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: events more than 3 population-sigma from their
+    type's mean. The z-score test is algebraically cleared of division
+    and sqrt — ``(n·v − s)² > 9·(n·ssq − s²)`` over integer cents — so
+    the comparison is EXACT (no float mean/variance, no ulp flips at the
+    threshold). One partial-aggregated pass builds the per-type moments
+    (a handful of rows), broadcast back onto the stream; intermediates in
+    DECIMAL(38,0) (int128-class) so the squares can't overflow at any SF."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38("value_cents")).alias("s"),
+        F.sum(d38("value_cents") * d38("value_cents")).alias("ssq"),
+    )
+    j = e.join(F.broadcast(stats), "event_type")
+    dev = F.col("n") * d38("value_cents") - F.col("s")
+    var_n2 = F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    return j.filter(dev * dev > F.lit(9) * var_n2).select(
+        "event_id", "event_type", "value_cents"
+    )

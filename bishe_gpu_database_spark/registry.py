@@ -74,6 +74,7 @@ def _ensure_loaded() -> None:
     import bishe_gpu_database_spark.operators.udfs  # noqa: F401
     import bishe_gpu_database_spark.operators.pipeline  # noqa: F401
     import bishe_gpu_database_spark.operators.timeseries  # noqa: F401
+    import bishe_gpu_database_spark.operators.mining  # noqa: F401
     import bishe_gpu_database_spark.operators.quality  # noqa: F401
     import bishe_gpu_database_spark.operators.graph  # noqa: F401
     import bishe_gpu_database_spark.aria.queries  # noqa: F401
