@@ -238,3 +238,110 @@ def timeseries_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(dev * dev > F.lit(9) * var_n2).select(
         "event_id", "event_type", "value_cents"
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    purchase AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase_ts
+      FROM events e JOIN signup s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+           CASE WHEN p.user_id IS NULL THEN NULL
+                ELSE (epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts)) // 1000000
+           END AS seconds_to_convert,
+           p.user_id IS NOT NULL AS converted
+    FROM signup s LEFT JOIN purchase p USING (user_id)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step conversion funnel (signup → first purchase strictly
+    after): the product-analytics primitive. Both steps are min-aggregates
+    on user_id, and the step join + final outer join reuse that same
+    partition key, so the whole funnel is ONE logical shuffle of
+    user-level rows; time-to-convert in integer seconds. Extending to k
+    steps chains the same join shape (or a single min_by pass per step)."""
+    e = t(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return (
+        signup.join(purchase, "user_id", "left")
+        .select(
+            "user_id",
+            "signup_ts",
+            "first_purchase_ts",
+            F.when(
+                F.col("first_purchase_ts").isNotNull(),
+                (
+                    (
+                        F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts")
+                    )
+                    / F.lit(1_000_000)
+                ).cast("bigint"),
+            ).alias("seconds_to_convert"),
+            F.col("first_purchase_ts").isNotNull().alias("converted"),
+        )
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT cohort_day, day_offset, count(*) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted active
+    at each day offset ≤ 7 — the D1/D7 retention triangle. first-seen is
+    a user_id min-aggregate; the activity join rides the same key; the
+    DISTINCT collapses (user, offset) before the final small aggregate,
+    so the shuffle carries user-day pairs, never raw events."""
+    e = t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("DAY", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("DAY", "ts").cast("date"), "cohort_day").alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -152,3 +152,55 @@ def run_tumbling_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select("window_start", "event_type", "n_events")
+
+
+def user_stats_tws(stream: DataFrame) -> DataFrame:
+    """Per-user running stats via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state successor of applyInPandasWithState: typed
+    composite state (ValueState) with explicit schemas, per-key handle,
+    timers, and RocksDB-backed state that checkpoints incrementally.
+    Counts in bigint and value in integer CENTS, so the carried state is
+    exact across any micro-batch slicing (float accumulation order never
+    shows in the result). Scales with distinct users, not events.
+
+    Needs protobuf at runtime (the TWS state-server wire protocol) — not
+    shipped in this container, so the matching test importorskips; the
+    applyInPandasWithState twin (user_running_totals) covers the
+    arbitrary-state semantics in CI either way."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["value_cents"].sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark = stream.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    cents = stream.select(
+        "user_id", F.round(F.col("value") * 100).cast("bigint").alias("value_cents")
+    )
+    return cents.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -166,3 +166,42 @@ def test_quality_gate_counts_consistent(spark):
             r["n_too_short"] + r["n_too_long"] + r["n_high_punct"] + r["n_repetitive"]
             >= r["n_docs"] - r["n_accepted"]
         )
+
+
+def test_funnel_conversion_consistency(spark):
+    """Every signup user appears exactly once; converted rows carry a
+    strictly-positive time-to-convert; non-converted carry nulls."""
+    from bishe_gpu_database_spark.operators.timeseries import events_funnel
+
+    rows = events_funnel(spark, SF_SMALL).collect()
+    ev = t(spark, SF_SMALL, "events")
+    n_signup_users = (
+        ev.filter(F.col("event_type") == "signup").select("user_id").distinct().count()
+    )
+    assert len(rows) == n_signup_users
+    for r in rows:
+        if r["converted"]:
+            assert r["first_purchase_ts"] > r["signup_ts"]
+            assert r["seconds_to_convert"] >= 0
+        else:
+            assert r["first_purchase_ts"] is None and r["seconds_to_convert"] is None
+
+
+def test_retention_day0_counts_cohort_size(spark):
+    """day_offset=0 rows count every user in the cohort (everyone is
+    active on their first-seen day), and offsets never exceed 7."""
+    from bishe_gpu_database_spark.operators.timeseries import retention_cohorts
+
+    rows = retention_cohorts(spark, SF_SMALL).collect()
+    assert rows
+    assert all(0 <= r["day_offset"] <= 7 for r in rows)
+    day0 = {r["cohort_day"]: r["n_active"] for r in rows if r["day_offset"] == 0}
+    ev = t(spark, SF_SMALL, "events")
+    cohorts = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("DAY", F.min("ts")).cast("date").alias("cohort_day"))
+        .groupBy("cohort_day")
+        .count()
+        .collect()
+    )
+    assert day0 == {r["cohort_day"]: r["count"] for r in cohorts}

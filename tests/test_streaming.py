@@ -4,6 +4,7 @@ foreachBatch Aria driver must equal the batch engine."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bishe_gpu_database_spark.aria.workload import gen_kv, gen_ops, kv_checksum
@@ -297,3 +298,29 @@ def test_aria_foreach_batch_equals_batch_engine(spark):
     assert len(log) == 1
     assert log[0]["epochs"] == expected_stats
     assert kv_checksum(final_kv) == kv_checksum(expected_kv)
+
+
+def test_transform_with_state_matches_batch(spark):
+    """transformWithStateInPandas (Spark 4 typed-state API) carries exact
+    integer state across micro-batches: final per-user (count, cents sum)
+    equals the batch aggregate bit-for-bit.
+
+    The TWS state-server protocol needs protobuf, which this container
+    doesn't ship — skip there; runs on any standard Spark 4 install."""
+    pytest.importorskip("google.protobuf")
+    stream = streams.events_stream(spark, SF_SMALL)
+    got = _drain_to_rows(
+        spark, streams.user_stats_tws(stream), "tws_test", mode="update"
+    )
+    latest = {r["user_id"]: (r["n_events"], r["total_cents"]) for r in got.collect()}
+    batch = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    expect = {r["user_id"]: (r["n"], r["cents"]) for r in batch.collect()}
+    assert latest == expect
