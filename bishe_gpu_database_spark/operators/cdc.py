@@ -1,0 +1,187 @@
+"""Change-data-capture and dimension-history operators.
+
+The reference's only mutation path is the Aria install phase — copy the
+staged write set over the live table (`/root/reference/src/database/ycsb/
+TrancM_func.cuh:188-198`); it has no changelog, no deletes (the delete op
+is an empty stub, `src/cuda/hashTable.cuh:112-114`), and no history. At
+warehouse scale those become first-class engine operations: apply a keyed
+upsert/delete changelog to a snapshot (the Delta/Iceberg MERGE shape) and
+build a type-2 slowly-changing-dimension history. Both are expressed here
+as single-shuffle DataFrame plans over the driver fixtures.
+
+Scale notes (100 TB): the merge is the merge-on-read compaction pass —
+changelog compaction is a map-side-combinable max_by aggregate, the
+snapshot join shuffles both sides on the same key (co-partitioned /
+bucketed storage makes it shuffle-free), and deletes never materialize
+tombstone rows downstream. The SCD2 build is one window pass per key; AQE
+splits skewed keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bishe_gpu_database_spark.operators.relational import t
+from bishe_gpu_database_spark.registry import register
+
+
+@register(
+    "cdc_merge_snapshot",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id AS k,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS new_bal_cents
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    snap AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer
+    )
+    SELECT coalesce(s.k, l.k) AS k,
+           CASE WHEN l.k IS NULL THEN s.bal_cents
+                ELSE l.new_bal_cents END AS bal_cents,
+           CASE WHEN l.k IS NULL THEN 'kept'
+                WHEN s.k IS NULL THEN 'inserted'
+                ELSE 'updated' END AS action
+    FROM snap s FULL OUTER JOIN latest l ON s.k = l.k
+    WHERE coalesce(l.op, 'U') <> 'D'
+    """,
+)
+def cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a keyed changelog to a snapshot — the MERGE INTO shape the
+    reference's install phase approximates without deletes. The changelog
+    (events keyed by user_id; 'error' rows are deletes, everything else an
+    upsert carrying a new balance in integer cents) is first compacted to
+    its newest record per key with ``max_by`` over a (ts, event_id) total
+    order — a map-side-combinable aggregate, NOT a window sort, so at
+    100 TB the pre-shuffle combine collapses each partition's versions
+    before any data moves. The compacted delta then full-outer-joins the
+    snapshot on the same key: untouched rows are kept, delete keys vanish,
+    known keys update, unknown keys insert. Integer cents both sides keep
+    the hash bit-exact."""
+    ev = t(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    latest = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.max_by(
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+            order,
+        ).alias("op"),
+        F.max_by(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"), order
+        ).alias("new_bal_cents"),
+    )
+    snap = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("bal_cents"),
+    )
+    merged = snap.alias("s").join(latest.alias("l"), "k", "full_outer")
+    return merged.filter(
+        F.coalesce(F.col("l.op"), F.lit("U")) != "D"
+    ).select(
+        "k",
+        F.when(F.col("l.op").isNull(), F.col("s.bal_cents"))
+        .otherwise(F.col("l.new_bal_cents"))
+        .alias("bal_cents"),
+        F.when(F.col("l.op").isNull(), F.lit("kept"))
+        .when(F.col("s.bal_cents").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("action"),
+    )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS version_n
+      FROM ordered
+    ),
+    versions AS (
+      SELECT user_id, event_type, CAST(version_n AS INT) AS version_n,
+             min(ts) AS valid_from
+      FROM runs GROUP BY user_id, event_type, version_n
+    )
+    SELECT user_id, event_type, version_n, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_n)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_n)
+             IS NULL AS is_current
+    FROM versions
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: per user, collapse the
+    event stream into versioned runs of the tracked attribute
+    (event_type), each with [valid_from, valid_to) and an is_current
+    flag — the dimension-history table a warehouse keeps next to the
+    snapshot. Gap-and-island: lag marks changes, a running sum numbers
+    the runs, a groupBy collapses them, lead closes each interval. Every
+    window and the groupBy partition on user_id, so the whole build is
+    ONE shuffle of the events table; (ts, event_id) is the deterministic
+    total order."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.coalesce(
+            (F.lag("event_type").over(w) != F.col("event_type")).cast("int"),
+            F.lit(1),
+        ).alias("chg"),
+    ).withColumn("version_n", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("int"))
+    versions = runs.groupBy("user_id", "event_type", "version_n").agg(
+        F.min("ts").alias("valid_from")
+    )
+    wv = W.partitionBy("user_id").orderBy("version_n")
+    return versions.select(
+        "user_id",
+        "event_type",
+        "version_n",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    )
+
+
+@register("agg_hll_sketch_merge")  # rows-only: sketch estimates aren't SQL-exact
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the Apache DataSketches HLL
+    built into Spark 3.5+: build one sketch of user_id per event_type
+    (partial aggregation combines map-side, the binary sketch is the
+    shuffled state), then union-merge the per-type sketches into a global
+    sketch WITHOUT rescanning the data. This partial/merge algebra is what
+    makes distinct counts cheap at 100 TB: sketches roll up across
+    partitions, days, and tables in bytes, not rows. Estimates are
+    non-SQL-exact by nature → rows-only gate here; the error-bound test
+    asserts <2% deviation from the exact count (lgConfigK=14)."""
+    e = t(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_users")
+    ).select(F.lit("ALL").alias("event_type"), "est_distinct_users")
+    return per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est_distinct_users")
+    ).unionByName(merged)

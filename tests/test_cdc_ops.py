@@ -1,0 +1,91 @@
+"""Semantic invariants for the CDC / dimension-history / sketch
+operators beyond oracle parity: merge action partitioning, SCD2 interval
+contiguity, and the HLL estimate's error bound against the exact count."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from bishe_gpu_database_spark.operators.cdc import (
+    agg_hll_sketch_merge,
+    cdc_merge_snapshot,
+    scd2_history,
+)
+from bishe_gpu_database_spark.operators.relational import t
+from tests.conftest import SF_SMALL
+
+
+def test_cdc_merge_actions_partition_keyspace(spark):
+    """kept = snapshot keys untouched by the changelog; updated = keys in
+    both; inserted = changelog-only keys; delete keys appear nowhere."""
+    rows = cdc_merge_snapshot(spark, SF_SMALL).collect()
+    got = {r["k"]: r["action"] for r in rows}
+    assert len(got) == len(rows)  # one row per surviving key
+
+    ev = t(spark, SF_SMALL, "events")
+    latest = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.col("event_type") == "error", F.struct("ts", "event_id")
+            ).alias("is_del")
+        )
+        .collect()
+    )
+    del_keys = {r["user_id"] for r in latest if r["is_del"]}
+    upsert_keys = {r["user_id"] for r in latest if not r["is_del"]}
+    snap_keys = {
+        r["c_custkey"]
+        for r in t(spark, SF_SMALL, "customer").select("c_custkey").collect()
+    }
+
+    assert del_keys.isdisjoint(got)
+    for k, action in got.items():
+        if action == "kept":
+            assert k in snap_keys and k not in upsert_keys
+        elif action == "updated":
+            assert k in snap_keys and k in upsert_keys
+        else:
+            assert action == "inserted" and k not in snap_keys and k in upsert_keys
+    assert set(got) == (snap_keys - del_keys) | upsert_keys
+
+
+def test_scd2_intervals_contiguous_and_alternating(spark):
+    """Per user: versions number 1..n, each valid_to equals the next
+    valid_from, exactly one open (is_current) version, and consecutive
+    versions never repeat the tracked attribute."""
+    by_user = defaultdict(list)
+    for r in scd2_history(spark, SF_SMALL).collect():
+        by_user[r["user_id"]].append(r)
+    assert by_user
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["version_n"])
+        assert [r["version_n"] for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] < a["valid_to"]
+            assert a["event_type"] != b["event_type"]
+
+
+def test_hll_estimates_within_error_bound(spark):
+    """Every per-type estimate and the union-merged ALL estimate land
+    within 2% of the exact distinct count (lgConfigK=14 → ~0.8% RSE)."""
+    est = {
+        r["event_type"]: r["est_distinct_users"]
+        for r in agg_hll_sketch_merge(spark, SF_SMALL).collect()
+    }
+    ev = t(spark, SF_SMALL, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(1, 0.02 * n), (k, est[k], n)
