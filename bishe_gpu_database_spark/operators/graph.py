@@ -79,14 +79,18 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
-        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-        .unionByName(e0.select(F.col("c").alias("src"), F.col("s").alias("dst")))
-        .localCheckpoint()
+    edges = e0.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionByName(
+        e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
+    edges = edges.localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
-    ewd = edges.join(deg, "src")  # (src, dst, outdeg), outdeg >= 1 by construction
-    ranks = deg.select(F.col("src").alias("node_id"), F.lit(_UNIT).cast("long").alias("pr"))
+    # Materialize (src, dst, outdeg) ONCE — the per-iteration rank join
+    # reads this checkpoint instead of re-running the edges⋈degree join
+    # every iteration. outdeg >= 1 by construction.
+    ewd = edges.join(F.broadcast(deg), "src").localCheckpoint()
+    ranks = deg.select(
+        F.col("src").alias("node_id"), F.lit(_UNIT).cast("long").alias("pr")
+    )
     for _ in range(_ITERS):
         msgs = (
             ewd.join(ranks, ewd.src == ranks.node_id)

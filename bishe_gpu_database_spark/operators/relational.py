@@ -867,7 +867,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dimension (filtered customer → broadcast)
-    into a large-large join, grouped revenue, global top-10."""
+    into a large-large join, grouped revenue, global top-10. The broadcast
+    customer filter is applied to orders BEFORE the lineitem⋈orders
+    shuffle, so the shuffled orders side is pre-reduced ~5× (only the
+    BUILDING segment survives) — at 100 TB that's the difference between
+    shuffling the whole orders table and a fifth of it, and it lets the
+    runtime bloom filter from the reduced side prune lineitem too."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -877,8 +882,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     one_minus_disc = one() - F.col("l_discount").cast("decimal(6,4)")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(dec("l_extendedprice") * one_minus_disc, "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
