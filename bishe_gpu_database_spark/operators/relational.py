@@ -1112,6 +1112,36 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, source, rn AS rank_in_stratum
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(text), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 20 documents per source,
+    chosen by ranking on a portable content hash (md5) — pseudo-random
+    but engine-independent, so unlike seeded Bernoulli this IS
+    hash-checkable cross-engine. The training-mixture primitive when the
+    recipe demands exact per-stratum counts: one top-k-per-group window
+    per stratum key, and at 100 TB the rank-k cutoff pushes down so each
+    partition keeps only its local top-20 before the shuffle."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rank_in_stratum"))
+        .filter(F.col("rank_in_stratum") <= 20)
+    )
+
+
+@register(
     "q6_forecast_revenue",
     oracle="""
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))

@@ -200,3 +200,45 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_ts").alias("last_click_ts"),
         )
     )
+
+
+@register(
+    "stream_runtime_session",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts >= lag(ts) OVER w + INTERVAL '30 minutes' THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL '30 minutes' AS session_end,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM agg, mx
+    WHERE session_end <= mx.m
+    """,
+)
+def stream_runtime_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual session-window streaming runtime, oracle-checked: the
+    state store merges overlapping [ts, ts+gap) windows per user; append
+    mode emits exactly the sessions closed by the final watermark. The
+    oracle rebuilds the same sessions with gap-and-island SQL (new session
+    iff the gap to the previous event is ≥ 30 min — half-open window
+    semantics) and applies the same emission cutoff."""
+    from bishe_gpu_database_spark.streaming.streams import run_session_runtime
+
+    return run_session_runtime(spark, sf_dir)

@@ -204,3 +204,45 @@ def user_stats_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Watermarked session windows (inactivity gap): state-store-backed
+    session merging; append mode emits a session once the watermark
+    passes its end (= last event + gap)."""
+    return (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_session_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the REAL session-window streaming runtime (file replay →
+    watermark → session merge state → append emission) and return the
+    emitted rows. Emitted set = sessions whose end (last event + gap) ≤
+    final watermark (= max event time) — closed-form, SQL-oracle-checkable."""
+    import os
+
+    name = "stream_rt_session_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    stream = events_stream(spark, sf_dir)
+    agg = session_counts(stream)
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
