@@ -373,3 +373,51 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "dedup_apply_canonical",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (SELECT * FROM ({_SQL_LSH_PAIRS}) p),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           c.doc_id IS NOT NULL AS was_clustered
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+)
+def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final APPLY step: materialize the surviving
+    corpus — every unclustered document plus exactly one canonical keeper
+    (min doc_id) per near-dup cluster. Composes shingle→minhash→LSH→
+    connected components (dedup_clusters) with a broadcast keep/drop join
+    against the corpus: the cluster table is tiny relative to the corpus
+    (only docs that had a near-dup), so at 100 TB the apply is a broadcast
+    anti-join — the full corpus streams through map-side, no shuffle."""
+    clusters = dedup_clusters(spark, sf_dir)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    keepers = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.join(F.broadcast(drop), "doc_id", "left_anti")
+        .join(F.broadcast(keepers.withColumn("was_clustered", F.lit(True))), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.coalesce("was_clustered", F.lit(False)).alias("was_clustered"),
+        )
+    )
