@@ -242,3 +242,31 @@ def stream_runtime_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bishe_gpu_database_spark.streaming.streams import run_session_runtime
 
     return run_session_runtime(spark, sf_dir)
+
+
+@register(
+    "stream_runtime_sliding",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    g AS (SELECT unnest([0, 1, 2, 3]) AS k),
+    w AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, e.ts) - g.k * INTERVAL 15 MINUTE
+               AS window_start,
+             e.event_type
+      FROM events e CROSS JOIN g
+    )
+    SELECT window_start, event_type, count(*) AS n_events
+    FROM w, mx
+    GROUP BY window_start, event_type, mx.m
+    HAVING window_start + INTERVAL 1 HOUR <= mx.m
+    """,
+)
+def stream_runtime_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual sliding-window streaming runtime, oracle-checked: 1-hour
+    windows sliding every 15 minutes (each event fans out to 4 windows —
+    Spark's Expand under the hood), watermarked append emission. The
+    oracle reproduces the fan-out with a 4-offset cross join and applies
+    the same end ≤ max-event-time cutoff."""
+    from bishe_gpu_database_spark.streaming.streams import run_sliding_runtime
+
+    return run_sliding_runtime(spark, sf_dir)

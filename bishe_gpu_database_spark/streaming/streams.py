@@ -246,3 +246,38 @@ def run_session_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def sliding_counts(stream: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Watermarked sliding windows (1 h length, 15 min slide): every event
+    lands in 4 overlapping windows; append mode emits each window once
+    the watermark passes its end."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def run_sliding_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the REAL sliding-window streaming runtime and return the
+    emitted rows (windows whose end ≤ final watermark = max event time)."""
+    import os
+
+    name = "stream_rt_sliding_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    stream = events_stream(spark, sf_dir)
+    agg = sliding_counts(stream)
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
