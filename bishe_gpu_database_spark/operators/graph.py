@@ -84,10 +84,12 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = edges.localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
-    # Materialize (src, dst, outdeg) ONCE — the per-iteration rank join
-    # reads this checkpoint instead of re-running the edges⋈degree join
-    # every iteration. outdeg >= 1 by construction.
-    ewd = edges.join(F.broadcast(deg), "src").localCheckpoint()
+    # (src, dst, outdeg): left lazy on purpose — both inputs are already
+    # materialized, so each iteration re-derives it with one cheap
+    # broadcast hash join (degrees are node-sized), which beats paying a
+    # third full materialization of the edge-sized table. outdeg >= 1 by
+    # construction.
+    ewd = edges.join(F.broadcast(deg), "src")
     ranks = deg.select(
         F.col("src").alias("node_id"), F.lit(_UNIT).cast("long").alias("pr")
     )
