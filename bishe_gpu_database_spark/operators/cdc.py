@@ -26,9 +26,7 @@ from bishe_gpu_database_spark.operators.relational import t
 from bishe_gpu_database_spark.registry import register
 
 
-@register(
-    "cdc_merge_snapshot",
-    oracle="""
+_CDC_MERGE_ORACLE = """
     WITH latest AS (
       SELECT user_id AS k,
              CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
@@ -52,39 +50,27 @@ from bishe_gpu_database_spark.registry import register
                 ELSE 'updated' END AS action
     FROM snap s FULL OUTER JOIN latest l ON s.k = l.k
     WHERE coalesce(l.op, 'U') <> 'D'
-    """,
-)
-def cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apply a keyed changelog to a snapshot — the MERGE INTO shape the
-    reference's install phase approximates without deletes. The changelog
-    (events keyed by user_id; 'error' rows are deletes, everything else an
-    upsert carrying a new balance in integer cents) is first compacted to
-    its newest record per key with ``max_by`` over a (ts, event_id) total
-    order — a map-side-combinable aggregate, NOT a window sort, so at
-    100 TB the pre-shuffle combine collapses each partition's versions
-    before any data moves. The compacted delta then full-outer-joins the
-    snapshot on the same key: untouched rows are kept, delete keys vanish,
-    known keys update, unknown keys insert. Integer cents both sides keep
-    the hash bit-exact."""
-    ev = t(spark, sf_dir, "events")
-    order = F.struct(F.col("ts"), F.col("event_id"))
-    latest = ev.groupBy(F.col("user_id").alias("k")).agg(
-        F.max_by(
-            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
-            order,
-        ).alias("op"),
-        F.max_by(
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"), order
-        ).alias("new_bal_cents"),
+    """
+
+
+def compact_changelog(changelog: DataFrame) -> DataFrame:
+    """Collapse a (k, op, new_bal_cents, ver) changelog to its newest
+    record per key via ``max_by`` over ver — a map-side-combinable
+    aggregate, NOT a window sort, so at 100 TB the pre-shuffle combine
+    collapses each partition's versions before any data moves."""
+    ver = F.col("ver")
+    return changelog.groupBy("k").agg(
+        F.max_by("op", ver).alias("op"),
+        F.max_by("new_bal_cents", ver).alias("new_bal_cents"),
     )
-    snap = t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("k"),
-        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("bal_cents"),
-    )
-    merged = snap.alias("s").join(latest.alias("l"), "k", "full_outer")
-    return merged.filter(
-        F.coalesce(F.col("l.op"), F.lit("U")) != "D"
-    ).select(
+
+
+def apply_changelog(snapshot: DataFrame, latest: DataFrame) -> DataFrame:
+    """MERGE a compacted changelog into a (k, bal_cents) snapshot with a
+    full-outer join on the key: untouched rows are kept, delete keys
+    vanish, known keys update, unknown keys insert."""
+    merged = snapshot.alias("s").join(latest.alias("l"), "k", "full_outer")
+    return merged.filter(F.coalesce(F.col("l.op"), F.lit("U")) != "D").select(
         "k",
         F.when(F.col("l.op").isNull(), F.col("s.bal_cents"))
         .otherwise(F.col("l.new_bal_cents"))
@@ -94,6 +80,31 @@ def cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("updated"))
         .alias("action"),
     )
+
+
+@register("cdc_merge_snapshot", oracle=_CDC_MERGE_ORACLE)
+def cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a keyed changelog to a snapshot — the MERGE INTO shape the
+    reference's install phase approximates without deletes (ref delete is
+    an empty stub, src/cuda/hashTable.cuh:112-114). The changelog (events
+    keyed by user_id; 'error' rows are deletes, everything else an upsert
+    carrying a new balance in integer cents) is compacted with
+    ``compact_changelog`` over a (ts, event_id) total order, then merged
+    via ``apply_changelog``. Integer cents both sides keep the hash
+    bit-exact. Property-tested against a pure-Python oracle on random
+    changelogs (tests/test_cdc_hypothesis.py)."""
+    ev = t(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.col("user_id").alias("k"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("new_bal_cents"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("ver"),
+    )
+    snap = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("bal_cents"),
+    )
+    return apply_changelog(snap, compact_changelog(changelog))
 
 
 @register(
