@@ -238,3 +238,63 @@ def text_lift_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_ppm").desc(), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+      FROM events GROUP BY user_id
+    ),
+    tri AS (
+      SELECT types[i] || '>' || types[i + 1] || '>' || types[i + 2] AS path
+      FROM seqs, unnest(range(1, len(types) - 1)) AS t(i)
+      WHERE len(types) >= 3
+    )
+    SELECT path, count(*) AS n_paths
+    FROM tri GROUP BY path
+    ORDER BY n_paths DESC, path
+    LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining / path analysis: the 20 most common 3-step
+    event-type paths across all user journeys (sliding trigrams over each
+    user's time-ordered event sequence). One user_id shuffle builds the
+    ordered sequences (sort_array over collected structs — partial
+    collect_list combines map-side); trigram expansion is a narrow
+    higher-order-function transform (no UDF), and the final count shuffles
+    only (path, count) pairs. The grouped-sequence shape caps per-user
+    state at journey length — at 100 TB, bound it with a time window the
+    same way the sessionizer does."""
+    e = t(spark, sf_dir, "events")
+    seqs = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias(
+            "evs"
+        )
+    )
+    types = F.col("evs").getField("event_type")
+    tri = seqs.select(
+        F.when(
+            F.size(types) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(types) - F.lit(3)),
+                lambda i: F.concat_ws(
+                    ">",
+                    F.element_at(types, i + 1),
+                    F.element_at(types, i + 2),
+                    F.element_at(types, i + 3),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("paths")
+    )
+    return (
+        tri.select(F.explode("paths").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "path")
+        .limit(20)
+    )
