@@ -173,3 +173,86 @@ def quality_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (column_name, n_rows, n_null, n_distinct)"
         )
     )
+
+
+@register(
+    "quality_drift_ppm",
+    oracle="""
+    WITH med AS (
+      SELECT median(epoch_us(ts)) AS m FROM events
+    ),
+    halves AS (
+      SELECT event_type,
+             count(CASE WHEN epoch_us(ts) <  m THEN 1 END) AS n_early,
+             count(CASE WHEN epoch_us(ts) >= m THEN 1 END) AS n_late
+      FROM events, med GROUP BY event_type
+    ),
+    tot AS (
+      SELECT sum(n_early) AS te, sum(n_late) AS tl FROM halves
+    )
+    SELECT event_type, n_early, n_late,
+           CAST(n_early * 1000000 // te AS BIGINT) AS early_ppm,
+           CAST(n_late * 1000000 // tl AS BIGINT) AS late_ppm,
+           abs(CAST(n_early * 1000000 // te AS BIGINT)
+               - CAST(n_late * 1000000 // tl AS BIGINT)) AS drift_ppm
+    FROM halves, tot
+    """,
+)
+def quality_drift_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset drift detection: per-category frequency shift between the
+    early and late halves of the stream (split at the median event
+    micro-timestamp), in integer parts-per-million — the monitoring primitive that catches a
+    source changing under a training pipeline. One conditional-agg scan
+    builds both halves' counts; the totals ride a 1-row broadcast cross
+    join; integer ppm (floor division) keeps the oracle hash bit-exact
+    where float proportions would drift. At 100 TB the same shape compares
+    any two snapshots/partitions without a shuffle of raw rows."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    med = e.select(F.median(us).alias("m"))
+    halves = (
+        e.join(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(us < F.col("m"), 1)).alias("n_early"),
+            F.count(F.when(us >= F.col("m"), 1)).alias("n_late"),
+        )
+    )
+    tot = halves.agg(
+        F.sum("n_early").alias("te"), F.sum("n_late").alias("tl")
+    )
+    j = halves.join(F.broadcast(tot))
+    early_ppm = F.expr("n_early * 1000000 div te")
+    late_ppm = F.expr("n_late * 1000000 div tl")
+    return j.select(
+        "event_type",
+        "n_early",
+        "n_late",
+        early_ppm.alias("early_ppm"),
+        late_ppm.alias("late_ppm"),
+        F.abs(early_ppm - late_ppm).alias("drift_ppm"),
+    )
+
+
+@register("agg_freq_items")  # Karp-style approximate sketch → rows-only
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters over a 1%-support threshold via
+    ``DataFrame.freqItems`` (Karp/Shenker/Papadimitriou counter sketch):
+    single pass, fixed memory, partition-mergeable — the streaming-
+    friendly complement to exact groupBy counts when the key domain is
+    huge. May over-report (false positives) but never misses a true
+    >1%-frequency item — the inclusion guarantee the invariant test
+    asserts against exact counts. Output is the flattened item list, one
+    row per candidate heavy hitter."""
+    # Hot head + long tail: line 1 of every order folds to bucket -1
+    # (~25% of rows — the one true heavy hitter); the rest spread over
+    # ~4096 cold buckets of <0.1% each.
+    li = t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_linenumber") == 1, F.lit(-1))
+        .otherwise(F.col("l_orderkey") % 4096)
+        .alias("bucket")
+    )
+    freq = li.freqItems(["bucket"], support=0.01)
+    return freq.select(
+        F.explode(F.sort_array(F.col("bucket_freqItems"))).alias("bucket")
+    )

@@ -142,3 +142,25 @@ def test_zorder_files_cover_small_boxes(spark):
     # mean per-file box area must be a small fraction of the domain area
     mean_area = sum(r["p_span"] * r["s_span"] for r in per_file) / len(per_file)
     assert mean_area < 0.25 * dom["p"] * dom["s"], mean_area / (dom["p"] * dom["s"])
+
+
+def test_freq_items_inclusion_guarantee(spark):
+    """The sketch may over-report but must NEVER miss a true heavy
+    hitter: every bucket with exact frequency > 1% appears in the
+    result, and the candidate list stays sketch-sized (≲ 1/support)."""
+    from bishe_gpu_database_spark.operators.quality import agg_freq_items
+
+    got = {r["bucket"] for r in agg_freq_items(spark, SF_SMALL).collect()}
+    li = t(spark, SF_SMALL, "lineitem").select(
+        F.when(F.col("l_linenumber") == 1, F.lit(-1))
+        .otherwise(F.col("l_orderkey") % 4096)
+        .alias("bucket")
+    )
+    n = li.count()
+    exact_hh = {
+        r["bucket"]
+        for r in li.groupBy("bucket").count().filter(F.col("count") > 0.01 * n).collect()
+    }
+    assert exact_hh <= got
+    assert -1 in exact_hh  # the constructed hot head really is hot
+    assert len(got) <= 400  # sketch-bounded, not the full 4096-bucket tail
