@@ -421,3 +421,54 @@ def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("was_clustered", F.lit(False)).alias("was_clustered"),
         )
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+             AS containment
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup by shingle CONTAINMENT (|A∩B| / min(|A|,|B|) ≥
+    0.5) — catches a short document embedded in a long one, which Jaccard
+    structurally misses (the union term drowns the overlap when sizes
+    differ). The LLM-corpus case is boilerplate-wrapped reposts and
+    quote-heavy pages. Same inverted-index join as dedup_ngram_jaccard —
+    shuffle on shingle, per-pair count, broadcast size join — only the
+    normalizer changes, so the scale contract is identical."""
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sh = toks.select("doc_id", F.explode(shingles_of(F.col("toks"))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("n_inter").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(cont >= 0.5)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
