@@ -18,6 +18,15 @@ from pyspark.sql import functions as F
 N_VALUE_FIELDS = 10  # ycsb::Value's char[10][10] (ref: src/cuda/kv.cuh:48-63)
 
 
+def _parts(spark: SparkSession, n_rows: int, per_part: int = 512) -> int:
+    """Partition count sized to the data: tiny batches (the reference's
+    200-txn capacity, ref: src/database/ycsb/TransctionManager.cuh:15)
+    plan a handful of tasks instead of one per core — per-epoch job
+    latency is task overhead, not compute, at batch scale. Values are
+    partition-invariant so this never affects results."""
+    return max(1, min(spark.sparkContext.defaultParallelism, n_rows // per_part))
+
+
 def _h48(*cols) -> F.Column:
     """48-bit deterministic hash of the concatenated inputs (portable)."""
     return F.conv(F.substring(F.md5(F.concat_ws("|", *cols)), 1, 12), 16, 10).cast("bigint")
@@ -31,7 +40,9 @@ def value_field(tag: F.Column, j: int) -> F.Column:
 def gen_kv(spark: SparkSession, n_keys: int, seed: str = "kv0") -> DataFrame:
     """The keyed table: k ∈ 1…n_keys (0 is the reference's tombstone,
     ref: src/cuda/hashTable.cuh:12), f0…f9 deterministic 10-char strings."""
-    df = spark.range(1, n_keys + 1).select(F.col("id").alias("k"))
+    df = spark.range(1, n_keys + 1, 1, _parts(spark, n_keys)).select(
+        F.col("id").alias("k")
+    )
     tag = F.concat_ws("_", F.lit(seed), F.col("k"))
     return df.select(
         "k", *[value_field(tag, j).alias(f"f{j}") for j in range(N_VALUE_FIELDS)]
@@ -49,7 +60,9 @@ def gen_ops(
     """One transaction batch in exploded per-op form (FIXTURES.md ycsb_ops):
     tid, seq, k, is_update, new_f0…new_f9 (staged write value, pre-drawn so
     retries re-stage the same bytes)."""
-    txns = spark.range(1, n_txns + 1).select(F.col("id").alias("tid"))
+    txns = spark.range(1, n_txns + 1, 1, _parts(spark, n_txns * max_ops)).select(
+        F.col("id").alias("tid")
+    )
     op_count = _h48(F.lit(seed), F.lit("cnt"), F.col("tid")) % (max_ops + 1)
     ops = (
         txns.withColumn("seq", F.explode(F.sequence(F.lit(0), op_count.cast("int") - 1)))
