@@ -485,3 +485,52 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zkey").alias("min_zkey"),
         F.max("zkey").alias("max_zkey"),
     )
+
+
+@register(
+    "source_json_corrupt_records",
+    oracle="""
+    SELECT count(CASE WHEN event_id % 17 = 3 THEN 1 END) AS n_corrupt,
+           count(CASE WHEN event_id % 17 <> 3 THEN 1 END) AS n_valid,
+           sum(CASE WHEN event_id % 17 <> 3 THEN user_id END) AS valid_user_sum
+    FROM events
+    """,
+)
+def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input resilience — the ingestion reality of any 100 TB
+    crawl: a JSON-lines copy of events where every 17th record (event_id %
+    17 == 3) is written truncated mid-object, read back in PERMISSIVE mode
+    with a ``_corrupt_record`` column. Bad rows quarantine instead of
+    failing the job; the result proves corrupt and valid counts partition
+    the file exactly and the valid payload survives intact. The oracle
+    derives the same counts from the clean fixture — the corruption is
+    deterministic, so the quarantine set is too. (FAILFAST / DROPMALFORMED
+    are the same reader one option away.)"""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    base = t(spark, sf_dir, "events").select("event_id", "user_id")
+    path = os.path.join(
+        _SCRATCH, f"events_corrupt_json_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        line = F.when(
+            F.col("event_id") % 17 == 3,
+            # truncated mid-object: unparseable, deterministically
+            F.concat(F.lit('{"event_id": '), F.col("event_id"), F.lit(', "user_')),
+        ).otherwise(F.to_json(F.struct("event_id", "user_id")))
+        base.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+    corrupt = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.count(F.when(corrupt, 1)).alias("n_corrupt"),
+        F.count(F.when(~corrupt, 1)).alias("n_valid"),
+        F.sum(F.when(~corrupt, F.col("user_id"))).alias("valid_user_sum"),
+    )
