@@ -164,3 +164,17 @@ def test_freq_items_inclusion_guarantee(spark):
     assert exact_hh <= got
     assert -1 in exact_hh  # the constructed hot head really is hot
     assert len(got) <= 400  # sketch-bounded, not the full 4096-bucket tail
+
+
+def test_kmeans_sse_monotone_nonincreasing(spark):
+    """Lloyd's guarantee: within-cluster SSE never increases across
+    iterations, and every cell stays populated."""
+    from bishe_gpu_database_spark.operators.similarity import ann_kmeans_train
+
+    rows = sorted(
+        ann_kmeans_train(spark, SF_SMALL).collect(), key=lambda r: r["iteration"]
+    )
+    assert len(rows) == 3
+    for a, b in zip(rows, rows[1:]):
+        assert b["sse"] <= a["sse"] + 1e-6
+    assert all(r["n_cells"] == 8 for r in rows)
