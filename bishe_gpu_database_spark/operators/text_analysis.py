@@ -382,3 +382,35 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
         )
     )
+
+
+@register(
+    "text_hashing_features",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tk FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           ('0x' || substr(md5(tk), 1, 12))::BIGINT % 256 AS bucket,
+           count(*) AS tf
+    FROM tok
+    WHERE len(tk) > 0
+    GROUP BY doc_id, bucket
+    """,
+)
+def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (HashingTF): tokens fold into a fixed 256-bucket
+    feature space via the portable md5-48 hash — the vocabulary-free
+    featurizer that never needs a fitted dictionary, so at 100 TB there is
+    no vocab build pass and no OOV: tokenize → hash → per-(doc, bucket)
+    count is a narrow map plus ONE aggregate whose key is (doc_id, int),
+    never a string. Output restricted to doc_id < 50 to keep the gate
+    result bounded; the bucket arithmetic is hash-checked bit-for-bit."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tk")
+    ).filter(F.length("tk") > 0)
+    bucket = F.pmod(h48(F.col("tk")), F.lit(256))
+    return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
