@@ -345,3 +345,72 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "events_funnel3",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t1 AS signup_ts, s2.t2 AS click_ts,
+           s3.t3 AS purchase_ts,
+           1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+             AS steps_reached
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def events_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ordered funnel (signup → click → purchase, each step
+    strictly after the previous step's FIRST occurrence) — the k-step
+    generalization of events_funnel: step k is a min-aggregate over
+    events gated by step k-1's timestamp, so a k-step funnel is k chained
+    (join + min-agg) pairs ALL partitioned on user_id — one logical
+    shuffle regardless of k. steps_reached gives the funnel drop-off
+    histogram the product dashboard plots."""
+    e = t(spark, sf_dir, "events")
+
+    def first_after(step_type: str, prev: DataFrame, prev_ts: str, out: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == step_type)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after("click", s1, "t1", "t2")
+    s3 = first_after("purchase", s2, "t2", "t3")
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1").alias("signup_ts"),
+            F.col("t2").alias("click_ts"),
+            F.col("t3").alias("purchase_ts"),
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).alias("steps_reached"),
+        )
+    )
