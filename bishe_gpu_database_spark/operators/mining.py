@@ -298,3 +298,47 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), "path")
         .limit(20)
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH steps AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    cnt AS (
+      SELECT src, dst, count(*) AS n_trans
+      FROM steps WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n_trans,
+           CAST(n_trans * 1000000 // sum(n_trans) OVER (PARTITION BY src) AS BIGINT)
+             AS p_ppm
+    FROM cnt
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys: for every
+    (src, dst) event-type pair, the transition count and probability in
+    integer ppm (exact integer division — no float hashing hazard). The
+    per-user ordering is one lead() window over a single user_id shuffle;
+    the count aggregation shuffles only (src, dst) pairs, and the ppm
+    normalization is a window over the tiny src-keyed result. At 100 TB
+    the user_id shuffle is the only data-sized exchange, identical to the
+    sessionizer's — bound per-user state with a time window if journeys
+    are unbounded."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        F.col("event_type").alias("src"), F.lead("event_type").over(w).alias("dst")
+    )
+    cnt = (
+        steps.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    return cnt.withColumn(
+        "p_ppm",
+        F.expr("n_trans * 1000000 DIV sum(n_trans) OVER (PARTITION BY src)"),
+    )

@@ -348,3 +348,46 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(F.col("uniq_ratio") < 0.45).alias("n_repetitive"),
         cnt(ok).alias("n_accepted"),
     )
+
+
+@register(
+    "pipeline_length_buckets",
+    oracle="""
+    WITH tk AS (
+      SELECT len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS n
+      FROM documents
+    )
+    SELECT CAST(power(2, floor(log2(n))) AS BIGINT) AS bucket_len,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           max(n) AS max_tokens,
+           CAST((count(*) * max(n) - sum(n)) * 1000000 // (count(*) * max(n)) AS BIGINT)
+             AS pad_waste_ppm
+    FROM tk GROUP BY bucket_len
+    """,
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length bucketing for training-batch assembly: docs grouped
+    into power-of-two length buckets (the standard length-bucketed
+    batching that keeps padding waste bounded), reporting per bucket the
+    doc count, total tokens, bucket max, and the padding waste (in integer
+    ppm) of padding every doc to the bucket's observed max. log2/power on
+    small integers is exact in doubles, so the bucket id hashes
+    identically cross-engine. One narrow map computes lengths; the only
+    shuffle carries (bucket, partial-agg) pairs — a handful of rows no
+    matter the corpus size."""
+    d = t(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text")))
+    tk = d.select(n.alias("n"))
+    b = tk.withColumn(
+        "bucket_len", F.pow(F.lit(2), F.floor(F.log2("n"))).cast("bigint")
+    )
+    return b.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("sum_tokens"),
+        F.max("n").cast("bigint").alias("max_tokens"),
+        F.expr(
+            "(count(1) * max(n) - sum(n)) * 1000000 DIV (count(1) * max(n))"
+        ).alias("pad_waste_ppm"),
+    )

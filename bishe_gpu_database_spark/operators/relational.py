@@ -29,15 +29,33 @@ from bishe_gpu_database_spark.registry import register
 D12 = "decimal(12,4)"
 
 
+def events_ts_to_micros(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` across fixture generations: the column has
+    been written both as parquet TIMESTAMP(NANOS) — which Spark's
+    vectorized reader rejects, so it arrives as raw nanos under
+    ``legacy.parquet.nanosAsLong`` — and as TIMESTAMP(MICROS), which reads
+    natively. Floor-convert the nanos form to microseconds (exactly what
+    DuckDB's reader does) so both engines see identical timestamps either
+    way."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(dt, TimestampNTZType):
+        # Watermarks/window() require TIMESTAMP; under the engine's fixed
+        # UTC session timezone the cast is value-preserving and matches
+        # what timestamp_micros produced for the nanos generation.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _raw_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """The fixture parquet as-is. ``events.ts`` is parquet
-    TIMESTAMP(NANOS), which Spark's vectorized reader rejects; read it as
-    raw nanos and floor-convert to microseconds — exactly what DuckDB's
-    reader does — so both engines see identical timestamps."""
+    """The fixture parquet as-is (``events.ts`` normalized to micros)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return events_ts_to_micros(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -55,7 +73,12 @@ def _relayout_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     base = os.path.join(tempfile.gettempdir(), "bishe_spark_scratch")
     os.makedirs(base, exist_ok=True)
-    path = os.path.join(base, f"relayout_{sf_tag}_{name}")
+    # Key the scratch copy to the source file's (size, mtime): the driver
+    # regenerates fixtures between rounds, and a stale re-layout of an old
+    # generation must miss, not silently serve old data.
+    st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+    fp = f"{st.st_size}_{st.st_mtime_ns}"
+    path = os.path.join(base, f"relayout_{sf_tag}_{name}_{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         n = spark.sparkContext.defaultParallelism
         tmp = tempfile.mkdtemp(prefix=f"relayout_{sf_tag}_{name}_", dir=base)

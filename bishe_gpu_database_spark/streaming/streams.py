@@ -36,8 +36,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(path, link)
     raw = spark.readStream.schema(schema).format("parquet").load(stream_dir)
-    # ts arrives as raw nanos (see operators.relational.t) → micros timestamp.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # ts may arrive as raw nanos or a native micros timestamp depending on
+    # the fixture generation — normalize (see operators.relational).
+    from bishe_gpu_database_spark.operators.relational import events_ts_to_micros
+
+    return events_ts_to_micros(raw)
 
 
 def tumbling_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from bishe_gpu_database_spark.aria.workload import gen_kv, gen_ops, kv_checksum
+from bishe_gpu_database_spark.operators import relational
 from bishe_gpu_database_spark.streaming import streams
 from bishe_gpu_database_spark.streaming.batch_twins import stream_tumbling_window
 from tests.conftest import SF_SMALL
@@ -35,8 +36,8 @@ def test_tumbling_stream_equals_batch_twin(spark):
     # Append mode emits a window only once the watermark passes its end;
     # the window containing the final event never closes — exclude it.
     max_ts = (
-        spark.read.parquet(f"{SF_SMALL}/events.parquet")
-        .select(F.timestamp_micros(F.expr("max(ts) DIV 1000")).alias("m"))
+        relational.events_ts_to_micros(spark.read.parquet(f"{SF_SMALL}/events.parquet"))
+        .select(F.max("ts").alias("m"))
         .collect()[0]["m"]
     )
     batch = (
@@ -128,9 +129,7 @@ def test_stream_stream_interval_join_matches_batch(spark):
     ).select("event_id", "c_ts")
     got = _drain_to_rows(spark, joined, "ssjoin_test")
 
-    e = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    e = relational.events_ts_to_micros(spark.read.parquet(f"{SF_SMALL}/events.parquet"))
     bc = e.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("cu"), F.col("ts").alias("c_ts")
     )
