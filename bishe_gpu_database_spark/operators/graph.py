@@ -94,14 +94,20 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node_id"), F.lit(_UNIT).cast("long").alias("pr")
     )
     for _ in range(_ITERS):
+        # ranks/msgs are node-cardinality (orders of magnitude below the
+        # edge count), but they sit behind joins Catalyst can't size — so
+        # broadcast explicitly: the edge table never shuffles, and each
+        # iteration costs one map-side join + one partial-agg'd shuffle of
+        # (dst, contrib) pairs. At 100 TB node counts can exceed broadcast
+        # range; then drop these hints and pre-partition edges by src.
         msgs = (
-            ewd.join(ranks, ewd.src == ranks.node_id)
+            ewd.join(F.broadcast(ranks), ewd.src == ranks.node_id)
             .select("dst", F.expr("pr div outdeg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("contrib"))
         )
         ranks = (
-            ranks.join(msgs, ranks.node_id == msgs.dst, "left")
+            ranks.join(F.broadcast(msgs), ranks.node_id == msgs.dst, "left")
             .select(
                 "node_id",
                 (

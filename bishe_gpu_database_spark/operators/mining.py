@@ -313,7 +313,8 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM steps WHERE dst IS NOT NULL GROUP BY src, dst
     )
     SELECT src, dst, n_trans,
-           CAST(n_trans * 1000000 // sum(n_trans) OVER (PARTITION BY src) AS BIGINT)
+           CAST(CAST(n_trans AS HUGEINT) * 1000000
+                // CAST(sum(n_trans) OVER (PARTITION BY src) AS HUGEINT) AS BIGINT)
              AS p_ppm
     FROM cnt
     """,
@@ -338,7 +339,14 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_trans"))
     )
+    # DECIMAL(38,0) intermediate: n_trans*1e6 wraps int64 once one (src,dst)
+    # count passes ~9.2e12; with ANSI off Spark would wrap silently while
+    # DuckDB errors — the decimal route holds at the 100 TB design point.
     return cnt.withColumn(
         "p_ppm",
-        F.expr("n_trans * 1000000 DIV sum(n_trans) OVER (PARTITION BY src)"),
+        F.expr(
+            "CAST(CAST(n_trans AS DECIMAL(38,0)) * 1000000"
+            "     DIV CAST(sum(n_trans) OVER (PARTITION BY src) AS DECIMAL(38,0))"
+            "     AS BIGINT)"
+        ),
     )

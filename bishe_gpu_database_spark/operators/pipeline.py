@@ -362,7 +362,9 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            CAST(sum(n) AS BIGINT) AS sum_tokens,
            max(n) AS max_tokens,
-           CAST((count(*) * max(n) - sum(n)) * 1000000 // (count(*) * max(n)) AS BIGINT)
+           CAST((CAST(count(*) AS HUGEINT) * max(n) - CAST(sum(n) AS HUGEINT))
+                  * 1000000
+                // (CAST(count(*) AS HUGEINT) * max(n)) AS BIGINT)
              AS pad_waste_ppm
     FROM tk GROUP BY bucket_len
     """,
@@ -387,7 +389,12 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n").cast("bigint").alias("sum_tokens"),
         F.max("n").cast("bigint").alias("max_tokens"),
+        # DECIMAL(38,0) intermediate: count*max*1e6 exceeds int64 once a
+        # bucket's padded-token total passes ~9.2e12 (reachable at 100 TB);
+        # with ANSI off Spark would wrap silently while DuckDB errors.
         F.expr(
-            "(count(1) * max(n) - sum(n)) * 1000000 DIV (count(1) * max(n))"
+            "CAST((CAST(count(1) AS DECIMAL(38,0)) * max(n)"
+            "      - CAST(sum(n) AS DECIMAL(38,0))) * 1000000"
+            "     DIV (CAST(count(1) AS DECIMAL(38,0)) * max(n)) AS BIGINT)"
         ).alias("pad_waste_ppm"),
     )

@@ -50,13 +50,33 @@ def events_ts_to_micros(df: DataFrame) -> DataFrame:
     return df
 
 
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP. The fixtures carry
+    tz-less parquet timestamps, which Spark reads as NTZ while DuckDB
+    treats them as plain timestamps; under the engine's fixed UTC session
+    timezone the cast is value-preserving, and it keeps the whole surface
+    on one timestamp type (watermarks, window(), unix_micros all require
+    TIMESTAMP, and mixed-type comparisons would otherwise lurk)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    casts = [
+        F.col(f.name).cast("timestamp").alias(f.name)
+        if isinstance(f.dataType, TimestampNTZType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    if any(isinstance(f.dataType, TimestampNTZType) for f in df.schema.fields):
+        return df.select(casts)
+    return df
+
+
 def _raw_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """The fixture parquet as-is (``events.ts`` normalized to micros)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         return events_ts_to_micros(df)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _ntz_to_ltz(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
 # Tables worth re-laying out: the fixture files are single-row-group, so
@@ -91,7 +111,23 @@ def _relayout_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(path)
+        # Purge superseded generations: the driver regenerates fixtures
+        # between rounds, and each regeneration changes the fingerprint —
+        # without this sweep every round strands a full parquet copy of
+        # the fact tables per sf under the scratch root.
+        import glob as _glob
+        import shutil as _shutil
+
+        for old in _glob.glob(os.path.join(base, f"relayout_{sf_tag}_{name}_*")):
+            if old != path:
+                _shutil.rmtree(old, ignore_errors=True)
+    df = spark.read.parquet(path)
+    # Scratch copies published by earlier engine versions may carry the
+    # raw NTZ/nanos ts; normalize on read too so the contract ("t() hands
+    # out TIMESTAMP micros") holds regardless of who wrote the copy.
+    if name == "events":
+        df = events_ts_to_micros(df)
+    return _ntz_to_ltz(df)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1198,7 +1234,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            count(*) OVER w AS n_last_hour,
-           sum(CAST(round(value * 100) AS BIGINT)) OVER w AS cents_last_hour
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS cents_last_hour
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
@@ -1380,7 +1417,15 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy set by the third argument. Sketches merge associatively, so
     the shuffle carries one bounded sketch per group per map task."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("price_pcts"),
-        F.count(F.lit(1)).alias("n_items"),
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("_pcts"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            "l_returnflag",
+            F.col("_pcts")[0].alias("price_p50"),
+            F.col("_pcts")[1].alias("price_p95"),
+            F.col("_pcts")[2].alias("price_p99"),
+            "n_items",
+        )
     )
