@@ -389,3 +389,162 @@ def agg_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", F.col("event_type").alias("mode_event_type"), "n")
     )
+
+
+@register(
+    "window_value_funcs",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w2 AS last_type,
+           nth_value(event_type, 2) OVER w2 AS second_type,
+           round(percent_rank() OVER
+                 (PARTITION BY user_id ORDER BY value, event_id), 6)
+             AS value_pct_rank
+    FROM events
+    WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions: first_value / last_value / nth_value over
+    the full partition frame plus percent_rank — the analytic-catalogue
+    rows the ranking/lag queries don't cover. last_value and nth_value
+    need the explicit UNBOUNDED FOLLOWING frame (the default frame stops
+    at CURRENT ROW in both engines). One user_id shuffle serves all four
+    — the windows share partitioning and sort, so Catalyst evaluates them
+    in a single Window node pair over one sort."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    wp = W.partitionBy("user_id").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w2).alias("last_type"),
+        F.nth_value("event_type", 2).over(w2).alias("second_type"),
+        F.round(F.percent_rank().over(wp), 6).alias("value_pct_rank"),
+    )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmaps: keys bucketed into 32k-bit
+    bitmap segments (bitmap_bucket_number), each segment OR-merged with
+    bitmap_construct_agg, popcounts summed. Semantically identical to
+    count(DISTINCT) — the oracle IS count(DISTINCT) — but the shuffle
+    carries fixed-size bitmap segments instead of every distinct key:
+    at 100 TB a dense int key domain compresses ~200x vs exact-distinct's
+    key re-shuffle, with none of approx_count_distinct's error."""
+    li = t(spark, sf_dir, "lineitem")
+    seg = li.groupBy(
+        "l_returnflag", F.bitmap_bucket_number(F.col("l_partkey")).alias("_bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(F.col("l_partkey"))).alias("_bm"))
+    return seg.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("_bm")).cast("bigint").alias("n_distinct_parts")
+    )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL functions over a synthesized url column: parse_url HOST / PATH
+    / QUERY:key — the canonical-URL primitive under web-corpus dedup
+    (DuckDB lacks parse_url, so the oracle uses the equivalent regexes).
+    Pure codegen'd string ops, no shuffle at all."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@register(
+    "fn_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           -- day-add via DATE+int: DuckDB v1.0 merges two distinct
+           -- INTERVAL constants projected over one scan (CSE bug — both
+           -- became +90 days), so only ONE interval literal may appear
+           CAST(CAST(o_orderdate AS DATE) + 90 AS TIMESTAMP) AS promised_by,
+           o_orderdate + INTERVAL '3 months' AS review_at,
+           datediff('day', o_orderdate, TIMESTAMP '1998-06-01') AS age_days,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+    FROM orders
+    """,
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval / date arithmetic: day and calendar-month addition (both
+    engines clamp month-end identically), day-boundary datediff, last_day,
+    quarter truncation. Map-only codegen; at scale these are the
+    partition-pruning expressions (date_trunc on a partition column folds
+    to a range predicate)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("promised_by"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("review_at"),
+        F.datediff(F.lit("1998-06-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("age_days"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter_start"),
+    )
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+           json_extract(props, '$.missing') IS NULL AS missing_absent
+    FROM events
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json into a real
+    VARIANT column, then typed variant_get extraction — the open-schema
+    alternative to from_json's fixed StructType (fn_json_schema_roundtrip)
+    when event payloads evolve. The variant never leaves the executors;
+    only extracted scalars ship, and at 100 TB the shredded binary
+    encoding scans far cheaper than repeated JSON string parsing."""
+    e = t(spark, sf_dir, "events")
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k_val"),
+        F.expr("variant_get(v, '$.k', 'string')").alias("k_str"),
+        F.expr("variant_get(v, '$.missing', 'string') IS NULL").alias("missing_absent"),
+    )

@@ -117,3 +117,41 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node_id", F.col("pr").alias("rank_units"))
+
+
+_ORACLE_RCTE = """
+    WITH RECURSIVE nxt AS (
+      SELECT n1.n_regionkey AS rk, n1.n_nationkey AS cur,
+             min(n2.n_nationkey) AS next_nk
+      FROM nation n1 LEFT JOIN nation n2
+        ON n2.n_regionkey = n1.n_regionkey
+       AND n2.n_nationkey > n1.n_nationkey
+      GROUP BY n1.n_regionkey, n1.n_nationkey
+    ),
+    start AS (
+      SELECT n_regionkey AS rk, min(n_nationkey) AS nk FROM nation GROUP BY 1
+    ),
+    walk AS (
+      SELECT rk, nk, 1 AS depth FROM start
+      UNION ALL
+      SELECT w.rk, x.next_nk, w.depth + 1
+      FROM walk w JOIN nxt x ON x.rk = w.rk AND x.cur = w.nk
+      WHERE x.next_nk IS NOT NULL
+    )
+    SELECT rk AS region_key, nk AS nation_key, depth FROM walk
+"""
+
+
+@register("graph_reachability_rcte", oracle=_ORACLE_RCTE)
+def graph_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk each region's nation
+    chain (successor = next-larger nationkey) from its smallest nation,
+    emitting depth — transitive traversal of unbounded depth that a fixed
+    JOIN pyramid cannot express. Each recursion step is one co-partitioned
+    join of the frontier against the successor map; the frontier shrinks
+    monotonically. dedup_clusters covers the set-stabilizing iterative
+    shape driver-side; this is the declarative-engine form."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("_rcte_nation")
+    return spark.sql(_ORACLE_RCTE.replace("nation n1", "_rcte_nation n1")
+                     .replace("nation n2", "_rcte_nation n2")
+                     .replace("FROM nation GROUP", "FROM _rcte_nation GROUP"))

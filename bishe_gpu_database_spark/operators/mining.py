@@ -350,3 +350,40 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     AS BIGINT)"
         ),
     )
+
+
+@register(
+    "events_cep_within",
+    oracle="""
+    SELECT event_id, user_id, preceded_by_error FROM (
+      SELECT event_id, user_id, event_type,
+             CAST(coalesce(max(CASE WHEN event_type = 'error' THEN 1 END)
+                             OVER w, 0) AS INT) AS preceded_by_error
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def events_cep_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing shape: flag every purchase preceded by an
+    error from the same user within 10 minutes ('A then B within T' — the
+    fraud/incident pattern). A time-RANGE window max replaces the naive
+    per-pair self-join: one user_id shuffle + one sort, O(events) instead
+    of O(events-per-user²), and the same plan holds at 100 TB because the
+    frame is evaluated in a single pass per partition. (Spark's DataFrame
+    rangeBetween is numeric-only, so the interval frame goes through the
+    SQL window clause.)"""
+    t(spark, sf_dir, "events").createOrReplaceTempView("_cep_events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, preceded_by_error FROM (
+          SELECT event_id, user_id, event_type,
+                 CAST(coalesce(max(CASE WHEN event_type = 'error' THEN 1 END)
+                                 OVER w, 0) AS INT) AS preceded_by_error
+          FROM _cep_events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+        ) WHERE event_type = 'purchase'
+        """
+    )

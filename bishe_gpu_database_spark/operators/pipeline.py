@@ -398,3 +398,86 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     DIV (CAST(count(1) AS DECIMAL(38,0)) * max(n)) AS BIGINT)"
         ).alias("pad_waste_ppm"),
     )
+
+
+@register(
+    "pipeline_global_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('epoch7:' || doc_id), 1, 12))::BIGINT AS skey
+      FROM documents
+    )
+    SELECT doc_id,
+           skey % 8 AS shard,
+           row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id)
+             AS pos_in_shard
+    FROM keyed
+    """,
+)
+def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle for training-data ordering:
+    every doc gets a portable 48-bit md5 key from (epoch seed, doc_id),
+    a shard by key mod N, and a position within its shard by key order —
+    a reproducible permutation any engine can re-derive. Deliberately NOT
+    a global row_number: a total order would serialize on one partition;
+    per-shard ordering is embarrassingly parallel and is what a sharded
+    training loader actually consumes. At 100 TB: one hash-partition
+    shuffle on shard, per-shard sort — no global bottleneck."""
+    d = t(spark, sf_dir, "documents")
+    skey = F.conv(
+        F.substring(F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = d.select("doc_id", skey.alias("skey"))
+    w = Window.partitionBy(F.col("skey") % 8).orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        (F.col("skey") % 8).alias("shard"),
+        F.row_number().over(w).alias("pos_in_shard"),
+    )
+
+
+@register(
+    "pipeline_balanced_shards",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rk
+      FROM sized
+    )
+    SELECT (rk - 1) % 8 AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           max(n_tokens) AS max_tokens
+    FROM ranked GROUP BY shard
+    """,
+)
+def pipeline_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment: rank docs by token count
+    descending, deal round-robin into 8 shards (longest-processing-time
+    heuristic — shard token totals stay within one max-doc of each
+    other), report per-shard load. The global rank is the scale caveat:
+    at 100 TB replace exact row_number with range partitioning on
+    n_tokens (sort-based binning), which this plan's shape anticipates —
+    the output contract (balanced shard loads) is unchanged. Result is 8
+    rows; the shuffle carries (shard, partials)."""
+    d = t(spark, sf_dir, "documents")
+    sized = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    rk = F.row_number().over(Window.orderBy(F.col("n_tokens").desc(), "doc_id"))
+    ranked = sized.withColumn("rk", rk)
+    return (
+        ranked.groupBy(((F.col("rk") - 1) % 8).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )

@@ -1429,3 +1429,39 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
     )
+
+
+@register(
+    "subquery_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_orderdate FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_orderdate DESC, o_orderkey
+      LIMIT 2
+    ) o
+    WHERE c.c_custkey < 50
+    """,
+)
+def subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: the two most recent orders per
+    customer written as a per-row dependent subquery (the form ORMs and
+    SQL users reach for) rather than a window. Catalyst de-correlates it
+    into a ranked join — same physical plan family as topk_per_group, so
+    the declarative form costs nothing at 100 TB; the oracle runs the
+    identical SQL."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_orderdate
+        FROM _lat_customer c, LATERAL (
+          SELECT o_orderkey, o_orderdate FROM _lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_custkey < 50
+        """
+    )

@@ -270,3 +270,35 @@ def stream_runtime_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bishe_gpu_database_spark.streaming.streams import run_sliding_runtime
 
     return run_sliding_runtime(spark, sf_dir)
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join: events enriched
+    with the customer dimension (broadcast — the dimension is loaded once
+    per executor and every micro-batch probes it map-side, no stream
+    shuffle), then per-segment totals in exact cents. The streaming
+    runtime (streams.enrich_stream) runs the same join on the file-replay
+    source; this twin is its oracle-checkable shape."""
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )

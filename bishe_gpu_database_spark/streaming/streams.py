@@ -284,3 +284,40 @@ def run_sliding_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join runtime: the event stream probes the static
+    customer dimension (broadcast hash join per micro-batch — the
+    canonical streaming-enrichment plan; the static side is re-resolved
+    per batch, the stream side never shuffles)."""
+    from bishe_gpu_database_spark.operators.relational import t
+
+    stream = events_stream(spark, sf_dir)
+    dim = t(spark, sf_dir, "customer")
+    return stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey
+    ).select("event_id", "user_id", "c_mktsegment", "value")
+
+
+def run_enrich_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the stream-static enrichment with availableNow and return
+    the emitted rows (append mode: an inner stream-static join emits each
+    event exactly once, so the drained sink equals the batch join)."""
+    import os
+
+    name = "stream_rt_enrich_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        enrich_stream(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

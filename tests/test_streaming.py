@@ -323,3 +323,18 @@ def test_transform_with_state_matches_batch(spark):
     )
     expect = {r["user_id"]: (r["n"], r["cents"]) for r in batch.collect()}
     assert latest == expect
+
+
+def test_stream_static_enrich_matches_batch_join(spark):
+    """The stream-static join runtime (file replay ⋈ broadcast customer)
+    emits exactly the batch inner join — per-event, not just aggregates."""
+    got = streams.run_enrich_runtime(spark, SF_SMALL)
+    e = relational.t(spark, SF_SMALL, "events")
+    c = relational.t(spark, SF_SMALL, "customer")
+    batch = e.join(c, e.user_id == c.c_custkey).select(
+        "event_id", "user_id", "c_mktsegment", "value"
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b
+    assert len(g) == batch.count()
