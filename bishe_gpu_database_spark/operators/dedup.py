@@ -472,3 +472,89 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.5)
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
     )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'https://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+               || 'cdn' || (doc_id % 4) || '.Example.COM/docs/' || (doc_id // 7)
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '/?utm_source=feed&utm_campaign=x&id=' || (doc_id // 7)
+                       ELSE '?id=' || (doc_id // 7) END
+               || CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(url),
+               '#.*$', ''),
+               'utm_[^&#]*&', '', 'g'),
+               '[?&]utm_[^&#]*$', ''),
+               '://www\\.', '://'),
+               '/\\?', '?') AS curl
+      FROM raw
+    )
+    SELECT curl AS canonical_url,
+           count(*) AS n_docs,
+           min(doc_id) AS keeper_doc_id
+    FROM canon
+    GROUP BY curl
+    HAVING count(*) > 1
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the web-crawl companion to content
+    dedup: the same page arrives under www./apex hosts, mixed case, utm_*
+    tracking params, and #fragments. Canonicalize (lowercase, strip
+    fragment, strip utm_* params, drop www., collapse the empty-path '/?')
+    and keep the min-doc_id fetch per canonical URL. All four rewrites are
+    codegen'd regexes — a narrow map — and the only shuffle carries the
+    canonical URL groups. (URLs are synthesized from the fixture
+    deterministically, same expression both engines, so the grouping is
+    hash-gated end-to-end.)"""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("cdn"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(".Example.COM/docs/"),
+        (F.col("doc_id") / 7).cast("bigint").cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("/?utm_source=feed&utm_campaign=x&id="),
+                (F.col("doc_id") / 7).cast("bigint").cast("string"),
+            ),
+        ).otherwise(
+            F.concat(F.lit("?id="), (F.col("doc_id") / 7).cast("bigint").cast("string"))
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(url), r"#.*$", ""),
+                    r"utm_[^&#]*&",
+                    "",
+                ),
+                r"[?&]utm_[^&#]*$",
+                "",
+            ),
+            r"://www\.",
+            "://",
+        ),
+        r"/\?",
+        "?",
+    )
+    return (
+        d.select("doc_id", curl.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
