@@ -548,3 +548,149 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(v, '$.k', 'string')").alias("k_str"),
         F.expr("variant_get(v, '$.missing', 'string') IS NULL").alias("missing_absent"),
     )
+
+
+@register(
+    "agg_linreg_exact",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*)::HUGEINT AS n,
+             sum(CAST(l_quantity AS BIGINT))::HUGEINT AS sx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT))::HUGEINT AS sy,
+             sum(CAST(l_quantity AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT))::HUGEINT AS sxy,
+             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))::HUGEINT AS sxx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT))::HUGEINT AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_items,
+           round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+             AS slope_cents_per_qty,
+           round(CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+             AS intercept_cents,
+           round(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+             AS corr_xy
+    FROM m
+    """,
+)
+def agg_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares regression (price-cents on
+    quantity) + Pearson correlation from EXACT integer moments: the five
+    sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate as wide
+    decimals — order-independent, partition-count-independent — and each
+    result is ONE double division over identical integers on both
+    engines. This is how regression runs at 100 TB: the shuffle carries
+    six numbers per group (a mergeable moment sketch), never the points;
+    Spark's builtin regr_slope/corr float-accumulate and would differ in
+    the last ulp under re-partitioning, so they could not be hash-gated.
+    Σy² exceeds int64 by sf0.1 — the moment sums go through DECIMAL(38,0)
+    (HUGEINT in the oracle), the overflow class round 1's ADVICE flagged."""
+    D38 = "decimal(38,0)"
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum(x.cast(D38)).alias("sx"),
+        F.sum(y.cast(D38)).alias("sy"),
+        F.sum((x * y).cast(D38)).alias("sxy"),
+        F.sum((x * x).cast(D38)).alias("sxx"),
+        F.sum((y * y).cast(D38)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    inum = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_items"),
+        F.round(num / den, 6).alias("slope_cents_per_qty"),
+        F.round(inum / den, 6).alias("intercept_cents"),
+        F.round(num / F.sqrt(den * den_y), 6).alias("corr_xy"),
+    )
+
+
+@register(
+    "fn_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                    * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+                AS DOUBLE) AS revenue_units,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDF (Spark 4 `CREATE FUNCTION … RETURN expr`): the
+    discounted-revenue formula is defined ONCE as a catalog object and
+    reused by name — unlike a Python UDF the body is inlined into the
+    plan at analysis time, so it codegens with the query, pushes down,
+    and costs nothing at 100 TB (this is the right way to share business
+    logic across queries; Python UDFs are for logic SQL cannot express).
+    Exact integer units (cents × discount basis points) summed as
+    DECIMAL, so the result hash-gates cross-engine."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_sqludf_lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION rev_units(price DOUBLE, disc DOUBLE)
+        RETURNS DECIMAL(38,0)
+        RETURN CAST(CAST(round(price * 100) AS BIGINT) AS DECIMAL(38,0))
+               * (10000 - CAST(round(disc * 10000) AS BIGINT))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(rev_units(l_extendedprice, l_discount)) AS DOUBLE)
+                 AS revenue_units,
+               count(*) AS n_items
+        FROM _sqludf_lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "fn_sql_table_udf",
+    oracle="""
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '1996-01-01',
+                                    TIMESTAMP '1998-12-01',
+                                    INTERVAL 1 MONTH)) AS mon
+    )
+    SELECT s.mon, count(o.o_orderkey) AS n_orders
+    FROM spine s LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = s.mon
+    GROUP BY s.mon
+    """,
+)
+def fn_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL table function (Spark 4 `CREATE FUNCTION … RETURNS TABLE`):
+    a reusable month-spine generator invoked in the FROM clause, left-
+    joined against orders so empty months survive — the declarative twin
+    of timeseries_gap_fill's dense-spine pattern. The spine is generated
+    from metadata (36 rows regardless of data size) and the join is the
+    only shuffle; the function body inlines into the plan like any view."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_sqltf_orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION month_spine(y0 INT, y1 INT)
+        RETURNS TABLE(mon TIMESTAMP)
+        RETURN SELECT explode(sequence(make_timestamp(y0, 1, 1, 0, 0, 0),
+                                       make_timestamp(y1, 12, 1, 0, 0, 0),
+                                       interval '1' month)) AS mon
+        """
+    )
+    return spark.sql(
+        """
+        SELECT s.mon, count(o.o_orderkey) AS n_orders
+        FROM month_spine(1996, 1998) s
+        LEFT JOIN _sqltf_orders o ON date_trunc('month', o.o_orderdate) = s.mon
+        GROUP BY s.mon
+        """
+    )

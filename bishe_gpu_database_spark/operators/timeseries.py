@@ -414,3 +414,72 @@ def events_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("steps_reached"),
         )
     )
+
+
+@register(
+    "timeseries_ewma_halflife",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    win AS (
+      SELECT event_id, user_id,
+             list_reverse(list(cents) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) AS w
+      FROM c
+    )
+    SELECT event_id, user_id,
+           CAST(len(w) AS INT) AS n_window,
+           CAST(list_sum(list_transform(generate_series(1, len(w)),
+             i -> w[i] * CASE WHEN i < len(w) THEN (1::BIGINT << (7 - i))
+                              ELSE (1::BIGINT << (8 - len(w))) END))
+             AS BIGINT) AS ewma_cents_x128
+    FROM win
+    """,
+)
+def timeseries_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average with half-life decay
+    (alpha = 1/2) over each user's trailing 8 events — EXACT: half-life
+    weights are powers of two, so scaling by 2^7 = 128 turns the whole
+    smoother into integer arithmetic (weights 64, 32, …, 2, 1 with the
+    oldest term's weight doubled so they telescope to exactly 128 for any
+    window length). No float accumulation, no cross-engine ulp drift —
+    the bit-exact form of the smoothing primitive behind rate limiters,
+    anomaly baselines, and trend features. One shuffle on user_id; the
+    frame is ROWS-bounded so state per key is 8 values regardless of
+    history length."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    win = ev.select(
+        "event_id", "user_id", F.reverse(F.collect_list("cents").over(w)).alias("w")
+    )
+    n = F.size("w")
+    # Weight tables as literal arrays (shift amounts must be literals):
+    # position i (0-based, newest first) weighs 2^(6-i); the oldest row of
+    # a full-or-short window weighs 2^(8-n) — its normal weight doubled.
+    pos_w = F.array(*[F.lit(2 ** (6 - j) if j <= 6 else 0).cast("bigint") for j in range(8)])
+    last_w = F.array(*[F.lit(2 ** (8 - m)).cast("bigint") for m in range(1, 9)])
+    weighted = F.transform(
+        F.col("w"),
+        lambda x, i: x
+        * F.when(i + 1 < n, F.element_at(pos_w, i.cast("int") + 1)).otherwise(
+            F.element_at(last_w, n)
+        ),
+    )
+    return win.select(
+        "event_id",
+        "user_id",
+        n.cast("int").alias("n_window"),
+        F.aggregate(weighted, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "ewma_cents_x128"
+        ),
+    )

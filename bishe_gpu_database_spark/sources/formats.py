@@ -534,3 +534,32 @@ def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~corrupt, 1)).alias("n_valid"),
         F.sum(F.when(~corrupt, F.col("user_id"))).alias("valid_user_sum"),
     )
+
+
+@register("source_roundtrip_xml", oracle=_AGG_ORACLE)
+def source_roundtrip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink+source round-trip (Spark 4 native XML support — rowTag
+    element per record). XML is the interchange format of enterprise feeds
+    and web-archive metadata; integer cents keep the text round-trip
+    exact, and the same hash-gated aggregate proves losslessness. Written
+    partitioned like every other sink here (one directory per status,
+    file-per-task at scale)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    path = os.path.join(_SCRATCH, f"orders_xml_{os.path.basename(sf_dir.rstrip('/'))}")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").format("xml").option(
+        "rowTag", "order"
+    ).save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey bigint, cents bigint, o_orderstatus string")
+        .load(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("cents_total"),
+    )
