@@ -14,10 +14,14 @@ from tests.conftest import SF_SMALL
 # constant factor (centroids, hyperplanes, query batch), not a data side.
 _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             "dedup_embedding_cosine",
+            # PQ codebook scoring: every vector × the 64-entry broadcast
+            # codebook is the encode step itself.
+            "ann_pq_topk",
             # 1-row corpus-statistic scalar (N docs / total tokens /
             # median split / half totals) broadcast onto the aggregate —
             # O(n) with a 1-row build side.
-            "text_salience_topk", "text_lift_bigrams", "quality_drift_ppm"}
+            "text_salience_topk", "text_lift_bigrams", "quality_drift_ppm",
+            "text_bm25_topk"}
 # Iterative drivers plan per-epoch; their inner plans are covered by the
 # single-epoch queries.
 _SKIP = {"aria_drain_batch"}
