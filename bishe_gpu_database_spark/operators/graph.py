@@ -158,3 +158,67 @@ def graph_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ORACLE_RCTE.replace("nation n1", "_rcte_nation n1")
                      .replace("nation n2", "_rcte_nation n2")
                      .replace("FROM nation GROUP", "FROM _rcte_nation GROUP"))
+
+
+_ORACLE_TRI = """
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (SELECT DISTINCT u, v FROM pairs),
+    wedges AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM wedges w JOIN edges e ON w.a = e.u AND w.c = e.v
+    )
+    SELECT (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(*) FROM wedges) AS n_wedges,
+           n_triangles
+    FROM tri
+"""
+
+
+@register("graph_triangle_count", oracle=_ORACLE_TRI)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts sharing an
+    order are adjacent): the clustering-coefficient primitive. Edges are
+    canonically ordered (u < v), so each triangle is enumerated exactly
+    once as an ordered wedge a<b<c closed by the (a,c) edge — two
+    equi-joins, no direction double-counting. At 100 TB the standard
+    degree-ordering refinement (orient edges low-degree → high-degree)
+    bounds each node's wedge fan-out by its out-degree in the oriented
+    graph, keeping the wedge shuffle near-linear in edges for power-law
+    graphs; the fixture graph is small enough to run the canonical form
+    the oracle mirrors."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+    )
+    closed = wedges.join(
+        edges, (F.col("a") == F.col("u")) & (F.col("c") == F.col("v")), "left_semi"
+    )
+    n_edges = edges.count()
+    n_wedges = wedges.count()
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles")).select(
+        F.lit(n_edges).alias("n_edges"),
+        F.lit(n_wedges).alias("n_wedges"),
+        "n_triangles",
+    )

@@ -184,3 +184,89 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(
         sample_batches, schema="doc_id bigint, frame_id bigint, frame_checksum bigint"
     )
+
+
+_PH_BANDS = 4
+_PH_BAND_BITS = 15  # 4 x 15 = 60-bit hash, positive in int64 on both engines
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH ph AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS phash
+      FROM documents
+    ),
+    bands AS (
+      SELECT doc_id, phash, b,
+             (phash >> (b * {_PH_BAND_BITS})) & {(1 << _PH_BAND_BITS) - 1} AS band_val
+      FROM ph, UNNEST(generate_series(0, {_PH_BANDS - 1})) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.phash AS pa, b.phash AS pb
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(pa, pb)) <= 12
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection for binary media: a 60-bit
+    pHash per payload (STUB: md5 bits of the payload text stand in for
+    the DCT-based image hash — the real hash slots into the same column),
+    banded 4×15 bits for LSH candidate generation, then exact Hamming
+    distance ≤ 12 on candidates only. The shape that matters at 100 TB:
+    the hash is map-side and 8 bytes; the only pairwise step is the
+    (band_id, band_val) equi-join whose fan-out is collision-bounded;
+    Hamming is one xor + popcount. Identical-payload pairs land at
+    distance 0 (the image-dedup base case); the band join provably
+    catches every pair within Hamming ≤ {_PH_BANDS - 1} of each other
+    band-aligned — the standard pigeonhole guarantee for 4 bands."""
+    d = t(spark, sf_dir, "documents")
+    ph = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint").alias("phash"),
+    )
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.expr(
+                            f"(phash >> {b * _PH_BAND_BITS}) & {(1 << _PH_BAND_BITS) - 1}"
+                        ).alias("band_val"),
+                    )
+                    for b in range(_PH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "phash", F.col("bd.b").alias("b"), F.col("bd.band_val").alias("band_val"))
+    a = bands.alias("a")
+    bb = bands.alias("bb")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("bb.b"))
+            & (F.col("a.band_val") == F.col("bb.band_val"))
+            & (F.col("a.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("bb.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("bb.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming")).filter(
+        F.col("hamming") <= 12
+    )

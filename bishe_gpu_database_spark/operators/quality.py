@@ -256,3 +256,59 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.select(
         F.explode(F.sort_array(F.col("bucket_freqItems"))).alias("bucket")
     )
+
+
+@register(
+    "quality_mad_outlier_bounds",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    med AS (
+      SELECT event_type, median(cents) AS med_cents FROM c GROUP BY event_type
+    ),
+    dev AS (
+      SELECT c.event_type, abs(c.cents - m.med_cents) AS adev
+      FROM c JOIN med m ON c.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad_cents FROM dev GROUP BY event_type
+    )
+    SELECT m.event_type, m.med_cents, d.mad_cents,
+           m.med_cents - 3 * d.mad_cents AS lo_bound,
+           m.med_cents + 3 * d.mad_cents AS hi_bound
+    FROM med m JOIN mad d ON m.event_type = d.event_type
+    """,
+)
+def quality_mad_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier bounds per event type: median ± 3·MAD (median
+    absolute deviation) — the monitoring primitive that, unlike the
+    z-score's mean/stddev, a single corrupt batch cannot drag. Two-level
+    exact medians: per-type median (tiny result, broadcast back onto the
+    stream of deviations), then the median of |x − med|. Both engines
+    interpolate even-count medians identically on exact integer cents
+    (the same semantics agg_percentile_exact gates), so the bounds hash
+    bit-for-bit. At 100 TB exact medians are sort-bound per group;
+    approx_percentile is the documented swap, same plan shape."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med_cents")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("cents") - F.col("med_cents")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_cents")
+    )
+    return (
+        med.join(mad, "event_type")
+        .select(
+            "event_type",
+            "med_cents",
+            "mad_cents",
+            (F.col("med_cents") - 3 * F.col("mad_cents")).alias("lo_bound"),
+            (F.col("med_cents") + 3 * F.col("mad_cents")).alias("hi_bound"),
+        )
+    )

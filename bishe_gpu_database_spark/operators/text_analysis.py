@@ -506,3 +506,59 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rank", F.row_number().over(W.orderBy(F.desc("bm25"), "doc_id"))
     )
+
+
+@register(
+    "text_simpson_diversity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tk FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, tk, count(*) AS c FROM tok WHERE len(tk) > 0
+      GROUP BY doc_id, tk
+    )
+    SELECT doc_id,
+           sum(c) AS n_tokens,
+           count(*) AS n_distinct,
+           round(CAST(sum(c * (c - 1)) AS DOUBLE)
+                 / CAST(sum(c) * (sum(c) - 1) AS DOUBLE), 6) AS simpson
+    FROM cnt
+    GROUP BY doc_id
+    HAVING sum(c) >= 2
+    """,
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document via the Simpson index — the
+    probability two tokens drawn without replacement are equal:
+    Σc(c−1) / n(n−1). An EXACT integer rational (one double division on
+    identical integers both engines) — the repetition/diversity signal
+    Gopher-style quality gates use, with none of Shannon entropy's
+    floating-log portability hazard. Narrow map → one (doc, token)
+    aggregate → one per-doc aggregate; the token strings never shuffle
+    past the first combine."""
+    d = t(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tk"))
+        .filter(F.length("tk") > 0)
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("_num"),
+    )
+    return (
+        agg.filter(F.col("n_tokens") >= 2)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.col("_num").cast("double")
+                / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double"),
+                6,
+            ).alias("simpson"),
+        )
+    )
