@@ -694,3 +694,181 @@ def fn_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.mon
         """
     )
+
+
+@register(
+    "agg_moments_exact",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*)::HUGEINT AS n,
+             sum(CAST(l_quantity AS HUGEINT)) AS s1,
+             sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT)) AS s2,
+             sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS s3,
+             sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_items,
+           round(CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*n AS DOUBLE), 6) AS variance_pop,
+           round(CAST(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS DOUBLE)
+                 / (CAST(n*n*n AS DOUBLE)
+                    * pow(CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*n AS DOUBLE), 1.5)), 6)
+             AS skewness_pop,
+           round(CAST(n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 AS DOUBLE)
+                 / (CAST(n*n*n*n AS DOUBLE)
+                    * pow(CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*n AS DOUBLE), 2.0)), 6)
+             AS kurtosis_pop
+    FROM m
+    """,
+)
+def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variance / skewness / kurtosis from EXACT integer power
+    sums (Σx..Σx⁴ in DECIMAL(38,0) ≡ HUGEINT): the central-moment
+    identities run on identical integers in both engines, then ONE
+    double expression each — so the third and fourth moments, the most
+    order-sensitive statistics there are under float accumulation, hash
+    bit-for-bit. The shuffle carries five numbers per group (mergeable
+    across any partitioning); Spark's builtin skewness/kurtosis float
+    paths cannot be cross-engine-gated at all. Σx⁴ needs ~27 digits at
+    sf1 — the wide-decimal discipline from round 1's ADVICE applied up
+    front."""
+    D38 = "decimal(38,0)"
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum(x.cast(D38)).alias("s1"),
+        F.sum((x * x).cast(D38)).alias("s2"),
+        F.sum((x * x * x).cast(D38)).alias("s3"),
+        F.sum((x * x * x * x).cast(D38)).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    var = (n * s2 - s1 * s1).cast("double") / (n * n).cast("double")
+    skew_num = (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1).cast("double")
+    kurt_num = (
+        n * n * n * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+    ).cast("double")
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_items"),
+        F.round(var, 6).alias("variance_pop"),
+        F.round(skew_num / ((n * n * n).cast("double") * F.pow(var, 1.5)), 6).alias(
+            "skewness_pop"
+        ),
+        F.round(kurt_num / ((n * n * n * n).cast("double") * F.pow(var, 2.0)), 6).alias(
+            "kurtosis_pop"
+        ),
+    )
+
+
+@register(
+    "fn_collation_ci",
+    oracle="""
+    WITH mixed AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand) ELSE p_brand END
+               AS brand_mixed,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    )
+    SELECT lower(brand_mixed) AS brand_key,
+           count(*) AS n_parts,
+           sum(cents) AS cents_total
+    FROM mixed
+    GROUP BY lower(brand_mixed)
+    """,
+)
+def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 COLLATION (UTF8_LCASE): the
+    engine-level answer to mixed-case keys — comparisons, joins, and
+    aggregations honor the collation without rewriting every predicate
+    through lower() (and without breaking pushdown the way an expression
+    wrapper does). The collated column groups 'Brand#42' with
+    'BRAND#42'; the output key is normalized to lower() so the oracle —
+    DuckDB has no column collations — reproduces the grouping with an
+    explicit lower()."""
+    p = t(spark, sf_dir, "part")
+    mixed = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_brand"))
+        .otherwise(F.col("p_brand"))
+        .alias("brand_mixed"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+    collated = mixed.select(
+        F.collate(F.col("brand_mixed"), "UTF8_LCASE").alias("brand_ci"), "cents"
+    )
+    return collated.groupBy("brand_ci").agg(
+        F.count(F.lit(1)).alias("n_parts"), F.sum("cents").alias("cents_total")
+    ).select(
+        F.lower(F.col("brand_ci")).cast("string").alias("brand_key"),
+        "n_parts",
+        "cents_total",
+    )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT n_regionkey AS region_key,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           count(*) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4 LISTAGG … WITHIN GROUP): the
+    denormalization/report primitive. The explicit WITHIN GROUP order is
+    what makes the result deterministic — an unordered listagg would be
+    partition-order-dependent and could never hash-gate. Grouped
+    aggregation with a sort inside the group; at scale the sort is
+    bounded by group size, not data size."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("_la_nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey AS region_key,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations_csv,
+               count(*) AS n_nations
+        FROM _la_nation
+        GROUP BY n_regionkey
+        """
+    )
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE round(l_extendedprice / l_discount, 4) END AS price_per_disc,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE CAST(round(l_extendedprice * 100) AS BIGINT)
+                     // CAST(l_quantity AS BIGINT) END AS cents_per_qty,
+           TRY_CAST(l_returnflag AS INT) AS flag_as_int
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (try_divide / try_cast): NULL instead of a
+    job-killing exception on divide-by-zero or a bad cast. At 100 TB this
+    is operational armor — one malformed row of a trillion must not fail
+    the stage; the NULLs flow to a quarantine filter instead (same
+    philosophy as source_json_corrupt_records). DuckDB division raises
+    like ANSI Spark would, so the oracle reproduces try-semantics with
+    explicit CASE guards — which is exactly the boilerplate try_* saves."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 4).alias(
+            "price_per_disc"
+        ),
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)"
+        ).alias("cents_per_qty"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("9")).cast("int").alias("flag_as_int"),
+    )

@@ -481,3 +481,89 @@ def pipeline_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+@register(
+    "pipeline_e2e_corpus",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars, text,
+             len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                             t -> len(t) > 0)) AS n_tokens
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM toks
+      WHERE n_tokens >= 5
+        AND n_chars <= 20000
+        AND CAST(n_chars AS DOUBLE) / n_tokens < 15.0
+    ),
+    deduped AS (
+      SELECT doc_id, lang, n_tokens
+      FROM (SELECT doc_id, lang, n_tokens,
+                   row_number() OVER (
+                     PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                     ORDER BY doc_id) AS rn
+            FROM gated)
+      WHERE rn = 1
+    ),
+    split AS (
+      SELECT lang, n_tokens,
+             CASE WHEN ('0x' || substr(md5('split42_' || doc_id), 1, 12))::BIGINT % 100 < 90
+                  THEN 'train'
+                  WHEN ('0x' || substr(md5('split42_' || doc_id), 1, 12))::BIGINT % 100 < 95
+                  THEN 'valid' ELSE 'test' END AS split
+      FROM deduped
+    )
+    SELECT split, lang,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens
+    FROM split
+    GROUP BY split, lang
+    """,
+)
+def pipeline_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus build END-TO-END in one declarative plan:
+    quality gate (token count, length, chars-per-token) → exact dedup
+    (md5 fingerprint, min-doc_id keeper) → deterministic hash-bucketed
+    90/5/5 split → per-(split, lang) corpus card. Composing the
+    per-operator queries this engine already gates individually proves
+    they compose the way a real pipeline runs them — and Catalyst fuses
+    the whole thing into: one scan with the gate applied map-side, ONE
+    shuffle on the 16-byte fingerprint, and a partial-agg'd corpus-card
+    aggregate. Nothing between stages materializes; at 100 TB this is
+    the difference between one pass over the corpus and four."""
+    from bishe_gpu_database_spark.functions.text import h48, norm_text
+
+    d = t(spark, sf_dir, "documents")
+    norm = norm_text(F.col("text"))
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        norm.alias("_norm"),
+        F.size(F.filter(F.split(norm, " "), lambda x: F.length(x) > 0)).alias("n_tokens"),
+    )
+    gated = toks.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_chars") <= 20000)
+        & (F.col("n_chars").cast("double") / F.col("n_tokens") < 15.0)
+    )
+    w = Window.partitionBy(F.md5("_norm")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    bucket = h48(F.concat(F.lit("split42_"), F.col("doc_id").cast("string"))) % 100
+    split = deduped.select(
+        "lang",
+        "n_tokens",
+        F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
