@@ -872,3 +872,35 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents_per_qty"),
         F.try_to_number(F.col("l_returnflag"), F.lit("9")).cast("int").alias("flag_as_int"),
     )
+
+
+@register(
+    "fn_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_total
+    FROM orders
+    WHERE o_totalprice > 150000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def fn_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter binding + the
+    IDENTIFIER() clause): the table name and the threshold arrive as
+    BOUND PARAMETERS, not string concatenation — the injection-safe
+    templating layer a multi-tenant query service needs. The plan is
+    identical to the inlined query (binding happens before analysis),
+    so pushdown and pruning are unaffected."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "_param_orders", "min_price": 150000.0},
+    )

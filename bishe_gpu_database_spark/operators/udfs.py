@@ -268,3 +268,69 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = widen(t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"))
     return e.mapInArrow(norms, "vec_id long, label int, norm double")
+
+
+# ---------------------------------------------------------------------------
+# 7. Polymorphic Python UDTF (Spark 4: analyze() computes the output schema
+#    at plan time from a constant argument — one UDTF, many shapes)
+# ---------------------------------------------------------------------------
+
+
+class _CharStatsPoly:
+    """Output columns are CHOSEN BY THE CALLER: analyze() parses the
+    constant field list during planning and returns that exact schema, so
+    the same UDTF serves any stat subset with full column pruning — the
+    Spark 4 polymorphic-UDTF contract (a static returnType would force
+    every caller to compute and carry every stat)."""
+
+    @staticmethod
+    def analyze(text, fields):
+        from pyspark.sql.types import IntegerType, StructType
+
+        from pyspark.sql.udtf import AnalyzeResult
+
+        schema = StructType()
+        for name in [f.strip() for f in fields.value.split(",")]:
+            schema = schema.add(name, IntegerType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, fields: str):
+        if text is None:
+            return
+        stats = {
+            "n_chars": len(text),
+            "n_spaces": text.count(" "),
+            "n_words": len([w for w in text.split(" ") if w]),
+        }
+        yield tuple(stats[f.strip()] for f in fields.split(","))
+
+
+@register(
+    "udf_udtf_polymorphic",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS n_spaces
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def udf_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral application of the polymorphic UDTF: the caller asks for
+    ('n_chars, n_spaces') and the planner binds exactly that two-column
+    schema — requesting a different list re-plans a different shape with
+    no code change. Arrow-batched like every Python boundary here; the
+    oracle recomputes both stats in pure SQL."""
+    from pyspark.sql.functions import lit, udtf
+
+    spark.udtf.register("char_stats_poly", udtf(_CharStatsPoly, useArrow=True))
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_poly_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.n_chars, s.n_spaces
+        FROM _poly_docs d,
+        LATERAL char_stats_poly(d.text, 'n_chars, n_spaces') s
+        """
+    )

@@ -338,3 +338,64 @@ def test_stream_static_enrich_matches_batch_join(spark):
     b = {tuple(r) for r in batch.collect()}
     assert g == b
     assert len(g) == batch.count()
+
+
+def test_stream_stream_outer_interval_join_emits_nulls(spark):
+    """LEFT OUTER stream-stream interval join: matched purchases emit
+    immediately; purchases with NO click in the window must still emit
+    (with nulls) once the watermark passes their eviction point — the
+    stateful behavior that distinguishes outer from inner. availableNow
+    runs a final no-data batch that advances the watermark to the end of
+    input, flushing the unmatched state."""
+    stream = streams.events_stream(spark, SF_SMALL)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("cu"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), "event_id")
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.cu)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select("event_id", "c_ts")
+    got = _drain_to_rows(spark, joined, "ssjoin_outer_test")
+
+    e = relational.events_ts_to_micros(spark.read.parquet(f"{SF_SMALL}/events.parquet"))
+    bc = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("c_ts")
+    )
+    bp = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "event_id"
+    )
+    batch = bp.join(
+        bc,
+        (bp.user_id == bc.cu)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left",
+    )
+    # matched rows identical to the batch inner join
+    assert got.filter(F.col("c_ts").isNotNull()).count() == batch.filter(
+        F.col("c_ts").isNotNull()
+    ).count()
+    # null emission: a LEFT row is only evictable (and thus null-emitted)
+    # once the watermark passes its join horizon; purchases inside the
+    # final 30min + 10min-delay tail legitimately terminate still in
+    # state (observed eviction lag ~100min: delay + join horizon + batch
+    # granularity). Every unmatched purchase OUTSIDE a 2h tail must have been
+    # flushed by availableNow's final watermark advance; and nothing
+    # beyond the batch's unmatched set may ever appear.
+    max_ts = e.agg(F.max("ts")).first()[0]
+    flushable = batch.filter(
+        F.col("c_ts").isNull()
+        & (F.col("p_ts") < F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+    ).count()
+    n_nulls = got.filter(F.col("c_ts").isNull()).count()
+    assert flushable <= n_nulls <= batch.filter(F.col("c_ts").isNull()).count()
