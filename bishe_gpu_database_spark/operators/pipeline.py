@@ -567,3 +567,70 @@ def pipeline_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@register(
+    "pipeline_mixture_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    scaled AS (
+      SELECT source, n_docs,
+             CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+      FROM counts
+    ),
+    tot AS (SELECT sum(w) AS wsum FROM scaled),
+    rates AS (
+      SELECT source, n_docs,
+             CAST(floor(1000000 * CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE)) AS BIGINT)
+               AS target_ppm
+      FROM scaled CROSS JOIN tot
+    )
+    SELECT r.source, r.n_docs, r.target_ppm,
+           count(CASE WHEN ('0x' || substr(md5('mix_' || d.doc_id), 1, 12))::BIGINT
+                           % 1000000 < r.target_ppm THEN 1 END) AS n_selected
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY r.source, r.n_docs, r.target_ppm
+    """,
+)
+def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (α = 0.5): per-source sampling
+    rates ∝ n_docs^0.5 — the standard rebalancing that up-samples small
+    sources and damps head sources in multilingual/multi-source training
+    mixtures. sqrt is IEEE-correctly-rounded in BOTH engines (unlike
+    pow(x, α) generally — which is why α is 1/2 here), per-source roots
+    round through DECIMAL before the order-independent sum, and the
+    per-doc accept test is the portable 48-bit hash against a ppm
+    threshold — the same seeded-gate idiom as pipeline_train_test_split,
+    so the realized sample is reproducible across engines, partitionings,
+    and reruns. One count aggregate + a broadcast of ≤#sources rates; the
+    accept test is map-side."""
+    from bishe_gpu_database_spark.functions.text import h48
+
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    scaled = counts.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+    tot = scaled.agg(F.sum("w").alias("wsum"))
+    rates = scaled.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor(
+            1000000 * F.col("w").cast("double") / F.col("wsum").cast("double")
+        ).cast("bigint").alias("target_ppm"),
+    )
+    accept = (
+        h48(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))) % 1000000
+        < F.col("target_ppm")
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "target_ppm")
+        .agg(F.count(F.when(accept, 1)).alias("n_selected"))
+    )

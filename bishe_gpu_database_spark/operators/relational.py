@@ -1465,3 +1465,50 @@ def subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 50
         """
     )
+
+
+@register(
+    "sample_weighted_topk",
+    oracle="""
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substr(md5('wsamp_' || doc_id), 1, 12))::BIGINT AS DOUBLE)
+               / n_chars AS priority
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, rn AS sample_rank
+    FROM (SELECT *, row_number() OVER (ORDER BY priority, doc_id) AS rn FROM pri)
+    WHERE rn <= 100
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis–Spirakis priority
+    shape): each document draws a portable pseudo-random 48-bit key and
+    its priority is key/weight — larger weights (longer docs) get
+    proportionally smaller priorities, and the k smallest priorities are
+    the sample. Both operands are exactly representable (48-bit int,
+    small int weight), so the single IEEE division is bit-identical
+    cross-engine — a seeded weighted sample that any engine reproduces,
+    the property training-data pipelines need for auditable mixtures
+    (pipeline_source_mixture is the stratified-by-source cousin). The
+    top-k is TakeOrderedAndProject — no global sort at 100 TB."""
+    from bishe_gpu_database_spark.functions.text import h48
+
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    pri = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            h48(F.concat(F.lit("wsamp_"), F.col("doc_id").cast("string"))).cast("double")
+            / F.col("n_chars")
+        ).alias("priority"),
+    )
+    top = pri.orderBy("priority", "doc_id").limit(100)
+    return top.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number().over(W.orderBy("priority", "doc_id")).alias("sample_rank"),
+    )

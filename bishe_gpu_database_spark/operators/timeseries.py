@@ -483,3 +483,40 @@ def timeseries_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma_cents_x128"
         ),
     )
+
+
+@register(
+    "window_distinct_sliding",
+    oracle="""
+    SELECT event_id, event_type,
+           count(DISTINCT user_id) OVER (
+             PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS n_active_users_1h
+    FROM events
+    """,
+)
+def window_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour DISTINCT user count per event — the live
+    'active users right now' metric. Spark windows don't accept DISTINCT
+    aggregates, so the engine form is size(collect_set(...)) over the
+    time-RANGE frame — same semantics, one shuffle on event_type + one
+    sort, no self-join (a join formulation would be quadratic per
+    entity). State per frame is bounded by distinct keys in the hour, the
+    same horizon bound the streaming twin's watermark would enforce; the
+    oracle uses DuckDB's native windowed count(DISTINCT)."""
+    ev = t(spark, sf_dir, "events")
+    # RANGE frame in integer MICROseconds: a seconds cast would truncate
+    # sub-second timestamps and admit rows just past the hour boundary.
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.size(F.collect_set("user_id").over(w)).cast("bigint").alias(
+            "n_active_users_1h"
+        ),
+    )
