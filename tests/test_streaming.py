@@ -399,3 +399,91 @@ def test_stream_stream_outer_interval_join_emits_nulls(spark):
     ).count()
     n_nulls = got.filter(F.col("c_ts").isNull()).count()
     assert flushable <= n_nulls <= batch.filter(F.col("c_ts").isNull()).count()
+
+
+def test_rocksdb_state_store_matches_default(spark):
+    """The RocksDB state-store provider (the 100 TB state backend: state
+    lives off-heap/on-disk instead of the executor heap) must produce
+    results identical to the default HDFS-backed provider for the same
+    stateful aggregation."""
+    stream = streams.events_stream(spark, SF_SMALL)
+    agg = streams.tumbling_counts(stream, watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rocksdb_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM rocksdb_test").collect()
+    }
+    ref = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in _drain_to_rows(spark, agg, "rocksdb_ref").collect()
+    }
+    assert got == ref and len(got) > 0
+
+
+def test_checkpoint_restart_exactly_once(spark):
+    """Fault-tolerance contract: a windowed aggregation with a checkpoint
+    location, stopped and restarted over a source that gained new files,
+    must process every input exactly once — the restarted run resumes
+    from carried state (no double-count of batch-1 rows, no dropped
+    state), emitting each closed window exactly once across both runs."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    d = tempfile.mkdtemp(prefix="ckpt_src_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_loc_")
+    out = tempfile.mkdtemp(prefix="ckpt_out_")
+    schema = "ts timestamp, user_id bigint"
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    spark.createDataFrame(
+        [(ts("2024-02-01 00:05:00"), 1), (ts("2024-02-01 00:20:00"), 2)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b1"))
+
+    def run_once():
+        src = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+            d + "/*"
+        )
+        agg = (
+            src.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # new files arrive while the query is down; the 03:30 sentinel pushes
+    # the watermark far enough to close both real windows
+    spark.createDataFrame(
+        [(ts("2024-02-01 00:40:00"), 3), (ts("2024-02-01 01:10:00"), 4),
+         (ts("2024-02-01 03:30:00"), 5)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b2"))
+    run_once()
+    rows = sorted(
+        (r["window_start"], r["n"]) for r in spark.read.parquet(out).collect()
+    )
+    # exactly-once: 00:00 window counts batch-1 state PLUS the 00:40 row
+    # (3 total, emitted once); 01:00 window emitted once with its 1 row.
+    assert rows == [
+        (ts("2024-02-01 00:00:00"), 3),
+        (ts("2024-02-01 01:00:00"), 1),
+    ]
