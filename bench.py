@@ -118,6 +118,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "aria": aria,
+                "n_registered_queries": len(REGISTRY),
                 "sf": float(sf) if sf else None,
             }
         ),

@@ -270,3 +270,58 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming")).filter(
         F.col("hamming") <= 12
     )
+
+
+_AU_SR = 16_000  # stub sample rate (Hz)
+_AU_WIN = 400  # 25 ms window at 16 kHz
+_AU_HOP = 160  # 10 ms hop
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle=f"""
+    WITH au AS (
+      SELECT doc_id,
+             octet_length(CAST(text AS BLOB)) AS n_samples
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) >= {_AU_WIN}
+    )
+    SELECT doc_id,
+           unnest(generate_series(0, (n_samples - {_AU_WIN}) // {_AU_HOP})) AS win_id,
+           unnest(generate_series(0, (n_samples - {_AU_WIN}) // {_AU_HOP}))
+             * {_AU_HOP} * 1000000 // {_AU_SR} AS start_us,
+           CAST({_AU_WIN} AS BIGINT) AS n_win_samples
+    FROM au
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame windowing via mapInPandas — the STFT/feature front end
+    (25 ms windows, 10 ms hop at a 16 kHz stub rate; payload bytes stand
+    in for PCM samples, one byte ≡ one sample — a real deploy swaps the
+    stub for soundfile/librosa and nothing else changes). Each clip fans
+    out to ⌊(n−win)/hop⌋+1 window rows with exact integer start
+    timestamps in µs. Like frame_sample, the fan-out happens inside the
+    executor task — at 100 TB the windows feed the feature UDF in the
+    SAME task chain, and only fixed-size features ever shuffle."""
+    d = t(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+
+    def window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)  # stub: one byte per PCM sample
+                if n < _AU_WIN:
+                    continue
+                for w in range((n - _AU_WIN) // _AU_HOP + 1):
+                    rows.append(
+                        (doc_id, w, w * _AU_HOP * 1_000_000 // _AU_SR, _AU_WIN)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "win_id", "start_us", "n_win_samples"]
+            )
+
+    return with_payload.mapInPandas(
+        window_batches,
+        schema="doc_id bigint, win_id bigint, start_us bigint, n_win_samples bigint",
+    )
