@@ -72,10 +72,10 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        # Best of 2: single-run numbers on a shared box carry multi-second
+        # Best of 3: single-run numbers on a shared box carry multi-second
         # scheduler/GC noise; the minimum is the query's actual cost.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink: full evaluation of every output column — count()

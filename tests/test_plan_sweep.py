@@ -21,6 +21,7 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             # median split / half totals) broadcast onto the aggregate —
             # O(n) with a 1-row build side.
             "text_salience_topk", "text_lift_bigrams", "quality_drift_ppm",
+            "pipeline_mixture_temperature",
             "text_bm25_topk"}
 # Iterative drivers plan per-epoch; their inner plans are covered by the
 # single-epoch queries.
