@@ -61,7 +61,12 @@ def analyze_dependencies(
     # Execute: snapshot probe. Ops on missing keys are skipped (left join
     # + found filter) exactly like the reference's failed hash probe.
     if insert_missing:
-        found = ops
+        # NULL keys can slip in from caller-constructed ops; the probe
+        # branch drops them via the equi-join, and the reference has no
+        # NULL key either — keep both branches' semantics identical
+        # (the per-key window below would otherwise group all NULLs
+        # into one phantom key and conflict them against each other).
+        found = ops.filter(F.col("k").isNotNull())
     else:
         probed = ops.join(kv.select("k", F.lit(True).alias("_found")), "k", "left")
         found = probed.filter(F.col("_found").isNotNull())
@@ -161,9 +166,10 @@ def run_batch(
     snapshot probe in analyze_dependencies reads only key EXISTENCE, and
     (without insert_missing) the committed writes can never create or
     drop a key — so the probe side is the base key set, constant across
-    epochs, and the install maintains a small latest-value DELTA
-    (checkpointed per epoch ≡ the reference's per-epoch memcpy of what
-    changed) that is merged over the base table exactly once at the end.
+    epochs, and the install maintains a small latest-value DELTA —
+    accumulated LAZILY (installs cost zero jobs during the drain) and
+    checkpointed every few epochs only to bound plan depth — that is
+    merged over the base table exactly once at the end.
     The reference, by contrast, round-trips the WHOLE table through the
     GPU every epoch (ref: src/database/ycsb/db.h:111-125) — the delta
     formulation is what survives a 100 TB table: epoch cost = two
@@ -250,6 +256,12 @@ def run_batch(
         )
         if n_aborted == 0:
             break
+        # Bound the lazy delta's plan depth: one union+anti-join subtree
+        # accrues per epoch, so flatten every 8 epochs (a drain runs up
+        # to max_epochs=64; unbounded nesting would hand the caller a
+        # 64-deep plan whose first evaluation replays every install).
+        if epoch % 8 == 0:
+            delta = delta.localCheckpoint()
         rank = {old: i + 1 for i, old in enumerate(aborted_tids)}
         cur = {orig: rank[c] for orig, c in cur.items() if c in rank}
     if delta is None:

@@ -867,9 +867,17 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 4).alias(
             "price_per_disc"
         ),
-        F.expr(
-            "CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)"
-        ).alias("cents_per_qty"),
+        # floor(try_divide(...)) == integer div for these magnitudes
+        # (cents < 2^53), and yields NULL instead of DIVIDE_BY_ZERO if a
+        # malformed row ever carried quantity 0 — plain `div` would kill
+        # the stage under ANSI mode, which is the failure this operator
+        # exists to survive.
+        F.floor(
+            F.try_divide(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+                F.col("l_quantity").cast("bigint"),
+            )
+        ).cast("bigint").alias("cents_per_qty"),
         F.try_to_number(F.col("l_returnflag"), F.lit("9")).cast("int").alias("flag_as_int"),
     )
 

