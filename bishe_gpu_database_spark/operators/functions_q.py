@@ -912,3 +912,30 @@ def fn_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "_param_orders", "min_price": 150000.0},
     )
+
+
+@register(
+    "fn_explode_pos",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT doc_id, i - 1 AS pos, l[i] AS token
+    FROM s, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)
+    """,
+)
+def fn_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (lateral view): one row per token with its
+    0-based position — the tokenizer fan-out every sequence-labeling /
+    packing pipeline starts from. posexplode is a Generate operator:
+    a NARROW transformation (no shuffle, no sort), so at 100 TB it
+    streams through the scan stage and composes with whatever shuffle
+    follows. The reference has no array model at all (values are fixed
+    char[10][10] — ref: src/cuda/kv.cuh:48-79); this is the set-oriented
+    equivalent of its per-op iteration inside a transaction
+    (ref: src/database/ycsb/TrancM_func.cuh:21-63)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )

@@ -1512,3 +1512,51 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.row_number().over(W.orderBy("priority", "doc_id")).alias("sample_rank"),
     )
+
+
+@register(
+    "subquery_in_notin_nulls",
+    oracle="""
+    WITH probe AS (SELECT nullif(c_nationkey, 13) AS k FROM customer),
+         s AS (SELECT n_nationkey AS v FROM nation WHERE n_regionkey <> 2),
+         s_null AS (SELECT v FROM s UNION ALL SELECT NULL)
+    SELECT
+      (SELECT count(*) FROM probe) AS n_total,
+      (SELECT count(*) FROM probe WHERE k IN (SELECT v FROM s)) AS n_in,
+      (SELECT count(*) FROM probe WHERE k NOT IN (SELECT v FROM s)) AS n_not_in,
+      (SELECT count(*) FROM probe
+        WHERE k NOT IN (SELECT v FROM s_null)) AS n_not_in_nullset,
+      (SELECT count(*) FROM probe WHERE k IS NULL) AS n_null_probe
+    """,
+)
+def subquery_in_notin_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subqueries under three-valued NULL logic — the
+    ternary semantics the reference's CmpBool enum declares but never
+    implements (ref: src/database/common/type.h:22-26). Four probes in
+    one row: membership, negated membership (NULL probe rows drop —
+    UNKNOWN, not TRUE), NOT IN against a set CONTAINING a NULL (the
+    classic footgun: always empty), and the raw NULL count. Spark plans
+    NOT IN as a null-aware anti join — a broadcast of one boolean plus
+    the set, not a correlated per-row rescan, so the probe side streams
+    at 100 TB. Filters keep the dim side tiny and broadcastable."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    c.select(F.nullif(F.col("c_nationkey"), F.lit(13)).alias("k")).createOrReplaceTempView(
+        "_ninn_probe"
+    )
+    n.filter(F.col("n_regionkey") != 2).select(
+        F.col("n_nationkey").alias("v")
+    ).createOrReplaceTempView("_ninn_s")
+    return spark.sql(
+        """
+        WITH s_null AS (SELECT v FROM _ninn_s UNION ALL SELECT CAST(NULL AS BIGINT))
+        SELECT
+          (SELECT count(*) FROM _ninn_probe) AS n_total,
+          (SELECT count(*) FROM _ninn_probe WHERE k IN (SELECT v FROM _ninn_s)) AS n_in,
+          (SELECT count(*) FROM _ninn_probe
+            WHERE k NOT IN (SELECT v FROM _ninn_s)) AS n_not_in,
+          (SELECT count(*) FROM _ninn_probe
+            WHERE k NOT IN (SELECT v FROM s_null)) AS n_not_in_nullset,
+          (SELECT count(*) FROM _ninn_probe WHERE k IS NULL) AS n_null_probe
+        """
+    )

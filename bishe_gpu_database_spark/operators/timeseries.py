@@ -520,3 +520,56 @@ def window_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_active_users_1h"
         ),
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH marked AS (
+      SELECT event_id, user_id, event_type, ts,
+             max(CASE WHEN event_type <> 'purchase'
+                      THEN {'ts': ts, 'eid': event_id, 'et': event_type} END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+               AS touch
+      FROM events
+    )
+    SELECT coalesce(touch.et, 'direct') AS channel,
+           count(*) AS n_purchases,
+           count(DISTINCT user_id) AS n_buyers
+    FROM marked WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    non-purchase event by the same user within the preceding 30 minutes
+    ('direct' if none). The candidate picker is max() over a time-RANGE
+    frame of (ts, event_id, type) structs — lexicographic max IS
+    argmax-by-latest-timestamp with a deterministic event_id tie-break,
+    and because a RANGE frame always includes ALL peer rows of the
+    current timestamp, the answer is order-independent across engines.
+    One user_id shuffle + one sort, no purchase×touch self-join: at
+    100 TB the self-join alternative explodes quadratically per user,
+    while this stays linear in events (same frame trick as
+    events_cep_within). Final rollup shuffles only (channel) pairs."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("_attr_events")
+    return spark.sql(
+        """
+        WITH marked AS (
+          SELECT event_id, user_id, event_type, ts,
+                 max(CASE WHEN event_type <> 'purchase'
+                          THEN named_struct('ts', ts, 'eid', event_id, 'et', event_type)
+                     END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)
+                   AS touch
+          FROM _attr_events
+        )
+        SELECT coalesce(touch.et, 'direct') AS channel,
+               count(*) AS n_purchases,
+               count(DISTINCT user_id) AS n_buyers
+        FROM marked WHERE event_type = 'purchase'
+        GROUP BY 1
+        """
+    )

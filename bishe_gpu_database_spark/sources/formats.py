@@ -563,3 +563,63 @@ def source_roundtrip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("cents_total"),
     )
+
+
+@register(
+    "source_binaryfile",
+    oracle="""
+    SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_md5
+    FROM documents WHERE doc_id % 17 = 0
+    """,
+)
+def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source — the multimodal ingest path: raw files (images,
+    audio, model shards) land as (path, length, content: binary) rows
+    with NO decode on the scan, so Spark's split planning and FileScan
+    batching apply to opaque media exactly as to parquet. The fixture
+    materializes one .bin file per sampled document (bytes = utf-8 text);
+    the oracle recomputes byte length + md5 from the source TABLE, so a
+    hash match proves the write→scan round-trip is byte-lossless, not
+    just that it ran. doc_id is recovered from the file path — the
+    standard id-in-filename contract of web-crawl dumps. At 100 TB the
+    small-file count, not byte volume, is the scan bottleneck: this
+    pairs with sink_compaction's rewrite or binaryFile's pathGlobFilter/
+    recursiveFileLookup partitioned layout. The reference has no file
+    I/O at all (stdout is its only sink — ref: ps/log.ps1)."""
+    src = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = f"{st.st_size}_{st.st_mtime_ns}"
+    path = os.path.join(_SCRATCH, f"docs_bin_{sf_tag}_{fp}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        rows = src.select("doc_id", "text").collect()
+        tmp = tempfile.mkdtemp(prefix=f"docs_bin_{sf_tag}_", dir=_SCRATCH)
+        for r in rows:
+            with open(os.path.join(tmp, f"doc_{r.doc_id}.bin"), "wb") as f:
+                f.write((r.text or "").encode("utf-8"))
+        with open(os.path.join(tmp, "_SUCCESS"), "wb"):
+            pass
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        import glob as _glob
+        import shutil as _shutil
+
+        for old in _glob.glob(os.path.join(_SCRATCH, f"docs_bin_{sf_tag}_*")):
+            if old != path:
+                _shutil.rmtree(old, ignore_errors=True)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+    )
