@@ -93,6 +93,10 @@ def main() -> None:
     aria = {}
     try:
         fn = REGISTRY["aria_drain_batch"].fn
+        # The drain workload is generated (fixture-independent), so one
+        # untimed pass warms the epoch-loop codegen exactly like the
+        # headline warmups do — the timed runs then measure steady state.
+        fn(spark, warm_dir).collect()
         best, epochs = float("inf"), 0
         for _ in range(2):
             t0 = time.perf_counter()

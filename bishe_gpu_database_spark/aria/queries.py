@@ -128,3 +128,84 @@ def aria_drain_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s["epoch"], s["n_txns"], s["n_committed"], s["n_aborted"]) for s in stats],
         "epoch int, n_txns bigint, n_committed bigint, n_aborted bigint",
     )
+
+
+@register(
+    "aria_install_snapshot",
+    oracle="""
+    WITH ops AS (
+      SELECT (event_id % 50 + 1) AS tid,
+             (event_id // 50) AS seq,
+             ((user_id * 7 + event_id % 13) % 500 + 1) AS k,
+             (event_id % 5 < 2) AS is_update
+      FROM events
+    ),
+    res AS (
+      SELECT k,
+             min(tid) AS rts,
+             min(CASE WHEN is_update THEN tid END) AS wts
+      FROM ops GROUP BY k
+    ),
+    flags AS (
+      SELECT o.tid,
+             max(CASE WHEN r.wts IS NOT NULL AND r.wts < o.tid THEN 1 ELSE 0 END) = 1 AS raw,
+             max(CASE WHEN o.is_update AND r.rts < o.tid THEN 1 ELSE 0 END) = 1 AS war,
+             max(CASE WHEN o.is_update AND r.wts IS NOT NULL AND r.wts < o.tid
+                 THEN 1 ELSE 0 END) = 1 AS waw
+      FROM ops o JOIN res r ON o.k = r.k
+      GROUP BY o.tid
+    ),
+    committed AS (
+      SELECT tid FROM flags WHERE NOT (waw OR (raw AND war))
+    ),
+    winners AS (
+      SELECT k, new_v FROM (
+        SELECT o.k,
+               substr(md5('w|' || o.tid || '|' || o.seq || '|' || o.k), 1, 10) AS new_v,
+               row_number() OVER (PARTITION BY o.k ORDER BY o.tid ASC, o.seq DESC) AS rn
+        FROM ops o JOIN committed c ON o.tid = c.tid
+        WHERE o.is_update
+      ) WHERE rn = 1
+    )
+    SELECT b.k, coalesce(w.new_v, b.v) AS v
+    FROM (SELECT r AS k, substr(md5('base_' || r), 1, 10) AS v
+          FROM range(1, 501) t(r)) b
+    LEFT JOIN winners w ON b.k = w.k
+    """,
+)
+def aria_install_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Aria epoch INCLUDING write-back, hash-gated: the table
+    state after Execute→Reserve→Commit→Install of the deterministic
+    events-derived batch (reorder policy). This is the epoch-versioned
+    snapshot read — the multi-version view the reference materializes by
+    memcpy-ing the whole table per epoch (ref: src/database/ycsb/
+    db.h:111-125) — and the only ORACLE-checked path through install:
+    the drain query covers it rows-only, the property suite vs a serial
+    oracle, this one bit-for-bit vs SQL. Values are portable md5-derived
+    strings so both engines compute identical bytes. Install is an
+    anti-join + union of the committed delta: at 100 TB epoch cost is
+    delta-sized, never table-sized (ref write-back:
+    src/database/ycsb/TrancM_func.cuh:188-198)."""
+    from bishe_gpu_database_spark.aria.engine import aria_epoch
+
+    base = spark.range(1, 501).select(
+        F.col("id").alias("k"),
+        F.substring(F.md5(F.concat(F.lit("base_"), F.col("id").cast("string"))), 1, 10).alias("v"),
+    )
+    ops = _ops_from_events(spark, sf_dir).withColumn(
+        "new_v",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit("w"),
+                    F.col("tid").cast("string"),
+                    F.col("seq").cast("string"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+    )
+    return aria_epoch(base, ops, reorder=True).kv

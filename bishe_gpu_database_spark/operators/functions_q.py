@@ -939,3 +939,40 @@ def fn_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
+
+
+@register(
+    "fn_levenshtein",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           levenshtein(a.n_name, b.n_name) AS edit_dist,
+           levenshtein(substr(a.n_name, 1, 8), substr(b.n_name, 1, 8))
+             AS edit_dist_prefix
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 7
+    """,
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (entity resolution / typo-tolerant
+    dedup): near-matching nation-name pairs by Levenshtein distance —
+    an EXACT integer both engines compute identically, unlike
+    similarity floats. The pair generation here is a small-dim theta
+    self-join; at corpus scale edit distance is never run all-pairs —
+    it is the precise verifier AFTER a candidate generator (the LSH /
+    phonetic-key / prefix-bucket join, cf. dedup_minhash_lsh_pairs),
+    exactly how this engine's dedup stack stages it."""
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a = n.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b"))
+    return (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+            F.levenshtein(
+                F.substring("name_a", 1, 8), F.substring("name_b", 1, 8)
+            ).alias("edit_dist_prefix"),
+        )
+        .filter(F.col("edit_dist") <= 7)
+    )

@@ -1560,3 +1560,83 @@ def subquery_in_notin_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
           (SELECT count(*) FROM _ninn_probe WHERE k IS NULL) AS n_null_probe
         """
     )
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT l.l_linestatus,
+           count(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+             AS status_revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY l.l_linestatus
+    """,
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-strategy control: the SHUFFLE_HASH hint forces a shuffled
+    hash join where Catalyst's default would be sort-merge. Same one
+    shuffle per side, but the build side becomes an in-memory hash table
+    instead of BOTH sides paying an O(n log n) sort — the win whenever
+    one side (here orders pre-filtered to status 'F') is much smaller
+    than the other yet too big to broadcast. This is the closest
+    relational analogue of the reference's probe loop: its batched hash
+    probe builds once and probes per op (ref:
+    src/cuda/hashTable.cuh:94-110). Plan-asserted as ShuffledHashJoin in
+    tests/test_plans.py; result is strategy-independent and hash-gated.
+    At 100 TB the same hint applies per-bucket after bucketing removes
+    the shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(dec("l_extendedprice"), "status_revenue"),
+        )
+    )
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-SENSITIVE difference (EXCEPT ALL bag semantics): each
+    right-side occurrence cancels ONE left-side occurrence, so a
+    customer with 5 qualifying orders and 2 'F' orders keeps 3 rows —
+    distinct-based EXCEPT would drop all of them. Spark plans this as a
+    count-propagating aggregate + generate, not a join per duplicate:
+    one shuffle on the key with per-key multiplicity arithmetic, which
+    is the 100 TB-safe formulation (row-pairing formulations need a
+    nondeterministic matching). The reference's Collect-phase abort
+    compaction is the distinct special case of this
+    (ref: src/database/ycsb/TransctionManager.cuh:176-184)."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b)
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-sensitive intersection: a key appearing m times left and
+    n times right yields min(m, n) rows. Same count-propagating single
+    shuffle as EXCEPT ALL."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.intersectAll(b)

@@ -243,3 +243,39 @@ def events_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("max_cents"),
         )
     )
+
+
+@register(
+    "agg_approx_topk",
+    oracle="""
+    SELECT l_suppkey AS item, count(*) AS n
+    FROM lineitem GROUP BY 1
+    ORDER BY n DESC, item ASC LIMIT 10
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Spark 4's native approx_top_k (space-saving
+    sketch): mergeable fixed-size per-partition summaries, so the
+    shuffle carries maxItemsTracked counters per map task instead of
+    every distinct key. Run here in its EXACT regime — maxItemsTracked
+    (10000) ≥ distinct suppliers at every fixture SF, where the sketch
+    provably degenerates to an exact histogram — so the result is
+    hash-gated against a plain GROUP BY oracle, with a deterministic
+    (count DESC, item ASC) re-rank replacing the sketch's unspecified
+    tie order. At 100 TB key cardinality exceeds the tracked budget and
+    the same plan returns ±error heavy hitters with UNCHANGED shuffle
+    bytes — the knob trades exactness for a hard memory bound, same
+    story as agg_countmin_heavyhitters' candidate pass."""
+    t(spark, sf_dir, "lineitem").select("l_suppkey").createOrReplaceTempView(
+        "_atk_lineitem"
+    )
+    return spark.sql(
+        """
+        WITH sk AS (
+          SELECT approx_top_k(l_suppkey, 10000, 10000) AS tk FROM _atk_lineitem
+        ),
+        flat AS (SELECT inline(tk) FROM sk)
+        SELECT CAST(item AS BIGINT) AS item, count AS n
+        FROM flat ORDER BY n DESC, item ASC LIMIT 10
+        """
+    )

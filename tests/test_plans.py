@@ -94,3 +94,9 @@ def test_minhash_sig_is_map_side_only(spark):
     # And no Filter below the Exchange: InferFiltersFromGenerate must not
     # clone the signature expression into a pre-repartition filter.
     assert "Filter" not in tree, plan
+
+
+def test_shuffle_hash_hint_forces_shj(spark):
+    plan = formatted_plan(R.join_shuffle_hash_hint(spark, SF_SMALL))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
