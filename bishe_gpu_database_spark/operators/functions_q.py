@@ -944,35 +944,64 @@ def fn_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_levenshtein",
     oracle="""
-    SELECT a.n_name AS name_a, b.n_name AS name_b,
-           levenshtein(a.n_name, b.n_name) AS edit_dist,
-           levenshtein(substr(a.n_name, 1, 8), substr(b.n_name, 1, 8))
+    WITH tri AS (
+      SELECT DISTINCT n_nationkey, n_name, tri
+      FROM (SELECT n_nationkey, n_name,
+                   unnest(list_transform(
+                     generate_series(1, greatest(length(n_name) - 2, 1)),
+                     i -> substr(n_name, CAST(i AS INT), 3))) AS tri
+            FROM nation)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.n_nationkey AS ka, a.n_name AS name_a,
+                      b.n_nationkey AS kb, b.n_name AS name_b
+      FROM tri a JOIN tri b ON a.tri = b.tri AND a.n_nationkey < b.n_nationkey
+    )
+    SELECT name_a, name_b,
+           levenshtein(name_a, name_b) AS edit_dist,
+           levenshtein(substr(name_a, 1, 8), substr(name_b, 1, 8))
              AS edit_dist_prefix
-    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
-    WHERE levenshtein(a.n_name, b.n_name) <= 7
+    FROM pairs
+    WHERE levenshtein(name_a, name_b) <= 7
     """,
 )
 def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching (entity resolution / typo-tolerant
     dedup): near-matching nation-name pairs by Levenshtein distance —
     an EXACT integer both engines compute identically, unlike
-    similarity floats. The pair generation here is a small-dim theta
-    self-join; at corpus scale edit distance is never run all-pairs —
-    it is the precise verifier AFTER a candidate generator (the LSH /
-    phonetic-key / prefix-bucket join, cf. dedup_minhash_lsh_pairs),
-    exactly how this engine's dedup stack stages it."""
+    similarity floats. Staged the way edit distance actually scales:
+    a character-trigram blocking equi-join generates candidate pairs
+    (any pair within small edit distance shares trigrams), then the
+    exact distance verifies — no all-pairs theta join anywhere, so the
+    plan is shuffle-hash/sort-merge, not nested-loop, and survives a
+    100 TB entity table (cf. dedup_minhash_lsh_pairs for the document
+    analogue)."""
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    a = n.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a"))
-    b = n.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b"))
-    return (
-        a.join(b, F.col("ka") < F.col("kb"))
-        .select(
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").alias("edit_dist"),
-            F.levenshtein(
-                F.substring("name_a", 1, 8), F.substring("name_b", 1, 8)
-            ).alias("edit_dist_prefix"),
-        )
-        .filter(F.col("edit_dist") <= 7)
+    starts = F.sequence(F.lit(1), F.greatest(F.length("n_name") - 2, F.lit(1)))
+    tri = n.select(
+        "n_nationkey",
+        "n_name",
+        F.explode(
+            F.transform(starts, lambda i: F.col("n_name").substr(i, F.lit(3)))
+        ).alias("tri"),
+    ).distinct()
+    a = tri.select(
+        F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a"), "tri"
     )
+    b = tri.select(
+        F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b"), "tri"
+    )
+    pairs = (
+        a.join(b, "tri")
+        .filter(F.col("ka") < F.col("kb"))
+        .select("ka", "name_a", "kb", "name_b")
+        .distinct()
+    )
+    return pairs.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        F.levenshtein(
+            F.substring("name_a", 1, 8), F.substring("name_b", 1, 8)
+        ).alias("edit_dist_prefix"),
+    ).filter(F.col("edit_dist") <= 7)
