@@ -1640,3 +1640,93 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("custkey"))
     b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     return a.intersectAll(b)
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts AS error_ts, nxt.purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN LATERAL (
+      SELECT min(p.ts) AS purchase_ts
+      FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+        AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
+    ) nxt ON TRUE
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with bounded tolerance: each error event is
+    matched to the EARLIEST purchase at-or-after it (same user) within a
+    30-minute staleness bound — the mirror of ``join_asof``'s
+    latest-at-or-before, and the shape of feature/label joins in training
+    pipelines (outcome within horizon H after treatment). Same scalable
+    formulation: union the two event kinds into one per-user timeline,
+    sort once, and carry the next purchase timestamp BACKWARD with
+    ``first(ignorenulls)`` over a forward frame; the tolerance is a
+    post-filter. One shuffle on user_id, no pairwise range join, no
+    quadratic blowup at 100 TB."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("purchase_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.lit(None).cast("timestamp").alias("purchase_ts"), "event_id"
+    )
+    merged = purchases.unionByName(errors)
+    # Errors sort BEFORE purchases at identical ts (error rows keep their
+    # event_id → isNull()=0, purchase rows carry null → 1) so a
+    # same-instant purchase lands in the error's forward frame — matches
+    # the oracle's p.ts >= e.ts.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.col("event_id").isNull().cast("int"))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    nxt = F.first("purchase_ts", ignorenulls=True).over(w)
+    return (
+        merged.withColumn("nxt", nxt)
+        .filter(F.col("event_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("error_ts"),
+            F.when(
+                F.col("nxt") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES"),
+                F.col("nxt"),
+            ).alias("purchase_ts"),
+        )
+    )
+
+
+@register(
+    "join_existence_flag",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           c_custkey IN (SELECT o_custkey FROM orders
+                         WHERE o_totalprice > 300000) AS has_big_order
+    FROM customer
+    """,
+)
+def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence join: an IN-subquery used as a PROJECTED boolean rather
+    than a filter. Semi/anti joins can only keep or drop rows; when the
+    predicate's truth value is itself the output (feature flags, audit
+    columns), Catalyst plans a dedicated ExistenceJoin — one hash join
+    on the key that attaches `exists` without duplicating matches or
+    losing non-matches. Cheaper than left join + distinct + null-check
+    at 100 TB: the build side stores keys only, and no post-join dedup
+    shuffle exists."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_exf_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_exf_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               c_custkey IN (SELECT o_custkey FROM _exf_orders
+                             WHERE o_totalprice > 300000) AS has_big_order
+        FROM _exf_customer
+        """
+    )
