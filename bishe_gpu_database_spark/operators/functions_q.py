@@ -1005,3 +1005,87 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("name_a", 1, 8), F.substring("name_b", 1, 8)
         ).alias("edit_dist_prefix"),
     ).filter(F.col("edit_dist") <= 7)
+
+
+@register(
+    "fn_width_bucket",
+    oracle="""
+    SELECT CASE WHEN l_quantity >= 50 THEN 11
+                ELSE CAST(floor(10 * l_quantity / 50) AS BIGINT) + 1 END
+             AS bucket,
+           count(*) AS n_items,
+           CAST(min(l_quantity) AS BIGINT) AS min_qty,
+           CAST(max(l_quantity) AS BIGINT) AS max_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-WIDTH bucketing via the SQL-standard width_bucket(v, lo, hi,
+    n): quantity histogrammed into 10 equal [0,50) bins, overflow bin
+    n+1 — the codegen'd primitive under feature binning and equi-width
+    histograms. A pure narrow map + tiny groupBy: the shuffle carries
+    (bucket, partial-agg) pairs, ~11 rows regardless of corpus size.
+    l_quantity is integral, so Spark's floor(n·(v-lo)/(hi-lo))+1 and the
+    oracle's hand-rolled formula agree bit-for-bit (no representable-
+    boundary hazard). Cross-engine note: DuckDB lacks width_bucket, so
+    the oracle spells out the same arithmetic."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.width_bucket(F.col("l_quantity"), F.lit(0.0), F.lit(50.0), F.lit(10)).alias(
+                "bucket"
+            ),
+            "l_quantity",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("l_quantity").cast("bigint").alias("min_qty"),
+            F.max("l_quantity").cast("bigint").alias("max_qty"),
+        )
+    )
+
+
+@register(
+    "fn_transpose_frame",
+    oracle="""
+    SELECT 'n_nations' AS key,
+           CAST((SELECT count(*) FROM nation n JOIN region r
+                 ON n.n_regionkey = r.r_regionkey
+                 WHERE r.r_name = 'AFRICA') AS BIGINT) AS AFRICA,
+           CAST((SELECT count(*) FROM nation n JOIN region r
+                 ON n.n_regionkey = r.r_regionkey
+                 WHERE r.r_name = 'AMERICA') AS BIGINT) AS AMERICA,
+           CAST((SELECT count(*) FROM nation n JOIN region r
+                 ON n.n_regionkey = r.r_regionkey
+                 WHERE r.r_name = 'ASIA') AS BIGINT) AS ASIA,
+           CAST((SELECT count(*) FROM nation n JOIN region r
+                 ON n.n_regionkey = r.r_regionkey
+                 WHERE r.r_name = 'EUROPE') AS BIGINT) AS EUROPE,
+           CAST((SELECT count(*) FROM nation n JOIN region r
+                 ON n.n_regionkey = r.r_regionkey
+                 WHERE r.r_name = 'MIDDLE EAST') AS BIGINT) AS "MIDDLE EAST"
+    """,
+)
+def fn_transpose_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4): flip a small summary frame so its
+    index column becomes the header row — the presentation-layer pivot
+    for reports/corpus cards. Transpose materializes the index column on
+    the driver to name the output columns, so it is strictly a
+    SMALL-RESULT operator (here: 5 region rows → 5 columns); the heavy
+    aggregation upstream stays distributed, and wide→long at scale goes
+    through unpivot_melt instead."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    counts = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .withColumn("n_nations", F.col("n_nations").cast("string"))
+    )
+    out = counts.transpose(F.col("r_name"))
+    return out.select(
+        F.col("key"),
+        *[F.col(f"`{c}`").cast("bigint").alias(c) for c in sorted(out.columns) if c != "key"],
+    )
