@@ -573,3 +573,107 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         GROUP BY 1
         """
     )
+
+
+@register(
+    "events_throttle_first",
+    oracle="""
+    SELECT user_id,
+           make_timestamp((epoch_us(ts) // 300000000) * 300000000)
+             AS window_start,
+           min(event_id ORDER BY ts, event_id) AS first_event_id,
+           count(*) - 1 AS n_suppressed
+    FROM events
+    GROUP BY user_id, (epoch_us(ts) // 300000000)
+    """,
+)
+def events_throttle_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate limiting / debounce: keep the FIRST event per (user, 5-minute
+    window) and count what was suppressed — the alert-dedup / notification-
+    throttle operator. ``min_by`` over the (ts, event_id) total order is a
+    map-side-combinable aggregate (no window sort): at 100 TB each
+    partition collapses its duplicates before the single (user, window)
+    shuffle moves anything. Tumbling alignment matches the streaming
+    twin's ``window(ts, '5 minutes')`` epoch-aligned buckets."""
+    e = t(spark, sf_dir, "events")
+    win = F.window("ts", "5 minutes")
+    return (
+        e.groupBy("user_id", win.alias("w"))
+        .agg(
+            F.min_by("event_id", F.struct("ts", "event_id")).alias("first_event_id"),
+            (F.count(F.lit(1)) - 1).alias("n_suppressed"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            "first_event_id",
+            "n_suppressed",
+        )
+    )
+
+
+@register(
+    "agg_ntile_scalable",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (ORDER BY floor(value * 100 + 0.5), event_id)
+               AS rnk,
+             count(*) OVER () AS n
+      FROM events
+    )
+    SELECT CAST((rnk - 1) * 10 // n AS INT) AS decile,
+           count(*) AS n_rows,
+           min(cents) AS lo_cents,
+           max(cents) AS hi_cents
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def agg_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-HEIGHT histogram (exact global deciles of event value) WITHOUT
+    a single-partition window: ntile/row_number over a global ORDER BY
+    collapses to one task in any engine, so this computes global rank the
+    way it survives 100 TB — range-repartition on the sort key (Spark's
+    distributed sort), rank WITHIN each partition, then add per-partition
+    row-count offsets (a ~#partitions-row driver-side aggregate broadcast
+    back). Rank depends only on the (cents, event_id) total order, not on
+    where sampling placed the range boundaries, so the result is
+    deterministic and hash-matches the oracle's row_number formulation."""
+    e = t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    keyed = e.select(cents.alias("cents"), "event_id").repartitionByRange(
+        32, "cents", "event_id"
+    )
+    parts = keyed.withColumn("pid", F.spark_partition_id())
+    # ~32 rows: cumulative offset + grand total, computed in one tiny agg.
+    offsets = (
+        parts.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "pid",
+            (
+                F.sum("cnt").over(
+                    Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+                )
+            ).alias("offset"),
+            F.sum("cnt").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("n"),
+        )
+        .fillna({"offset": 0})
+    )
+    w = Window.partitionBy("pid").orderBy("cents", "event_id")
+    ranked = parts.withColumn("local_rnk", F.row_number().over(w)).join(
+        F.broadcast(offsets), "pid"
+    )
+    return (
+        ranked.select(
+            "cents",
+            F.expr("CAST((local_rnk + offset - 1) * 10 DIV n AS INT)").alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
