@@ -22,7 +22,7 @@ restated as exact integer/decimal comparisons.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bishe_gpu_database_spark.operators.relational import D12, dec, dsum, one, t
@@ -734,4 +734,59 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND o.o_orderdate >= TIMESTAMP '2000-07-01')
         GROUP BY c.c_nationkey
         """
+    )
+
+
+@register(
+    "mart_clv_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             CAST(coalesce(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                  AS BIGINT) AS spend_cents
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    ranked AS (
+      SELECT *, ntile(10) OVER (PARTITION BY c_mktsegment
+                                ORDER BY spend_cents DESC, c_custkey)
+               AS decile
+      FROM spend
+    )
+    SELECT c_mktsegment, decile,
+           count(*) AS n_customers,
+           CAST(SUM(spend_cents) AS BIGINT) AS total_cents,
+           min(spend_cents) AS floor_cents,
+           max(spend_cents) AS ceil_cents
+    FROM ranked
+    GROUP BY c_mktsegment, decile
+    """,
+)
+def mart_clv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value decile mart (the TPC-DS-style reporting
+    composite): per market segment, rank customers by total order spend
+    into deciles and report each band's population and spend envelope —
+    the query behind tiered-pricing / churn dashboards. Pipeline: one
+    customer⋈orders shuffle (orders pre-aggregated per custkey before the
+    join at scale via partial aggs), an ntile window PARTITIONED by
+    segment (never a global sort), and a tiny final rollup. Spend is
+    integer cents end-to-end — exact on both engines."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.coalesce(F.sum(cents), F.lit(0)).cast("bigint").alias("spend_cents"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("spend_cents").desc(), "c_custkey")
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("spend_cents").cast("bigint").alias("total_cents"),
+            F.min("spend_cents").alias("floor_cents"),
+            F.max("spend_cents").alias("ceil_cents"),
+        )
     )
