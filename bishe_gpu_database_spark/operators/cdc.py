@@ -242,3 +242,89 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.select(
         "event_type", F.hll_sketch_estimate("sk").alias("est_distinct_users")
     ).unionByName(merged)
+
+
+@register(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS version_n
+      FROM ordered
+    ),
+    versions AS (
+      SELECT user_id, event_type, CAST(version_n AS INT) AS version_n,
+             min(ts) AS valid_from
+      FROM runs GROUP BY user_id, event_type, version_n
+    ),
+    hist AS (
+      SELECT user_id, event_type, version_n, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_n)
+               AS valid_to
+      FROM versions
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           h.version_n, h.event_type AS state_at_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN hist h
+      ON h.user_id = p.user_id
+     AND p.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) lookup against the type-2 dimension
+    history: every purchase event is joined to the dimension version that
+    was valid AT its timestamp — the query that makes SCD2 history
+    useful, and the batch shape of 'enrich each fact with the dimension
+    as-of fact time'. The join has an equi prefix on user_id (hash/SMJ,
+    never a nested loop); the [valid_from, valid_to) interval predicate
+    is applied post-probe, and each fact matches EXACTLY one version by
+    construction (intervals partition the timeline). At 100 TB both
+    sides shuffle once on the user key — co-located if the history table
+    is bucketed on it."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.coalesce(
+            (F.lag("event_type").over(w) != F.col("event_type")).cast("int"),
+            F.lit(1),
+        ).alias("chg"),
+    ).withColumn(
+        "version_n", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("int")
+    )
+    versions = runs.groupBy("user_id", "event_type", "version_n").agg(
+        F.min("ts").alias("valid_from")
+    )
+    wv = W.partitionBy("user_id").orderBy("version_n")
+    hist = versions.select(
+        "user_id",
+        F.col("event_type").alias("state_at_purchase"),
+        "version_n",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    return purchases.join(
+        hist,
+        (F.col("p_user") == hist.user_id)
+        & (F.col("purchase_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("purchase_ts") < F.col("valid_to"))),
+    ).select("event_id", "user_id", "purchase_ts", "version_n", "state_at_purchase")

@@ -623,3 +623,54 @@ def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("content").alias("content_md5"),
         )
     )
+
+
+def range_layout_path(sf_dir: str) -> str:
+    return os.path.join(
+        _SCRATCH, f"lineitem_rangelayout_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+
+@register(
+    "sink_range_layout",
+    oracle="""
+    SELECT count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+           CAST(min(l_shipdate) AS TIMESTAMP) AS first_ship,
+           CAST(max(l_shipdate) AS TIMESTAMP) AS last_ship
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-06-01'
+    """,
+)
+def sink_range_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D range-clustered sink (the time-ordered cousin of
+    sink_zorder_layout): lineitem rewritten range-partitioned + sorted on
+    l_shipdate, then a 3-month window answered from the clustered copy.
+    Range layout makes every output file a contiguous, non-overlapping
+    time slice, so parquet footer min/max stats skip every file outside
+    the predicate — a time-range scan touches O(selectivity) bytes
+    instead of the whole table. This is the default layout a 100 TB
+    event/fact table should be maintained into (OPTIMIZE ... ORDER BY
+    ts); the write is one range shuffle, and unlike hive
+    partition-by-day it produces uniform file sizes under skewed days.
+    The per-file disjointness is test-asserted
+    (tests/test_extended_ops.py)."""
+    li = t(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    path = range_layout_path(sf_dir)
+    (
+        li.repartitionByRange(16, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-06-01").cast("timestamp"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )

@@ -178,3 +178,26 @@ def test_kmeans_sse_monotone_nonincreasing(spark):
     for a, b in zip(rows, rows[1:]):
         assert b["sse"] <= a["sse"] + 1e-6
     assert all(r["n_cells"] == 8 for r in rows)
+
+
+def test_range_layout_files_are_disjoint_time_slices(spark):
+    """Every range-layout output file covers a time interval that
+    overlaps no other file's interval (modulo boundary rows sharing one
+    timestamp) — the property that lets parquet footer stats skip every
+    file outside a time-range predicate."""
+    from bishe_gpu_database_spark.sources.formats import (
+        range_layout_path,
+        sink_range_layout,
+    )
+
+    sink_range_layout(spark, SF_SMALL).collect()  # ensure layout written
+    back = spark.read.parquet(range_layout_path(SF_SMALL))
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) >= 8
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
