@@ -17,6 +17,9 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             # PQ codebook scoring: every vector × the 64-entry broadcast
             # codebook is the encode step itself.
             "ann_pq_topk",
+            # IVF-PQ composes both codebook cross-joins (constant-size
+            # broadcast sides: coarse centroids + PQ codebook).
+            "ann_ivfpq_topk",
             # 1-row corpus-statistic scalar (N docs / total tokens /
             # median split / half totals) broadcast onto the aggregate —
             # O(n) with a 1-row build side.
