@@ -387,3 +387,47 @@ def events_cep_within(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE event_type = 'purchase'
         """
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bigram FROM documents
+    ),
+    lm AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram),
+    scored AS (
+      SELECT b.doc_id, length(bin(lm.n)) AS bits
+      FROM bg b JOIN lm ON b.bigram = lm.bigram
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(SUM(bits) AS BIGINT) AS sum_bits,
+           CAST(SUM(bits) * 1000 // count(*) AS BIGINT) AS milli_avg_bits
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score — the perplexity-proxy quality
+    filter without floating logs: train bigram counts on the corpus
+    itself, then score each document by the average frequency MAGNITUDE
+    (⌊log2 n⌋+1 = length(bin(n)), exact integer) of its bigrams.
+    Documents full of common transitions score high; word-salad and
+    boilerplate-with-rare-joins score low — the cheap KenLM stand-in for
+    pretraining-data filtering. Two shuffles on the bigram key (count,
+    then score-join — co-partitioned, so AQE folds them) plus a doc_id
+    rollup; the LM table partial-aggregates map-side, and at 100 TB it
+    can be computed on a sample and broadcast instead. Integer bits and
+    truncating milli-average keep both engines bit-identical."""
+    d = t(spark, sf_dir, "documents")
+    bg = widen(_toks_and_bigrams(d)).select("doc_id", F.explode("bg").alias("bigram"))
+    lm = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    scored = bg.join(lm, "bigram").select(
+        "doc_id", F.length(F.bin("n")).alias("bits")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bits").cast("bigint").alias("sum_bits"),
+        F.expr("CAST(sum(bits) * 1000 DIV count(1) AS BIGINT)").alias("milli_avg_bits"),
+    )
