@@ -674,3 +674,48 @@ def sink_range_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
+
+
+@register(
+    "catalog_ddl_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_totalprice > 200000
+    GROUP BY o_orderstatus
+    """,
+)
+def catalog_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog / DDL surface: CREATE TABLE ... USING parquet at an
+    external LOCATION, INSERT OVERWRITE from a SELECT, then query the
+    catalog table by name — the warehouse lifecycle the reference's
+    compile-time template schema can't express (ref:
+    src/database/ycsb/db.h:31-34 — its one table is hard-wired; no DDL
+    exists anywhere). The catalog entry carries the schema, so readers
+    skip inference; INSERT OVERWRITE is the idempotent publish step
+    (same write-once discipline as the relayout/compaction sinks). The
+    aggregate proves the round trip lost nothing; DuckDB recomputes from
+    the source fixture."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tbl = f"big_orders_{sf_tag}"
+    loc = os.path.join(_SCRATCH, f"catalog_{tbl}")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_ddl_orders_src")
+    spark.sql(
+        f"""CREATE TABLE IF NOT EXISTS {tbl}
+            (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)
+            USING parquet LOCATION '{loc}'"""
+    )
+    spark.sql(
+        f"""INSERT OVERWRITE {tbl}
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM _ddl_orders_src WHERE o_totalprice > 200000"""
+    )
+    return spark.sql(
+        f"""SELECT o_orderstatus, count(*) AS n_orders,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents
+            FROM {tbl} GROUP BY o_orderstatus"""
+    )
