@@ -334,3 +334,55 @@ def udf_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL char_stats_poly(d.text, 'n_chars, n_spaces') s
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. applyInArrow — grouped-map at the zero-copy tier (Spark 4): each
+#    group arrives as ONE pyarrow.Table, no pandas block manager.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udf_apply_in_arrow_grouped",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT))
+                AS BIGINT) AS sum_milli_first,
+           min(vec_id) AS first_vec
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def udf_apply_in_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Arrow UDF (``groupBy().applyInArrow``, Spark 4): the
+    whole group lands as one pyarrow.Table — the zero-copy sibling of
+    applyInPandas for per-group numeric kernels (per-class embedding
+    stats, per-entity model fits) where pandas materialization is pure
+    overhead. Integer milli-units keep the group stats exact, so the
+    grouped-map path itself is oracle-gated, not just smoke-tested. One
+    shuffle on the group key, Arrow transfer both ways; group size
+    bounds executor memory (labels are bounded-cardinality classes)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        first = pc.list_element(tbl.column("embedding").combine_chunks(), 0)
+        milli = pc.floor(pc.multiply(pc.cast(first, pa.float64()), 1000.0))
+        return pa.table(
+            {
+                "label": pa.array([tbl.column("label")[0].as_py()], pa.int32()),
+                "n_vecs": pa.array([tbl.num_rows], pa.int64()),
+                "sum_milli_first": pa.array(
+                    [int(pc.sum(pc.cast(milli, pa.int64())).as_py())], pa.int64()
+                ),
+                "first_vec": pa.array(
+                    [int(pc.min(tbl.column("vec_id")).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    return e.groupBy("label").applyInArrow(
+        stats, "label int, n_vecs bigint, sum_milli_first bigint, first_vec bigint"
+    )
