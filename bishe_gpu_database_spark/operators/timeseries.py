@@ -677,3 +677,61 @@ def agg_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("hi_cents"),
         )
     )
+
+
+@register(
+    "events_burst_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    trail AS (
+      SELECT event_type, hr, n,
+             coalesce(sum(n) OVER w, 0) AS prev_sum,
+             count(*) OVER w AS prev_hours
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   RANGE BETWEEN INTERVAL 24 HOUR PRECEDING
+                             AND INTERVAL 1 HOUR PRECEDING)
+    )
+    SELECT event_type, hr, n, prev_sum, prev_hours
+    FROM trail
+    WHERE prev_hours >= 12 AND n * prev_hours > 3 * prev_sum
+    """,
+)
+def events_burst_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-burst (anomaly) detection: hours where an event type's count
+    exceeds 3× its trailing-24-hour hourly average — the volume-spike
+    monitor complementing timeseries_zscore_outliers' value-based
+    screen. The trailing baseline is a time-RANGE frame ending one hour
+    BEFORE the current row (the candidate burst must not contaminate its
+    own baseline), and the 3× test is cross-multiplied into pure integer
+    arithmetic (n·prev_hours > 3·prev_sum) — no division, no floats,
+    nothing for partition order to perturb. Pipeline: one hash agg to
+    hourly counts (shuffle carries (type, hour) pairs), one window over
+    the tiny hourly table. The ≥12-observed-hours guard suppresses
+    cold-start false positives."""
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hourly.createOrReplaceTempView("_burst_hourly")
+    return spark.sql(
+        """
+        WITH trail AS (
+          SELECT event_type, hr, n,
+                 coalesce(sum(n) OVER w, 0) AS prev_sum,
+                 count(*) OVER w AS prev_hours
+          FROM _burst_hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                       RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                                 AND INTERVAL 1 HOURS PRECEDING)
+        )
+        SELECT event_type, hr, n, prev_sum, prev_hours
+        FROM trail
+        WHERE prev_hours >= 12 AND n * prev_hours > 3 * prev_sum
+        """
+    )
