@@ -17,6 +17,9 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             # PQ codebook scoring: every vector × the 64-entry broadcast
             # codebook is the encode step itself.
             "ann_pq_topk",
+            # RAG retrieve: broadcast 3-vector query batch scores the
+            # corpus map-side — the bounded-query-batch pattern.
+            "rag_retrieve_topk",
             # IVF-PQ composes both codebook cross-joins (constant-size
             # broadcast sides: coarse centroids + PQ codebook).
             "ann_ivfpq_topk",
