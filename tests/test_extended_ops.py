@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from bishe_gpu_database_spark.operators.graph import _BASE, _UNIT, graph_pagerank_3iter
 from bishe_gpu_database_spark.operators.pipeline import pipeline_source_mixture
 from bishe_gpu_database_spark.operators.timeseries import timeseries_gap_fill
+from bishe_gpu_database_spark.operators.relational import t
 from bishe_gpu_database_spark.sources.formats import compaction_paths
 from tests.conftest import SF_SMALL
 
@@ -67,3 +68,37 @@ def test_keep_latest_is_one_row_per_key(spark):
 
     df = dedup_keep_latest(spark, SF_SMALL)
     assert df.groupBy("user_id", "event_type").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_scalable_ntile_matches_single_partition_window(spark):
+    """The range-repartition + offset-join global rank must reproduce the
+    classic single-partition ntile(10) exactly — deciles, counts, and
+    per-decile envelopes. (ntile distributes remainders to the FIRST
+    buckets, which floor((rank-1)*10/n) matches only when n % 10 == 0;
+    the events fixture is 10000 rows, so the two formulations coincide
+    and the comparison is exact.)"""
+    from pyspark.sql import Window as W
+
+    from bishe_gpu_database_spark.operators.timeseries import agg_ntile_scalable
+
+    got = {
+        r["decile"]: (r["n_rows"], r["lo_cents"], r["hi_cents"])
+        for r in agg_ntile_scalable(spark, SF_SMALL).collect()
+    }
+    e = t(spark, SF_SMALL, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    ref = (
+        e.select(cents.alias("cents"), "event_id")
+        .withColumn(
+            "decile",
+            F.ntile(10).over(W.orderBy("cents", "event_id")) - 1,
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        )
+    )
+    want = {r["decile"]: (r["n_rows"], r["lo"], r["hi"]) for r in ref.collect()}
+    assert got == want
