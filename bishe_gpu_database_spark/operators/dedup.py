@@ -156,6 +156,27 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash): LSH banding of a (doc_id, sigs)
+    frame — 4 bands x 4 signature rows, each band md5-collapsed. Narrow
+    map-side work; shared by the all-pairs and incremental dedup ops."""
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_HASHES // _BAND_SIZE - 1)),
+        lambda bidx: F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sigs"), bidx * _BAND_SIZE + 1, _BAND_SIZE),
+                    lambda s: s.cast("string"),
+                ),
+            )
+        ),
+    )
+    return sigs.select("doc_id", F.posexplode(band_hashes)).select(
+        "doc_id", F.col("pos").alias("band_id"), F.col("col").alias("band_hash")
+    )
+
+
 @register(
     "dedup_minhash_lsh_pairs",
     oracle=f"""
@@ -185,22 +206,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are all narrow map-side work; the (band_id, band_hash) equi-join is
     the only pairwise step and its fan-out is controlled by band collision
     probability, not corpus size."""
-    sigs = _doc_sigs(spark, sf_dir)
-    band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(_N_HASHES // _BAND_SIZE - 1)),
-        lambda bidx: F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("sigs"), bidx * _BAND_SIZE + 1, _BAND_SIZE),
-                    lambda s: s.cast("string"),
-                ),
-            )
-        ),
-    )
-    bands = sigs.select("doc_id", F.posexplode(band_hashes)).select(
-        "doc_id", F.col("pos").alias("band_id"), F.col("col").alias("band_hash")
-    )
+    bands = _band_rows(_doc_sigs(spark, sf_dir))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -557,4 +563,98 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("canonical_url")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_H48.format(x='shingle')} AS x
+      FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id, i, min(((2*i + 1) * x + 1000003*i) % {MINHASH_PRIME}) AS sig
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {_BAND_SIZE} AS band_id,
+             md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS band_hash
+      FROM sig GROUP BY doc_id, i // {_BAND_SIZE}
+    ),
+    fp AS (SELECT doc_id, md5({_SQL_NORM}) AS fingerprint FROM documents),
+    ex AS (
+      SELECT b.doc_id, min(c.doc_id) AS m
+      FROM fp b JOIN fp c ON b.fingerprint = c.fingerprint
+      WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+      GROUP BY b.doc_id
+    ),
+    nr AS (
+      SELECT b.doc_id, min(c.doc_id) AS m
+      FROM bands b JOIN bands c
+        ON b.band_id = c.band_id AND b.band_hash = c.band_hash
+      WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN ex.m IS NOT NULL THEN 'exact_dup'
+                WHEN nr.m IS NOT NULL THEN 'near_dup'
+                ELSE 'accept' END AS verdict,
+           coalesce(ex.m, nr.m) AS matched_doc
+    FROM documents d
+    LEFT JOIN ex ON d.doc_id = ex.doc_id
+    LEFT JOIN nr ON d.doc_id = nr.doc_id
+    WHERE d.doc_id % 10 = 0
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-batch) dedup — the production crawl shape: a
+    NEW batch of documents (doc_id % 10 == 0 stands in for today's
+    arrivals) is screened against the EXISTING corpus, never against
+    itself and never corpus-vs-corpus. Exact fingerprint match rejects
+    first; otherwise any shared LSH band flags a near-dup; survivors are
+    accepted, each rejection carrying its earliest matching corpus doc
+    for provenance. This is ivm_incremental_agg's discipline applied to
+    dedup: per-ingest cost scales with |batch| × bands, NOT |corpus|² —
+    the corpus side contributes only its (fingerprint, band) index,
+    which at 100 TB is a stored table maintained by appending each
+    accepted batch's rows (the signatures here are recomputed only
+    because the fixture has no store). Both probe joins are equi-joins
+    on 16-byte digests; the batch side is the small side and broadcasts."""
+    d = t(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 0
+    fp = d.select("doc_id", F.md5(norm_text(F.col("text"))).alias("fingerprint"))
+    bands = _band_rows(_doc_sigs(spark, sf_dir))
+    fp_b = fp.filter(is_batch)
+    fp_c = fp.filter(~is_batch).select(
+        "fingerprint", F.col("doc_id").alias("c_doc")
+    )
+    ex = (
+        fp_b.join(fp_c, "fingerprint")
+        .groupBy("doc_id")
+        .agg(F.min("c_doc").alias("exact_m"))
+    )
+    bands_b = bands.filter(is_batch)
+    bands_c = bands.filter(~is_batch).select(
+        "band_id", "band_hash", F.col("doc_id").alias("c_doc")
+    )
+    nr = (
+        bands_b.join(bands_c, ["band_id", "band_hash"])
+        .groupBy("doc_id")
+        .agg(F.min("c_doc").alias("near_m"))
+    )
+    return (
+        d.filter(is_batch)
+        .select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(nr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_m").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_m").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("accept"))
+            .alias("verdict"),
+            F.coalesce("exact_m", "near_m").alias("matched_doc"),
+        )
     )
