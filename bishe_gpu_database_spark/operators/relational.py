@@ -1730,3 +1730,52 @@ def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _exf_customer
         """
     )
+
+
+@register(
+    "join_interval_bucketed",
+    oracle="""
+    SELECT a.event_id AS error_id, b.event_id AS purchase_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join with NO equi key (any purchase within one
+    minute after any error, across ALL users) — the case a planner must
+    not turn into a cartesian product. The scalable formulation is
+    time-bucket blocking: left rows fan out to the (at most two) 1-min
+    buckets their interval touches, the join becomes an EQUI-join on the
+    bucket id, and the exact interval predicate filters post-probe. Each
+    right row lives in exactly one bucket, so no dedup pass is needed.
+    Cost: one shuffle per side on the bucket key, fan-out ×2 — versus
+    the quadratic pairing a raw theta join degenerates to at 100 TB.
+    (Same blocking discipline as the LSH band join and the z-order box
+    query: turn a range predicate into a bounded set of exact keys.)"""
+    e = t(spark, sf_dir, "events")
+    bkt = (F.unix_micros(F.col("ts")) / F.lit(60_000_000)).cast("bigint")
+    bkt_a = (F.unix_micros(F.col("a_ts")) / F.lit(60_000_000)).cast("bigint")
+    a = (
+        e.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"), F.col("ts").alias("a_ts"))
+        .withColumn("bkt", F.explode(F.array(bkt_a, bkt_a + 1)))
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("b_ts"),
+        bkt.alias("bkt"),
+    )
+    return (
+        a.join(b, "bkt")
+        .filter(
+            (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 MINUTE"))
+        )
+        .select(
+            "error_id",
+            "purchase_id",
+            (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("lag_us"),
+        )
+    )
