@@ -1779,3 +1779,41 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("lag_us"),
         )
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(o_orderstatus, 'P') AS k, count(*) AS n_a
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT NULLIF(o_orderstatus, 'P') AS k,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_b
+      FROM orders GROUP BY 1
+    )
+    SELECT a.k, a.n_a, b.cents_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantic needed when NULL
+    is a real category (unknown segment, missing attribution) rather
+    than three-valued unknown. Catalyst plans `<=>` as an ordinary
+    hash-join key (NULL hashes to a bucket like any value), so this
+    costs exactly what the plain equi-join costs; the rewrite people
+    reach for instead — `ON a.k = b.k OR (a.k IS NULL AND b.k IS NULL)`
+    — degenerates to a nested loop because the OR defeats the hash key.
+    NULLIF carves a NULL class out of the order-status domain so the
+    match is observable."""
+    o = t(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    a = o.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n_a"))
+    b = o.groupBy(k.alias("kb")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents_b")
+    )
+    return a.join(b, F.col("k").eqNullSafe(F.col("kb"))).select("k", "n_a", "cents_b")
