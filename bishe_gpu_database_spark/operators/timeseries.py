@@ -735,3 +735,57 @@ def events_burst_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE prev_hours >= 12 AND n * prev_hours > 3 * prev_sum
         """
     )
+
+
+@register(
+    "events_ohlc_minute",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT event_type, minute,
+           min(CASE WHEN rn_open = 1 THEN cents END) AS open_cents,
+           max(cents) AS high_cents,
+           min(cents) AS low_cents,
+           min(CASE WHEN rn_close = 1 THEN cents END) AS close_cents,
+           count(*) AS n_ticks
+    FROM ranked
+    GROUP BY event_type, minute
+    """,
+)
+def events_ohlc_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars (open/high/low/close per (series, minute)) —
+    the canonical financial/hypertable downsample. Open and close are
+    `min_by`/`max_by` over the (ts, event_id) total order: ONE hash
+    aggregate with map-side combine, no window sort over the raw ticks —
+    at 100 TB the shuffle carries one partial bar per (series, minute)
+    per map task, not the ticks. (The oracle spells the same argmin/argmax
+    as rank-1 picks because DuckDB's arg_min is tie-nondeterministic;
+    the engine side needs no ranking at all.) Integer cents keep all
+    four prices hash-exact."""
+    e = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    order_key = F.struct("ts", "event_id")
+    return (
+        e.select(
+            "event_type",
+            F.date_trunc("minute", "ts").alias("minute"),
+            cents.alias("cents"),
+            order_key.alias("ok"),
+        )
+        .groupBy("event_type", "minute")
+        .agg(
+            F.min_by("cents", F.col("ok")).alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max_by("cents", F.col("ok")).alias("close_cents"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
