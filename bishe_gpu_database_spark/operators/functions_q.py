@@ -962,20 +962,24 @@ def fn_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
            levenshtein(substr(name_a, 1, 8), substr(name_b, 1, 8))
              AS edit_dist_prefix
     FROM pairs
-    WHERE levenshtein(name_a, name_b) <= 7
+    WHERE levenshtein(name_a, name_b) <= 1
     """,
 )
 def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching (entity resolution / typo-tolerant
-    dedup): near-matching nation-name pairs by Levenshtein distance —
-    an EXACT integer both engines compute identically, unlike
-    similarity floats. Staged the way edit distance actually scales:
-    a character-trigram blocking equi-join generates candidate pairs
-    (any pair within small edit distance shares trigrams), then the
-    exact distance verifies — no all-pairs theta join anywhere, so the
-    plan is shuffle-hash/sort-merge, not nested-loop, and survives a
-    100 TB entity table (cf. dedup_minhash_lsh_pairs for the document
-    analogue)."""
+    dedup): nation-name pairs within edit distance 1 — an EXACT integer
+    both engines compute identically, unlike similarity floats. Staged
+    the way edit distance scales: a character-trigram blocking
+    equi-join generates candidate pairs, then the exact distance
+    verifies — no all-pairs theta join anywhere, so the plan is
+    shuffle-hash/sort-merge, not nested-loop (cf.
+    dedup_minhash_lsh_pairs for the document analogue). Blocking recall
+    caveat, stated rather than hand-waved: sharing a trigram is
+    guaranteed only while k errors can't destroy every one of the
+    len-2 trigram positions (roughly k < len/3 — e.g. CHINA↔INDIA at
+    distance 4 share none); at threshold 1 over these names the
+    guarantee holds, and production stacks pick band/q-gram counts from
+    the same bound."""
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     starts = F.sequence(F.lit(1), F.greatest(F.length("n_name") - 2, F.lit(1)))
     tri = n.select(
@@ -1004,7 +1008,7 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(
             F.substring("name_a", 1, 8), F.substring("name_b", 1, 8)
         ).alias("edit_dist_prefix"),
-    ).filter(F.col("edit_dist") <= 7)
+    ).filter(F.col("edit_dist") <= 1)
 
 
 @register(

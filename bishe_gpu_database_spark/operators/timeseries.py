@@ -581,7 +581,7 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT user_id,
            make_timestamp((epoch_us(ts) // 300000000) * 300000000)
              AS window_start,
-           min(event_id ORDER BY ts, event_id) AS first_event_id,
+           first(event_id ORDER BY ts, event_id) AS first_event_id,
            count(*) - 1 AS n_suppressed
     FROM events
     GROUP BY user_id, (epoch_us(ts) // 300000000)
@@ -645,7 +645,12 @@ def agg_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = e.select(cents.alias("cents"), "event_id").repartitionByRange(
         32, "cents", "event_id"
     )
-    parts = keyed.withColumn("pid", F.spark_partition_id())
+    # localCheckpoint pins the (sampled, nondeterministic) range boundaries:
+    # both consumers below — the per-pid offsets and the per-pid local
+    # ranks — must observe the SAME partitioning, and relying on Spark's
+    # exchange reuse for that would silently break under
+    # spark.sql.exchange.reuse=false or a subtree-canonicalization change.
+    parts = keyed.withColumn("pid", F.spark_partition_id()).localCheckpoint()
     # ~32 rows: cumulative offset + grand total, computed in one tiny agg.
     offsets = (
         parts.groupBy("pid")
@@ -698,21 +703,24 @@ def agg_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, hr, n, prev_sum, prev_hours
     FROM trail
-    WHERE prev_hours >= 12 AND n * prev_hours > 3 * prev_sum
+    WHERE prev_hours >= 6 AND n * prev_hours > 2 * prev_sum
     """,
 )
 def events_burst_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rate-burst (anomaly) detection: hours where an event type's count
-    exceeds 3× its trailing-24-hour hourly average — the volume-spike
+    exceeds 2× its trailing-24-hour hourly average — the volume-spike
     monitor complementing timeseries_zscore_outliers' value-based
     screen. The trailing baseline is a time-RANGE frame ending one hour
     BEFORE the current row (the candidate burst must not contaminate its
-    own baseline), and the 3× test is cross-multiplied into pure integer
-    arithmetic (n·prev_hours > 3·prev_sum) — no division, no floats,
+    own baseline), and the 2× test is cross-multiplied into pure integer
+    arithmetic (n·prev_hours > 2·prev_sum) — no division, no floats,
     nothing for partition order to perturb. Pipeline: one hash agg to
     hourly counts (shuffle carries (type, hour) pairs), one window over
-    the tiny hourly table. The ≥12-observed-hours guard suppresses
-    cold-start false positives."""
+    the tiny hourly table. The ≥6-observed-hours guard suppresses
+    cold-start false positives. (At the largest fixture the hourly rate
+    is smooth enough that no hour doubles its baseline — an empty result
+    there is the monitor working, not a gap; the sf0.001/sf0.01 gates
+    exercise the non-empty path.)"""
     e = t(spark, sf_dir, "events")
     hourly = (
         e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
@@ -732,7 +740,7 @@ def events_burst_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type, hr, n, prev_sum, prev_hours
         FROM trail
-        WHERE prev_hours >= 12 AND n * prev_hours > 3 * prev_sum
+        WHERE prev_hours >= 6 AND n * prev_hours > 2 * prev_sum
         """
     )
 

@@ -75,8 +75,9 @@ def test_scalable_ntile_matches_single_partition_window(spark):
     classic single-partition ntile(10) exactly — deciles, counts, and
     per-decile envelopes. (ntile distributes remainders to the FIRST
     buckets, which floor((rank-1)*10/n) matches only when n % 10 == 0;
-    the events fixture is 10000 rows, so the two formulations coincide
-    and the comparison is exact.)"""
+    every events fixture is a power-of-ten row count (1000 at the
+    default sf0.001), so the two formulations coincide and the
+    comparison is exact.)"""
     from pyspark.sql import Window as W
 
     from bishe_gpu_database_spark.operators.timeseries import agg_ntile_scalable
