@@ -56,10 +56,22 @@ def gen_ops(
     n_keys: int = 20000,
     write_pct: int = 40,
     seed: str = "ops0",
+    skew: bool = False,
 ) -> DataFrame:
     """One transaction batch in exploded per-op form (FIXTURES.md ycsb_ops):
     tid, seq, k, is_update, new_f0…new_f9 (staged write value, pre-drawn so
-    retries re-stage the same bytes)."""
+    retries re-stage the same bytes).
+
+    ``skew=True`` draws keys power-law-hot instead of uniform — the
+    contention axis of the real YCSB spec (zipfian request distribution)
+    that the reference's generator omits (uniform only,
+    ref: src/database/ycsb/Transction_y.h:21). The draw squares a
+    uniform: k = ⌊n_keys · u²⌋ + 1 with u = h/2⁴⁸, computed in exact
+    integer arithmetic (h² ⌊·⌋-divided by 2⁹⁶ in two 48-bit steps) so it
+    stays deterministic and partition-invariant. Density ∝ 1/√k-shaped:
+    a hot head (key 1 drawn ~100× the uniform rate at 20k keys) with a
+    long tail — enough contention to multiply aborts without degenerating
+    to a single key."""
     txns = spark.range(1, n_txns + 1, 1, _parts(spark, n_txns * max_ops)).select(
         F.col("id").alias("tid")
     )
@@ -67,7 +79,22 @@ def gen_ops(
     ops = (
         txns.withColumn("seq", F.explode(F.sequence(F.lit(0), op_count.cast("int") - 1)))
     )
-    key = _h48(F.lit(seed), F.lit("key"), F.col("tid"), F.col("seq")) % n_keys + 1
+    h = _h48(F.lit(seed), F.lit("key"), F.col("tid"), F.col("seq"))
+    if skew:
+        # u² in exact integers: (h² · n_keys) / 2⁹⁶ staged as
+        # ((h·h DIV 2⁴⁸) · n_keys) DIV 2⁴⁸ — every intermediate < 2⁶³
+        # for n_keys ≤ 2¹⁵ after the first floor-divide. h < 2⁴⁸ ⇒
+        # h·h needs 96 bits, so split h first: h = hi·2²⁴ + lo.
+        hi = F.shiftright(h, 24)
+        lo = h % F.lit(1 << 24)
+        # h² DIV 2⁴⁸ = hi² + (2·hi·lo) DIV 2²⁴ (dropping lo²/2⁴⁸ < 1 can
+        # undershoot the true floor by 1 — harmless for a workload
+        # distribution, still deterministic). All pure int64 bit shifts:
+        # every intermediate < 2⁶³ (usq < 2⁴⁸, n_keys ≤ 2¹⁵ assumed).
+        usq = hi * hi + F.shiftright(2 * hi * lo, 24)
+        key = F.shiftright(usq * F.lit(n_keys), 48) % n_keys + 1
+    else:
+        key = h % n_keys + 1
     is_upd = (_h48(F.lit(seed), F.lit("wr"), F.col("tid"), F.col("seq")) % 100) < write_pct
     ops = ops.select("tid", "seq", key.alias("k"), is_upd.alias("is_update"))
     wtag = F.concat_ws("_", F.lit(seed), F.lit("val"), F.col("tid"), F.col("seq"))

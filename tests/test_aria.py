@@ -121,3 +121,41 @@ def test_snapshot_read_semantics(spark):
     verdicts2 = {r["tid"]: r["committed"] for r in res2.verdicts.collect()}
     # With reordering, the pure read (no WAR) commits reading the snapshot.
     assert verdicts2 == {1: True, 2: True}
+
+
+@pytest.mark.parametrize("reorder", [False, True])
+def test_skewed_workload_drain_matches_oracle_with_more_contention(spark, reorder):
+    """The power-law (YCSB-zipfian-shaped) key distribution must (a)
+    still drain to the exact serial-oracle state — determinism is
+    distribution-independent — and (b) produce strictly more aborts
+    than the uniform draw of the same batch shape, proving the skew
+    actually concentrates reservations on hot keys."""
+    kv_df = gen_kv(spark, N_KEYS, seed="kv_zipf")
+
+    def load(skew: bool):
+        ops_df = gen_ops(
+            spark, n_txns=N_TXNS, max_ops=MAX_OPS, n_keys=N_KEYS, write_pct=40,
+            seed="ops_zipf", skew=skew,
+        )
+        ops = [
+            Op(
+                r["tid"], r["seq"], r["k"], r["is_update"],
+                tuple(r[f"new_f{j}"] for j in range(10)) if r["is_update"] else None,
+            )
+            for r in ops_df.collect()
+        ]
+        return ops_df, ops
+
+    kv = {r["k"]: tuple(r[f"f{j}"] for j in range(10)) for r in kv_df.collect()}
+    skew_df, skew_ops = load(True)
+    expect_kv, expect_stats = drain(kv, skew_ops, reorder=reorder)
+    got_kv_df, got_stats = run_batch(kv_df, skew_df, reorder=reorder)
+    assert got_stats == expect_stats
+    assert _kv_as_dict(got_kv_df) == expect_kv
+
+    uni_df, uni_ops = load(False)
+    _, uni_stats = drain(kv, uni_ops, reorder=reorder)
+    aborts = lambda st: sum(e["n_aborted"] for e in st)  # noqa: E731
+    assert aborts(expect_stats) > aborts(uni_stats), (
+        aborts(expect_stats), aborts(uni_stats),
+    )
