@@ -209,3 +209,23 @@ def aria_install_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return aria_epoch(base, ops, reorder=True).kv
+
+
+@register("aria_drain_skewed")  # iterative multi-epoch loop → rows-only check
+def aria_drain_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain under a power-law hot-key distribution — the YCSB-zipfian
+    contention axis the reference's uniform generator omits (its spec
+    lineage is YCSB, whose standard request distribution is zipfian;
+    ref generator: src/database/ycsb/Transction_y.h:21). Same batch
+    shape as aria_drain_batch; keys drawn by exact-integer u² inversion
+    (workload.gen_ops(skew=True)), so the hot head multiplies
+    reservation conflicts and the drain takes more epochs — the
+    determinism property is distribution-independent and is asserted
+    against the serial oracle in tests/test_aria.py."""
+    kv = gen_kv(spark, n_keys=2000)
+    ops = gen_ops(spark, n_txns=150, max_ops=30, n_keys=2000, write_pct=40, skew=True)
+    _, stats = run_batch(kv, ops, reorder=True)
+    return spark.createDataFrame(
+        [(s["epoch"], s["n_txns"], s["n_committed"], s["n_aborted"]) for s in stats],
+        "epoch int, n_txns bigint, n_committed bigint, n_aborted bigint",
+    )

@@ -31,7 +31,7 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             "text_bm25_topk"}
 # Iterative drivers plan per-epoch; their inner plans are covered by the
 # single-epoch queries.
-_SKIP = {"aria_drain_batch"}
+_SKIP = {"aria_drain_batch", "aria_drain_skewed"}
 
 
 def test_no_plan_red_flags(spark):
