@@ -634,3 +634,75 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n_docs", "target_ppm")
         .agg(F.count(F.when(accept, 1)).alias("n_selected"))
     )
+
+
+@register(
+    "corpus_version_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS fp FROM documents
+    ),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0
+                  THEN md5(text || ' [edited]') ELSE md5(text) END AS fp
+      FROM documents
+      WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, md5('new doc ' || doc_id) AS fp
+      FROM documents WHERE doc_id % 19 = 0
+    )
+    SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v1.fp <> v2.fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    WHERE v1.fp IS DISTINCT FROM v2.fp
+    """,
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset version diff — the audit between two corpus snapshots
+    (v2 here: every 17th doc dropped, every 13th edited, a batch of
+    new ids appended) reporting each divergent doc as
+    added / removed / changed, the DVC-style provenance
+    record a training-data pipeline keeps per release. Compare by
+    content FINGERPRINT, not bytes: the full-outer join carries 16-byte
+    md5s, so at 100 TB the diff shuffles digests while the text stays in
+    place — and the same join against a stored fingerprint manifest
+    diffs a snapshot against history without reading the old corpus at
+    all. Unchanged rows are dropped with IS DISTINCT FROM — the
+    null-SAFE inequality: plain NOT (fp1 = fp2) evaluates to NULL on
+    the added/removed rows (one side missing) and would silently filter
+    the very rows the diff exists to report."""
+    d = t(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", F.md5("text").alias("fp1"))
+    v2 = (
+        d.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.md5(F.concat(F.col("text"), F.lit(" [edited]"))),
+            )
+            .otherwise(F.md5("text"))
+            .alias("fp2"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.md5(F.concat(F.lit("new doc "), F.col("doc_id").cast("string"))).alias(
+                    "fp2"
+                ),
+            )
+        )
+    )
+    joined = v1.join(v2, "doc_id", "full_outer")
+    return joined.filter(~F.col("fp1").eqNullSafe(F.col("fp2"))).select(
+        "doc_id",
+        F.when(F.col("fp2").isNull(), F.lit("removed"))
+        .when(F.col("fp1").isNull(), F.lit("added"))
+        .when(F.col("fp1") != F.col("fp2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
