@@ -790,3 +790,76 @@ def mart_clv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("spend_cents").alias("ceil_cents"),
         )
     )
+
+
+@register(
+    "mart_pareto_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             CAST(coalesce(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                  AS BIGINT) AS cents
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, cents,
+             row_number() OVER w AS rnk,
+             sum(cents) OVER (PARTITION BY c_mktsegment) AS seg_total,
+             sum(cents) OVER (w ROWS UNBOUNDED PRECEDING) AS run_cents,
+             count(*) OVER (PARTITION BY c_mktsegment) AS seg_customers
+      FROM spend
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents DESC, c_custkey)
+    )
+    SELECT c_mktsegment,
+           min(seg_customers) AS n_customers,
+           CAST(min(seg_total) AS BIGINT) AS seg_total_cents,
+           min(CASE WHEN run_cents * 100 >= seg_total * 80 THEN rnk END)
+             AS n_top_for_80pct,
+           CAST(min(CASE WHEN run_cents * 100 >= seg_total * 80 THEN rnk END)
+                * 1000 // min(seg_customers) AS BIGINT) AS permille_of_base
+    FROM ranked
+    GROUP BY c_mktsegment
+    """,
+)
+def mart_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) revenue-concentration mart: per market segment, how
+    many top customers it takes to cover 80% of segment revenue, and
+    what share of the base that is (in permille) — the concentration KPI
+    behind account-tiering decisions. One segment-partitioned window
+    pass over per-customer spend (running sum + rank), then the
+    threshold rank is a conditional MIN; the 80% test is cross-
+    multiplied (run·100 ≥ total·80) so it is pure int64 and safe from
+    percentage rounding. Never a global sort: every window partitions by
+    segment, and per-customer spend partial-aggregates before the one
+    customer-key shuffle."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.coalesce(F.sum(cents), F.lit(0)).cast("bigint").alias("cents"))
+    )
+    wseg = W.partitionBy("c_mktsegment")
+    word = wseg.orderBy(F.col("cents").desc(), "c_custkey")
+    ranked = spend.select(
+        "c_mktsegment",
+        "cents",
+        F.row_number().over(word).alias("rnk"),
+        F.sum("cents").over(wseg).alias("seg_total"),
+        F.sum("cents").over(word.rowsBetween(W.unboundedPreceding, 0)).alias("run_cents"),
+        F.count(F.lit(1)).over(wseg).alias("seg_customers"),
+    )
+    hit = F.when(
+        F.col("run_cents") * 100 >= F.col("seg_total") * 80, F.col("rnk")
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        F.min("seg_customers").alias("n_customers"),
+        F.min("seg_total").cast("bigint").alias("seg_total_cents"),
+        F.min(hit).alias("n_top_for_80pct"),
+        F.expr(
+            "CAST(min(CASE WHEN run_cents * 100 >= seg_total * 80 THEN rnk END)"
+            " * 1000 DIV min(seg_customers) AS BIGINT)"
+        ).alias("permille_of_base"),
+    )
