@@ -58,8 +58,14 @@ def analyze_dependencies(
     (ref: src/database/ycsb/operation_parallel.cuh:72-83): every op then
     participates in reservation/dependency analysis.
     """
-    # Execute: snapshot probe. Ops on missing keys are skipped (left join
-    # + found filter) exactly like the reference's failed hash probe.
+    # Execute: snapshot probe. Ops on missing keys are skipped exactly like
+    # the reference's failed hash probe. Join direction is the scale
+    # contract: the TABLE is the unbounded side (100 TB design point) while
+    # the ops batch is capacity-bounded (ref: TransctionManager.cuh:15), so
+    # the batch is broadcast and the table streams — no table-sized shuffle,
+    # and the epoch loop (which runs this with AQE off) can never fall back
+    # to a sort-merge join of the whole key set. kv keys are unique (it is
+    # the keyed table), so the inner join returns each found op once.
     if insert_missing:
         # NULL keys can slip in from caller-constructed ops; the probe
         # branch drops them via the equi-join, and the reference has no
@@ -68,8 +74,7 @@ def analyze_dependencies(
         # into one phantom key and conflict them against each other).
         found = ops.filter(F.col("k").isNotNull())
     else:
-        probed = ops.join(kv.select("k", F.lit(True).alias("_found")), "k", "left")
-        found = probed.filter(F.col("_found").isNotNull())
+        found = kv.select("k").join(F.broadcast(ops), "k", "inner")
 
     # Reserve: all settled CAS races at once. Every op reads; updates write
     # (read set append ref: TrancM_func.cuh:43-45, write set :55-57).
@@ -131,8 +136,10 @@ def aria_epoch(
     )
     if not insert_missing:
         # Only pre-existing keys are writable (missing-key ops skipped at
-        # Execute); with insert_missing the write creates the key.
-        writes = writes.join(kv.select("k"), "k", "left_semi")
+        # Execute); with insert_missing the write creates the key. Same
+        # broadcast direction as the probe: stream the table, broadcast
+        # the bounded batch.
+        writes = kv.select("k").join(F.broadcast(writes), "k", "inner")
     w = W.partitionBy("k").orderBy(F.col("tid").asc(), F.col("seq").desc())
     last_writes = (
         writes.withColumn("_rn", F.row_number().over(w))
@@ -177,21 +184,75 @@ def run_batch(
     paid on the final snapshot read.
     """
     value_cols = [c for c in kv.columns if c != "k"]
-    stats: list[dict] = []
     ops0 = ops.localCheckpoint()
     base = kv.localCheckpoint()
+    # Size the drain's exchanges to the BATCH, not the cluster: capacity is
+    # bounded (the reference caps in-flight txns at 200, ref:
+    # TransctionManager.cuh:15), so the per-epoch flags job moves a few
+    # thousand op rows — at the session default (one shuffle partition per
+    # core) epoch latency is pure task-scheduling overhead. ~512 rows per
+    # partition keeps a giant batch parallel while a reference-sized one
+    # plans a handful of tasks. Restored after the loop so the final
+    # table-sized merge (and every other query on the session) still plans
+    # at cluster width; shuffle.partitions is read at action time, and the
+    # returned merged plan is evaluated by the caller after restore.
+    spark = ops0.sparkSession
+    n_op_rows = ops0.count()
+    drain_parts = max(1, min(spark.sparkContext.defaultParallelism, n_op_rows // 4096))
+    # AQE's per-stage re-planning is pure latency once the exchanges are
+    # already batch-sized (~0.5 s/epoch on local[32]); off for the loop,
+    # restored for the table-sized final merge where coalescing/skew
+    # handling earn their keep.
+    drain_conf = {
+        "spark.sql.shuffle.partitions": str(drain_parts),
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved_conf = {k: spark.conf.get(k) for k in drain_conf}
     # Key existence is all Execute's probe needs, and it is invariant:
     # updates overwrite existing keys only (missing-key ops are skipped,
     # ref: TrancM_func.cuh:32-34). With insert_missing, analyze_
     # dependencies ignores the table entirely (every op participates).
     base_keys = base.select("k")
-    delta: DataFrame | None = None  # latest committed value per written k
     # Collect-phase bookkeeping lives on the driver (the reference's host
     # compaction, ref: TransctionManager.cuh:176-184): ``cur`` maps each
     # still-aborted ORIGINAL tid to its dense re-numbered tid for the next
     # epoch. Each epoch's ops view is then ops0 + one literal-map remap —
     # never a chain of per-epoch rewrites, so no per-epoch ops job exists.
     cur = {r[0]: r[0] for r in ops0.select("tid").distinct().collect()}
+    for k_, v_ in drain_conf.items():
+        spark.conf.set(k_, v_)
+    try:
+        stats, delta = _drain_loop(
+            ops0,
+            base_keys,
+            value_cols,
+            cur,
+            reorder=reorder,
+            insert_missing=insert_missing,
+            max_epochs=max_epochs,
+        )
+    finally:
+        for k_, v_ in saved_conf.items():
+            spark.conf.set(k_, v_)
+    if delta is None:
+        return base, stats
+    return base.join(delta, "k", "left_anti").unionByName(delta), stats
+
+
+def _drain_loop(
+    ops0: DataFrame,
+    base_keys: DataFrame,
+    value_cols: list[str],
+    cur: dict,
+    *,
+    reorder: bool,
+    insert_missing: bool,
+    max_epochs: int,
+) -> tuple[list[dict], DataFrame | None]:
+    """The epoch loop proper (see run_batch). Runs with batch-sized
+    shuffle partitions; returns (per-epoch stats, lazy install delta)."""
+    stats: list[dict] = []
+    delta: DataFrame | None = None
     for epoch in range(1, max_epochs + 1):
         if not cur:
             break
@@ -228,7 +289,9 @@ def run_batch(
         # so installs cost zero jobs during the drain.
         writes = ops_e.filter(F.col("is_update") & F.col("tid").isin(committed_tids))
         if not insert_missing:
-            writes = writes.join(base_keys, "k", "left_semi")
+            # Stream the table-sized key set, broadcast the bounded batch
+            # (same direction as the Execute probe).
+            writes = base_keys.join(F.broadcast(writes), "k", "inner")
         w = W.partitionBy("k").orderBy(F.col("tid").asc(), F.col("seq").desc())
         last_writes = (
             writes.withColumn("_rn", F.row_number().over(w))
@@ -264,6 +327,4 @@ def run_batch(
             delta = delta.localCheckpoint()
         rank = {old: i + 1 for i, old in enumerate(aborted_tids)}
         cur = {orig: rank[c] for orig, c in cur.items() if c in rank}
-    if delta is None:
-        return base, stats
-    return base.join(delta, "k", "left_anti").unionByName(delta), stats
+    return stats, delta
