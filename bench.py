@@ -72,10 +72,11 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        # Best of 3: single-run numbers on a shared box carry multi-second
-        # scheduler/GC noise; the minimum is the query's actual cost.
+        # Best of 5: single-run numbers on a shared box carry multi-second
+        # hypervisor-steal/GC noise (observed spread 0.85s-5.3s for the
+        # same sub-second query); the minimum is the query's actual cost.
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink: full evaluation of every output column — count()

@@ -658,3 +658,71 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exact_m", "near_m").alias("matched_doc"),
         )
     )
+
+
+@register(
+    "dedup_span_level",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, CAST(i AS INT) AS span_idx,
+             ('0x' || substr(md5(array_to_string(tk[(i - 1) * 10 + 1 : i * 10], ' ')), 1, 12))::BIGINT AS fp
+      FROM toks
+      CROSS JOIN unnest(generate_series(1, greatest((len(tk) + 9) // 10, 1))) AS t(i)
+    ),
+    ranked AS (
+      SELECT doc_id, span_idx,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, span_idx) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             // count(*) AS kept_ppm
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def dedup_span_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style span-level dedup: every non-overlapping 10-token
+    span is fingerprinted and only its globally FIRST occurrence (by
+    (doc_id, span_idx) total order) survives; per doc we report span
+    count, surviving spans, and the kept fraction in integer ppm. Unlike
+    whole-doc dedup this catches boilerplate repeated INSIDE otherwise
+    unique pages — the dominant duplication mode in web corpora. Scale
+    shape: spans fan out map-side; the first-occurrence rank shuffles
+    48-bit digests (never text), and the per-doc rollup reuses a
+    doc_id-sized aggregate — both exchanges are digest-width no matter
+    the corpus size. (The reference has no text surface; this extends
+    its exact-key dedup shape, ref: src/cuda/hashTable.cuh:94-110, to
+    sub-document granularity.)"""
+    from pyspark.sql import Window as W
+
+    from bishe_gpu_database_spark.operators.text_analysis import widen_docs
+
+    SPAN = 10
+    d = widen_docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    n_spans = F.greatest(F.ceil(F.size("tk") / SPAN).cast("int"), F.lit(1))
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_spans),
+                lambda i: h48(F.concat_ws(" ", F.slice(F.col("tk"), (i - 1) * SPAN + 1, SPAN))),
+            )
+        ),
+    ).select("doc_id", (F.col("pos") + 1).cast("int").alias("span_idx"), F.col("col").alias("fp"))
+    w = W.partitionBy("fp").orderBy("doc_id", "span_idx")
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.expr(
+            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000"
+            " DIV count(1)"
+        ).alias("kept_ppm"),
+    )

@@ -1817,3 +1817,40 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents_b")
     )
     return a.join(b, F.col("k").eqNullSafe(F.col("kb"))).select("k", "n_a", "cents_b")
+
+
+@register(
+    "agg_grouping_flags",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS rf,
+           coalesce(l_linestatus, '<all>') AS ls,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flags over a ROLLUP: distinguishes "aggregated over this
+    column" from "this column was NULL in the data" — the metadata that
+    makes multi-level rollup results machine-consumable (a downstream
+    reader can filter to one tier without string-sentinel guessing).
+    Same single Expand + hash aggregate as agg_rollup; the flags are free
+    (they ride the grouping-set id Spark already carries)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+            "g_rf",
+            "g_ls",
+            "n_items",
+        )
+    )

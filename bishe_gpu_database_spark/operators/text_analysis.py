@@ -562,3 +562,50 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("simpson"),
         )
     )
+
+
+_N_BUCKETS = 64  # hashed feature space of the linear quality model
+
+
+@register(
+    "text_classifier_score",
+    oracle=f"""
+    SELECT doc_id,
+           list_sum(list_transform({_SQL_TOKENS}, tk ->
+             ('0x' || substr(md5('qw|' || CAST(
+                ('0x' || substr(md5('qb|' || tk), 1, 12))::BIGINT % {_N_BUCKETS}
+              AS VARCHAR)), 1, 12))::BIGINT % 2001 - 1000
+           )) AS score,
+           list_sum(list_transform({_SQL_TOKENS}, tk ->
+             ('0x' || substr(md5('qw|' || CAST(
+                ('0x' || substr(md5('qb|' || tk), 1, 12))::BIGINT % {_N_BUCKETS}
+              AS VARCHAR)), 1, 12))::BIGINT % 2001 - 1000
+           )) > 0 AS keep
+    FROM documents
+    """,
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText/DCLM-classifier stage of
+    a pre-training pipeline) as hashed-linear-model INFERENCE: each token
+    hashes into one of 64 feature buckets, each bucket carries a fixed
+    integer weight (here derived from md5 so the oracle reproduces it;
+    in production the weights are the trained model broadcast to every
+    executor), and the doc's score is the integer dot product — exact,
+    portable, no floats. The whole operator is a narrow per-row fold over
+    the token array (whole-stage codegen, zero shuffle, zero UDF): at
+    100 TB it streams the corpus once, which is precisely how a linear
+    classifier gate should deploy — heavier models swap the fold for a
+    broadcast-weights Pandas UDF with identical plumbing."""
+    d = widen_docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+
+    def tok_weight(tk) -> F.Column:
+        b = h48(F.concat(F.lit("qb|"), tk)) % _N_BUCKETS
+        return h48(F.concat(F.lit("qw|"), b.cast("string"))) % 2001 - 1000
+
+    score = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, tk: acc + tok_weight(tk)
+    )
+    return d.select(
+        "doc_id", score.alias("score"), (score > 0).alias("keep")
+    )

@@ -797,3 +797,127 @@ def events_ohlc_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS tsu,
+             min(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE user_id < 50
+      GROUP BY user_id, epoch_us(ts)
+    ),
+    spans AS (
+      SELECT user_id, min(tsu) AS t0, max(tsu) AS t1 FROM ev GROUP BY user_id
+    ),
+    grid AS (
+      SELECT s.user_id, s.t0 + i * 600000000 AS tsu
+      FROM spans s
+      CROSS JOIN unnest(generate_series(0, (s.t1 - s.t0) // 600000000)) AS g(i)
+    ),
+    merged AS (
+      SELECT user_id, tsu, cents, 0 AS is_grid FROM ev
+      UNION ALL
+      SELECT user_id, tsu, NULL, 1 FROM grid
+    ),
+    walls AS (
+      SELECT user_id, tsu, is_grid,
+             last_value(cents IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY tsu, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+             last_value(CASE WHEN is_grid = 0 THEN tsu END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY tsu, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+             first_value(cents IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY tsu, is_grid
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+             first_value(CASE WHEN is_grid = 0 THEN tsu END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY tsu, is_grid
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+      FROM merged
+    )
+    SELECT user_id, make_timestamp(tsu) AS ts,
+           CASE WHEN next_t IS NULL THEN prev_c
+                ELSE (prev_c * (next_t - tsu) + next_c * (tsu - prev_t))
+                     // (next_t - prev_t)
+           END AS interp_cents
+    FROM walls WHERE is_grid = 1
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event series onto a regular 10-minute grid
+    with LINEAR interpolation (the harder sibling of
+    timeseries_gap_fill's LOCF): grid anchored at the user's first
+    event, value interpolated between the surrounding events in exact
+    integer cents — cross-multiplied, floor-divided, no floats, so the
+    result hashes identically cross-engine. One union (events + grid
+    points) and ONE user_id shuffle drive both the backward and forward
+    walls; a grid point that lands exactly on an event degenerates to
+    that event's value through the same formula (next_t - tsu spans the
+    full gap, tsu - prev_t = 0). At 100 TB: grid density is a constant
+    per series, the exchange carries (user, ts, cents) triples only, and
+    per-user state is bounded by the series span — partition further by
+    calendar window if a single series outgrows a task."""
+    STEP = 600_000_000  # 10 min in µs
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("tsu"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "tsu")
+        .agg(F.min("cents").alias("cents"))
+    )
+    spans = ev.groupBy("user_id").agg(F.min("tsu").alias("t0"), F.max("tsu").alias("t1"))
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), ((F.col("t1") - F.col("t0")) / STEP).cast("bigint")),
+                lambda i: F.col("t0") + i * STEP,
+            )
+        ).alias("tsu"),
+    )
+    merged = ev.withColumn("is_grid", F.lit(0)).unionByName(
+        grid.select("user_id", "tsu", F.lit(None).cast("bigint").alias("cents"),
+                    F.lit(1).alias("is_grid"))
+    )
+    # Both walls as RUNNING frames: Spark evaluates a
+    # [CURRENT ROW, UNBOUNDED FOLLOWING] frame by re-aggregating the
+    # remainder per row — O(n²) per partition — so the forward wall is
+    # the same running last() over the REVERSED sort order instead
+    # (identical semantics, one extra in-partition sort, still linear
+    # and still one user_id exchange).
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("tsu").asc(), F.col("is_grid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("tsu").desc(), F.col("is_grid").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev_t = F.when(F.col("is_grid") == 0, F.col("tsu"))
+    walls = merged.select(
+        "user_id",
+        "tsu",
+        "is_grid",
+        F.last("cents", ignorenulls=True).over(wb).alias("prev_c"),
+        F.last(ev_t, ignorenulls=True).over(wb).alias("prev_t"),
+        F.last("cents", ignorenulls=True).over(wf).alias("next_c"),
+        F.last(ev_t, ignorenulls=True).over(wf).alias("next_t"),
+    )
+    interp = F.when(F.col("next_t").isNull(), F.col("prev_c")).otherwise(
+        F.expr(
+            "(prev_c * (next_t - tsu) + next_c * (tsu - prev_t))"
+            " DIV (next_t - prev_t)"
+        )
+    )
+    return (
+        walls.filter(F.col("is_grid") == 1)
+        .select("user_id", F.timestamp_micros("tsu").alias("ts"), interp.alias("interp_cents"))
+    )
