@@ -431,3 +431,79 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bits").cast("bigint").alias("sum_bits"),
         F.expr("CAST(sum(bits) * 1000 DIV count(1) AS BIGINT)").alias("milli_avg_bits"),
     )
+
+
+@register(
+    "mining_assoc_rules",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    pair_n AS (
+      SELECT pa, pb, count(*) AS n_ab FROM pairs GROUP BY pa, pb
+    ),
+    item_n AS (
+      SELECT l_partkey, count(DISTINCT l_orderkey) AS n
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    rules AS (
+      SELECT p.pa, p.pb, p.n_ab,
+             CAST(CAST(p.n_ab AS HUGEINT) * 1000000 // ia.n AS BIGINT) AS conf_ppm,
+             CAST(CAST(p.n_ab AS HUGEINT) * t.n_orders * 1000000
+                  // (CAST(ia.n AS HUGEINT) * ib.n) AS BIGINT) AS lift_ppm
+      FROM pair_n p
+      JOIN item_n ia ON p.pa = ia.l_partkey
+      JOIN item_n ib ON p.pb = ib.l_partkey
+      CROSS JOIN tot t
+      WHERE p.n_ab >= 2
+    )
+    SELECT pa, pb, n_ab, conf_ppm, lift_ppm
+    FROM (SELECT *, row_number() OVER (ORDER BY lift_ppm DESC, pa, pb) AS rn
+          FROM rules)
+    WHERE rn <= 20
+    """,
+)
+def mining_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for co-ordered
+    part pairs seen ≥2 times, confidence(A→B) and lift in exact integer
+    ppm (DECIMAL intermediates — n_ab·n_orders·10⁶ wraps int64 long
+    before 100 TB), top 20 by lift. Scale shape: the pair fan-out is
+    quadratic in BASKET size (bounded ~single digits for real carts),
+    never in order count; pair counts partial-aggregate map-side, the
+    item-frequency table is dimension-sized and broadcast back, and the
+    global order count rides a 1-row broadcast — the only data-sized
+    exchange carries (pa, pb) count pairs. Apriori's candidate pruning
+    is unnecessary at pair length; longer itemsets would iterate this
+    same join."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pair_n = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    item_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = li.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    rules = (
+        pair_n.join(F.broadcast(item_n.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na"))), "pa")
+        .join(F.broadcast(item_n.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb"))), "pb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pa", "pb", "n_ab",
+            F.expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * 1000000 DIV na AS BIGINT)").alias("conf_ppm"),
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000"
+                " DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    # TakeOrderedAndProject: per-partition top-20 merged on the driver —
+    # no single-partition global-window sort of the full rule set.
+    return rules.orderBy(F.col("lift_ppm").desc(), "pa", "pb").limit(20)

@@ -706,3 +706,47 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+@register(
+    "pipeline_inverted_index",
+    oracle="""
+    WITH posting AS (
+      SELECT DISTINCT tk AS token, doc_id
+      FROM (SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tk
+            FROM documents)
+    ),
+    idx AS (
+      SELECT token, count(*) AS df,
+             array_to_string(list_slice(list_sort(list(doc_id)), 1, 10), ',') AS postings_head
+      FROM posting GROUP BY token
+    )
+    SELECT token, df, postings_head FROM idx WHERE df >= 5
+    """,
+)
+def pipeline_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the search/RAG index behind text_bm25_topk):
+    token → document frequency + the head of its sorted posting list
+    (serialized — arrays in results trip order-insensitive hashers).
+    Scale shape: the (token, doc_id) posting fan-out is the corpus token
+    count but dedups map-side (partial distinct before the exchange);
+    the per-token aggregate shuffles fixed-width pairs and the posting
+    HEAD is bounded, so no reducer materializes an unbounded list — full
+    posting lists would instead be written straight to a token-bucketed
+    sink, the standard sharded-index layout. df≥5 drops the hapax tail
+    (half a real vocabulary) before anything wide is built."""
+    d = widen(t(spark, sf_dir, "documents"))
+    posting = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).distinct()
+    return (
+        posting.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10)).alias(
+                "postings_head"
+            ),
+        )
+        .filter(F.col("df") >= 5)
+    )

@@ -312,3 +312,39 @@ def quality_mad_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("med_cents") + 3 * F.col("mad_cents")).alias("hi_bound"),
         )
     )
+
+
+@register(
+    "quality_k_anonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, class_size,
+           class_size >= 5 AS meets_k5,
+           CAST(1000000 // class_size AS BIGINT) AS reident_risk_ppm
+    FROM classes
+    """,
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair
+    (nation, market segment): every equivalence class with its size, a
+    k=5 compliance flag, and the re-identification risk 1/size in integer
+    ppm — the data-governance gate a training corpus must pass before
+    release. One hash aggregate, partial-combined map-side; the class
+    table is QI-cardinality-sized (tiny) no matter the row count. At
+    100 TB the remediation loop (generalize a QI level, re-audit) re-runs
+    this same aggregate per ladder rung — each rung only COARSENS keys,
+    so rung N+1 can fold rung N's output instead of rescanning."""
+    c = t(spark, sf_dir, "customer")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return classes.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        (F.col("class_size") >= 5).alias("meets_k5"),
+        F.expr("CAST(1000000 DIV class_size AS BIGINT)").alias("reident_risk_ppm"),
+    )
