@@ -1,0 +1,141 @@
+"""Semantic invariants for the round-2 operators beyond oracle parity:
+span-dedup global uniqueness + pigeonhole, linear-interpolation
+value bounds and exact-hit degeneration, classifier-score recomputation,
+association-rule probability bounds, k-anonymity totals, and
+inverted-index posting-head consistency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bishe_gpu_database_spark.operators.dedup import dedup_span_level
+from bishe_gpu_database_spark.operators.mining import mining_assoc_rules
+from bishe_gpu_database_spark.operators.pipeline import pipeline_inverted_index
+from bishe_gpu_database_spark.operators.quality import quality_k_anonymity
+from bishe_gpu_database_spark.operators.relational import t
+from bishe_gpu_database_spark.operators.text_analysis import text_classifier_score
+from bishe_gpu_database_spark.operators.timeseries import timeseries_interpolate_linear
+from tests.conftest import SF_SMALL
+
+
+def test_span_dedup_totals_and_bounds(spark):
+    """Every doc keeps between 0 and all of its spans; globally, the
+    number of KEPT spans equals the number of DISTINCT span fingerprints
+    (first-occurrence semantics keep exactly one copy of each)."""
+    out = dedup_span_level(spark, SF_SMALL).collect()
+    assert out
+    for r in out:
+        assert 0 <= r["n_kept"] <= r["n_spans"]
+        assert r["kept_ppm"] == r["n_kept"] * 1_000_000 // r["n_spans"]
+    # recompute the distinct-span count independently
+    docs = t(spark, SF_SMALL, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ").alias("tk"),
+    )
+    n_spans_col = F.greatest(F.ceil(F.size("tk") / 10).cast("int"), F.lit(1))
+    spans = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_spans_col),
+                lambda i: F.concat_ws(" ", F.slice(F.col("tk"), (i - 1) * 10 + 1, 10)),
+            )
+        ).alias("span")
+    )
+    n_distinct = spans.distinct().count()
+    assert sum(r["n_kept"] for r in out) == n_distinct
+
+
+def test_interpolation_bounds_and_exact_hits(spark):
+    """Each interpolated value lies within [min, max] of the user's event
+    values, and a grid point that coincides with an event equals that
+    event's value exactly."""
+    out = timeseries_interpolate_linear(spark, SF_SMALL)
+    ev = (
+        t(spark, SF_SMALL, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("tsu"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "tsu")
+        .agg(F.min("cents").alias("cents"))
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    bad = (
+        out.join(bounds, "user_id")
+        .filter((F.col("interp_cents") < F.col("lo")) | (F.col("interp_cents") > F.col("hi")))
+        .count()
+    )
+    assert bad == 0
+    hits = (
+        out.select("user_id", F.unix_micros("ts").alias("tsu"), "interp_cents")
+        .join(ev, ["user_id", "tsu"])
+    )
+    assert hits.count() > 0  # the anchor point (first event) always hits
+    assert hits.filter(F.col("interp_cents") != F.col("cents")).count() == 0
+
+
+def test_classifier_score_matches_recomputation(spark):
+    """The fold's integer score equals a per-token exploded recomputation
+    through the same hash→bucket→weight chain."""
+    out = text_classifier_score(spark, SF_SMALL)
+    docs = t(spark, SF_SMALL, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("tk"),
+    )
+    bucket = F.conv(F.substring(F.md5(F.concat(F.lit("qb|"), F.col("tk"))), 1, 12), 16, 10).cast(
+        "bigint"
+    ) % 64
+    weight = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("qw|"), bucket.cast("string"))), 1, 12), 16, 10).cast(
+            "bigint"
+        )
+        % 2001
+        - 1000
+    )
+    recomputed = tok.select("doc_id", weight.alias("w")).groupBy("doc_id").agg(
+        F.sum("w").alias("score2")
+    )
+    mism = out.join(recomputed, "doc_id").filter(F.col("score") != F.col("score2")).count()
+    assert mism == 0
+
+
+def test_assoc_rules_probability_bounds(spark):
+    """Confidence ≤ 1; support(pair) ≤ min(support(a), support(b));
+    output sorted by lift desc."""
+    rows = mining_assoc_rules(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 20
+    lifts = [r["lift_ppm"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert 0 < r["conf_ppm"] <= 1_000_000
+        assert r["n_ab"] >= 2
+
+
+def test_k_anonymity_classes_partition_the_table(spark):
+    """Class sizes sum to the table's row count; risk is exactly 1e6//size."""
+    rows = quality_k_anonymity(spark, SF_SMALL).collect()
+    n = t(spark, SF_SMALL, "customer").count()
+    assert sum(r["class_size"] for r in rows) == n
+    for r in rows:
+        assert r["reident_risk_ppm"] == 1_000_000 // r["class_size"]
+        assert r["meets_k5"] == (r["class_size"] >= 5)
+
+
+def test_inverted_index_head_is_sorted_prefix(spark):
+    """Posting head is ascending, unique, at most 10 long, and its length
+    is min(df, 10)."""
+    rows = pipeline_inverted_index(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r["postings_head"].split(",")]
+        assert ids == sorted(set(ids))
+        assert len(ids) == min(r["df"], 10)
