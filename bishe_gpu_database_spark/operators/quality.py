@@ -348,3 +348,40 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("class_size") >= 5).alias("meets_k5"),
         F.expr("CAST(1000000 DIV class_size AS BIGINT)").alias("reident_risk_ppm"),
     )
+
+
+@register(
+    "quality_benford_digits",
+    oracle="""
+    WITH digits AS (
+      SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+               AS lead_digit
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT lead_digit, count(*) AS n,
+           CAST(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT) AS share_ppm
+    FROM digits GROUP BY lead_digit
+    """,
+)
+def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit: leading-significant-digit distribution of
+    order totals in integer ppm — the classic fraud/synthetic-data smell
+    test (natural multiplicative amounts lean on digit 1 at ~30%; flat or
+    spiky distributions flag generated or tampered batches). The digit
+    comes from the exact integer-cents rendering — never from float
+    formatting, which differs across engines — and the whole audit is one
+    map-combined aggregate plus a 9-row window, so at 100 TB it rides
+    along any scan for free. Downstream: compare share_ppm against the
+    log10(1+1/d) profile per ingest source and alert on divergence."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        ).alias("lead_digit")
+    )
+    counts = digits.groupBy("lead_digit").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "lead_digit",
+        "n",
+        F.expr("CAST(n * 1000000 DIV sum(n) OVER () AS BIGINT)").alias("share_ppm"),
+    )

@@ -1854,3 +1854,143 @@ def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CASE
+             WHEN prior.pts IS NULL THEN nxt.nts
+             WHEN nxt.nts IS NULL THEN prior.pts
+             WHEN epoch_us(p.ts) - epoch_us(prior.pts)
+                  <= epoch_us(nxt.nts) - epoch_us(p.ts) THEN prior.pts
+             ELSE nxt.nts
+           END AS nearest_click_ts,
+           CASE
+             WHEN prior.pts IS NULL THEN epoch_us(nxt.nts) - epoch_us(p.ts)
+             WHEN nxt.nts IS NULL THEN epoch_us(p.ts) - epoch_us(prior.pts)
+             ELSE least(epoch_us(p.ts) - epoch_us(prior.pts),
+                        epoch_us(nxt.nts) - epoch_us(p.ts))
+           END AS dist_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT max(c.ts) AS pts FROM events c
+      WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+    ) prior ON TRUE
+    LEFT JOIN LATERAL (
+      SELECT min(c.ts) AS nts FROM events c
+      WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts > p.ts
+    ) nxt ON TRUE
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join (pandas merge_asof direction='nearest'):
+    each purchase pairs with its temporally closest click in EITHER
+    direction, ties to the earlier one. Completes the as-of family
+    (backward `join_asof`, forward `join_asof_forward`): both walls are
+    RUNNING frames over one user_id shuffle — the backward wall on the
+    ascending timeline, the forward wall on the reversed sort (Spark's
+    unbounded-FOLLOWING frame is O(n²) per partition) — then a pure
+    per-row arbitration picks the nearer side in exact µs. Still linear,
+    still one exchange, no pairwise range join at any scale."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts"), "event_id"
+    )
+    merged = clicks.unionByName(purchases)
+    is_p = F.col("event_id").isNotNull().cast("int")
+    # Same-instant clicks belong to the BACKWARD wall (c.ts <= p.ts), so
+    # ascending puts click@t before purchase@t and the reversed sort puts
+    # it after — each wall sees exactly its half-line.
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), is_p.asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), is_p.desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    walls = merged.select(
+        "event_id", "user_id", "ts",
+        F.last("click_ts", ignorenulls=True).over(wb).alias("pts"),
+        F.last("click_ts", ignorenulls=True).over(wf).alias("nts"),
+    ).filter(F.col("event_id").isNotNull())
+    pd_ = F.unix_micros("ts") - F.unix_micros("pts")
+    nd = F.unix_micros("nts") - F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("pts").isNull(), F.col("nts"))
+        .when(F.col("nts").isNull(), F.col("pts"))
+        .when(pd_ <= nd, F.col("pts"))
+        .otherwise(F.col("nts"))
+    )
+    dist = (
+        F.when(F.col("pts").isNull(), nd)
+        .when(F.col("nts").isNull(), pd_)
+        .otherwise(F.least(pd_, nd))
+    )
+    return walls.select(
+        "event_id", "user_id", nearest.alias("nearest_click_ts"), dist.alias("dist_us")
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH grouped AS (
+      SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS q,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT rf, q, w,
+             sum(w) OVER (PARTITION BY rf ORDER BY q
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w_cum,
+             sum(w) OVER (PARTITION BY rf) AS w_tot
+      FROM grouped
+    )
+    SELECT rf, min(q) AS wmedian_qty
+    FROM cum WHERE 2 * w_cum >= w_tot
+    GROUP BY rf
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (revenue-weighted order quantity per return
+    flag): the smallest value whose cumulative weight reaches half the
+    total. Pre-aggregating to (group, value) pairs FIRST makes the
+    window's input the distinct-value domain, not the row count — the
+    shuffle carries map-combined partial sums, and the running frame is
+    linear over values. Weights in integer cents; the half-total test is
+    cross-multiplied (2·cum ≥ tot) so no division exists to disagree
+    across engines. The scale path for a high-cardinality value domain
+    is agg_ntile_scalable's range-partition + offset composition."""
+    li = t(spark, sf_dir, "lineitem")
+    grouped = (
+        li.select(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("w"),
+        )
+        .groupBy("rf", "q")
+        .agg(F.sum("w").alias("w"))
+    )
+    wc = (
+        W.partitionBy("rf").orderBy("q").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("rf")
+    cum = grouped.select(
+        "rf", "q",
+        F.sum("w").over(wc).alias("w_cum"),
+        F.sum("w").over(wt).alias("w_tot"),
+    )
+    return (
+        cum.filter(2 * F.col("w_cum") >= F.col("w_tot"))
+        .groupBy("rf")
+        .agg(F.min("q").alias("wmedian_qty"))
+    )
