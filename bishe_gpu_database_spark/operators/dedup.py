@@ -732,3 +732,102 @@ def dedup_span_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV count(1)"
         ).alias("kept_ppm"),
     )
+
+
+@register(
+    "dedup_eval_lsh",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE 3 * i.n_inter >= sa.n_sh + sb.n_sh
+    ),
+    sigs AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, {_N_HASHES - 1}), i ->
+               list_min(list_transform(
+                 list_transform({_SQL_SHINGLES}, s -> {_SQL_H48.format(x='s')}),
+                 x -> ((2 * i + 1) * x + 1000003 * i) % {MINHASH_PRIME}))) AS sigs
+      FROM documents
+    ),
+    bands AS (
+      SELECT doc_id, b AS band_id,
+             md5(array_to_string(sigs[b * {_BAND_SIZE} + 1 : (b + 1) * {_BAND_SIZE}],
+                                 '_')) AS band_hash
+      FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {_N_HASHES // _BAND_SIZE - 1})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    hit AS (
+      SELECT count(*) AS n_hit
+      FROM truth t JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM cand) AS n_cand,
+           (SELECT n_hit FROM hit) AS n_hit,
+           CAST((SELECT n_hit FROM hit) * 1000000
+                // nullif((SELECT count(*) FROM cand), 0) AS BIGINT) AS precision_ppm,
+           CAST((SELECT n_hit FROM hit) * 1000000
+                // nullif((SELECT count(*) FROM truth), 0) AS BIGINT) AS recall_ppm
+    """,
+)
+def dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-quality evaluation: precision/recall of the MinHash-LSH
+    candidate pairs against exact-Jaccard ≥ ½ ground truth (the integer
+    inequality 3·|∩| ≥ |A|+|B| — no float threshold to disagree on).
+    This is the measurement behind choosing bands × rows BEFORE running
+    banding over a full corpus; at 100 TB the truth side runs on a
+    sampled stratum exactly like this fixture. Composes the registered
+    LSH operator with the shingle-join truth pipeline in one plan;
+    output is a single audit row."""
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sh = toks.select("doc_id", F.explode(shingles_of(F.col("toks"))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b").hint("shuffle_hash")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    truth = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(3 * F.col("n_inter") >= F.col("n_a") + F.col("n_b"))
+        .select("doc_a", "doc_b")
+    )
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir)
+    stats = (
+        truth.withColumn("in_t", F.lit(1))
+        .join(cand.withColumn("in_c", F.lit(1)), ["doc_a", "doc_b"], "full")
+        .agg(
+            F.count("in_t").cast("bigint").alias("n_truth"),
+            F.count("in_c").cast("bigint").alias("n_cand"),
+            F.sum(F.col("in_t") * F.col("in_c")).cast("bigint").alias("n_hit"),
+        )
+    )
+    return stats.select(
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        F.expr("CAST(n_hit * 1000000 DIV nullif(n_cand, 0) AS BIGINT)").alias("precision_ppm"),
+        F.expr("CAST(n_hit * 1000000 DIV nullif(n_truth, 0) AS BIGINT)").alias("recall_ppm"),
+    )
