@@ -507,3 +507,134 @@ def mining_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TakeOrderedAndProject: per-partition top-20 merged on the driver —
     # no single-partition global-window sort of the full rule set.
     return rules.orderBy(F.col("lift_ppm").desc(), "pa", "pb").limit(20)
+
+
+@register(
+    "skyline_pareto",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (minimize price, maximize size). The textbook definition is the
+    quadratic NOT EXISTS self-join the oracle runs; the engine instead
+    computes it linearly — collapse to one row per price level carrying
+    that level's max size, then a running max over strictly-cheaper
+    levels: a part survives iff no cheaper level reaches its size and
+    nothing at its own price strictly beats it. Ties on both axes are
+    mutually non-dominating and all kept (standard skyline semantics).
+    The price-level window is a single global sort, but it runs AFTER
+    the groupBy collapsed the input to |distinct prices| rows — at
+    100 TB the cascade is: per-partition local skyline first (domination
+    is transitive, so any globally dominated row is already dominated by
+    some local survivor), then this pass over the tiny survivor union;
+    the level collapse here is that local prune in aggregate form.
+    Preference queries are absent from the reference (point lookups
+    only, src/cuda/hashTable.cuh:94-110); driver-mandated analytics."""
+    p = t(spark, sf_dir, "part")
+    levels = p.groupBy("p_retailprice").agg(F.max("p_size").alias("level_max"))
+    wprev = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    levels = levels.select(
+        "p_retailprice",
+        "level_max",
+        F.max("level_max").over(wprev).alias("prev_max"),
+    )
+    return (
+        p.join(F.broadcast(levels), "p_retailprice")
+        .filter(
+            (F.col("prev_max").isNull() | (F.col("prev_max") < F.col("p_size")))
+            & (F.col("level_max") <= F.col("p_size"))
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+
+
+@register(
+    "events_ab_test",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('ab1|' || user_id), 1, 12)) AS BIGINT) % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events
+      GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, count(*) AS n_users, sum(converted) AS n_conv
+      FROM assign GROUP BY arm
+    ),
+    wide AS (
+      SELECT max(CASE WHEN arm = 0 THEN n_users END) AS n0,
+             max(CASE WHEN arm = 0 THEN n_conv END) AS c0,
+             max(CASE WHEN arm = 1 THEN n_users END) AS n1,
+             max(CASE WHEN arm = 1 THEN n_conv END) AS c1
+      FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           CAST(CAST(c0 AS DECIMAL(38,0)) * 1000000 // n0 AS BIGINT) AS rate0_ppm,
+           CAST(CAST(c1 AS DECIMAL(38,0)) * 1000000 // n1 AS BIGINT) AS rate1_ppm,
+           (CAST(c0 AS DECIMAL(38,0)) * n1 - CAST(c1 AS DECIMAL(38,0)) * n0)
+             * (CAST(c0 AS DECIMAL(38,0)) * n1 - CAST(c1 AS DECIMAL(38,0)) * n0)
+             * (n0 + n1) * 10000
+           > CAST(38416 AS DECIMAL(38,0)) * n0 * n1 * (c0 + c1)
+             * ((n0 + n1) - (c0 + c1))
+             AS significant_95
+    FROM wide
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance test in EXACT integer arithmetic:
+    users are deterministically hash-assigned to arms (portable md5, the
+    cross-engine stand-in for a bucketed experiment id), conversion is
+    "any purchase event", and the pooled two-proportion z-test
+    z² > 1.96² is evaluated with every division cross-multiplied away —
+    (c0·n1 − c1·n0)²·N·10⁴ > 38416·n0·n1·C·(N−C) over DECIMAL(38,0) —
+    so the verdict is bit-identical on any engine, no float variance
+    path. Shape: one user-key aggregate (map-side combinable), a 2-row
+    arm rollup, a 1-row pivot — the per-user pass is the only shuffle
+    and it's the same one sessionization already pays, so the test rides
+    an existing partitioning at 100 TB. Experimentation is absent from
+    the reference (driver-mandated analytics surface)."""
+    e = t(spark, sf_dir, "events")
+    assign = (
+        e.groupBy("user_id")
+        .agg(F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"))
+        .select(
+            (
+                F.conv(F.substring(F.md5(F.concat(F.lit("ab1|"), F.col("user_id").cast("string"))), 1, 12), 16, 10)
+                .cast("bigint")
+                % 2
+            ).alias("arm"),
+            "converted",
+        )
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("converted").alias("n_conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_conv"))).alias("c1"),
+    )
+    d = "CAST(c0 AS DECIMAL(38,0)) * n1 - CAST(c1 AS DECIMAL(38,0)) * n0"
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.expr("CAST(CAST(c0 AS DECIMAL(38,0)) * 1000000 DIV n0 AS BIGINT)").alias("rate0_ppm"),
+        F.expr("CAST(CAST(c1 AS DECIMAL(38,0)) * 1000000 DIV n1 AS BIGINT)").alias("rate1_ppm"),
+        F.expr(
+            f"({d}) * ({d}) * (n0 + n1) * 10000"
+            " > CAST(38416 AS DECIMAL(38,0)) * n0 * n1 * (c0 + c1)"
+            "   * ((n0 + n1) - (c0 + c1))"
+        ).alias("significant_95"),
+    )

@@ -1994,3 +1994,51 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("rf")
         .agg(F.min("q").alias("wmedian_qty"))
     )
+
+
+@register(
+    "page_keyset",
+    oracle="""
+    WITH anchor AS (
+      SELECT o_orderdate AS ad, o_orderkey AS ak
+      FROM orders ORDER BY o_orderdate, o_orderkey
+      LIMIT 1 OFFSET 99
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice
+    FROM orders o, anchor
+    WHERE (o.o_orderdate, o.o_orderkey) > (anchor.ad, anchor.ak)
+    ORDER BY o.o_orderdate, o.o_orderkey
+    LIMIT 50
+    """,
+)
+def page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination: page N+1 is "the 50 rows after the last
+    key I saw", expressed as a composite-key tuple comparison
+    (o_orderdate, o_orderkey) > (anchor), NOT as OFFSET. OFFSET n is
+    O(n) per page — at 100 TB page 10⁶ re-sorts and discards a billion
+    rows; the seek predicate instead pushes into the parquet scan as a
+    range filter on the leading sort column (min/max row-group pruning),
+    so every page costs the same. The anchor here is computed in-query
+    (LIMIT 1 OFFSET 99, a one-row TakeOrdered) to make the query
+    self-contained and oracle-checkable; a real pager passes the
+    previous page's last key as a literal. The tuple comparison compiles
+    to the same (a > x) OR (a = x AND b > y) form both engines plan.
+    Pagination is absent from the reference (full scan prints everything,
+    src/cuda/hashTable.cuh:202-206); driver-mandated API surface."""
+    o = t(spark, sf_dir, "orders")
+    anchor = (
+        o.select(F.col("o_orderdate").alias("ad"), F.col("o_orderkey").alias("ak"))
+        .orderBy("ad", "ak")
+        .offset(99)
+        .limit(1)
+    )
+    return (
+        o.crossJoin(F.broadcast(anchor))
+        .filter(
+            (F.col("o_orderdate") > F.col("ad"))
+            | ((F.col("o_orderdate") == F.col("ad")) & (F.col("o_orderkey") > F.col("ak")))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+    )

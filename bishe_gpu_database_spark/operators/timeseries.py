@@ -921,3 +921,73 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         walls.filter(F.col("is_grid") == 1)
         .select("user_id", F.timestamp_micros("tsu").alias("ts"), interp.alias("interp_cents"))
     )
+
+
+@register(
+    "events_concurrency_sweep",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, epoch_us(ts) + 300000000 AS t, -1 AS delta FROM events
+    ),
+    sweep AS (
+      SELECT event_type, t,
+             sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS concur
+      FROM pts
+    ),
+    run AS (
+      SELECT event_type, t, concur,
+             max(concur) OVER (PARTITION BY event_type) AS peak
+      FROM sweep
+    )
+    SELECT event_type,
+           CAST(max(concur) AS BIGINT) AS peak_concurrency,
+           make_timestamp(min(t)) AS peak_at
+    FROM run WHERE concur = peak
+    GROUP BY event_type
+    """,
+)
+def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency (max simultaneously-open 5-minute event
+    intervals per type) via the classic sweep line: each interval
+    [ts, ts+5m) becomes a +1 point at its start and a -1 point at its
+    end, a running sum over (t, delta) is the live-interval count, and
+    the per-type max is the peak. Half-open semantics come from the
+    delta-ascending tie-break (-1 drains before +1 at the same instant).
+    This replaces the quadratic self-join ("count intervals overlapping
+    each interval") with ONE shuffle on event_type and a sort — the
+    standard room-occupancy / max-concurrent-sessions primitive. Rows
+    with identical (t, delta) get arbitrary relative order, but the
+    multiset of partial sums within such a tie group is fixed, so peak
+    and its earliest timestamp are deterministic cross-engine. At 100 TB
+    the partition key is the dimension you care about (type, tenant,
+    shard); a single global sweep would instead range-repartition on t
+    and prefix-sum per-range offsets (same pattern as agg_ntile_scalable).
+    Reference analogue: the epoch loop's in-flight-txn accounting
+    (src/database/ycsb/TransctionManager.cuh:115-185) is exactly a
+    concurrency counter over [start, commit) intervals."""
+    e = t(spark, sf_dir, "events").select("event_type", F.unix_micros("ts").alias("tsu"))
+    pts = e.select("event_type", F.col("tsu").alias("t"), F.lit(1).alias("delta")).unionByName(
+        e.select("event_type", (F.col("tsu") + F.lit(300_000_000)).alias("t"), F.lit(-1).alias("delta"))
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select(
+        "event_type",
+        "t",
+        F.sum("delta").over(wrun).alias("concur"),
+    ).withColumn("peak", F.max("concur").over(Window.partitionBy("event_type")))
+    return (
+        run.filter(F.col("concur") == F.col("peak"))
+        .groupBy("event_type")
+        .agg(
+            F.max("concur").cast("bigint").alias("peak_concurrency"),
+            F.timestamp_micros(F.min("t")).alias("peak_at"),
+        )
+    )

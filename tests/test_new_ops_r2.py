@@ -139,3 +139,83 @@ def test_inverted_index_head_is_sorted_prefix(spark):
         ids = [int(x) for x in r["postings_head"].split(",")]
         assert ids == sorted(set(ids))
         assert len(ids) == min(r["df"], 10)
+
+
+def test_skyline_is_mutually_nondominating_and_complete(spark):
+    """No skyline member dominates another; every non-member is dominated
+    by some member (the defining property, checked pairwise at sf0.001)."""
+    from bishe_gpu_database_spark.operators.mining import skyline_pareto
+
+    sky = skyline_pareto(spark, SF_SMALL).collect()
+    assert sky
+    part = t(spark, SF_SMALL, "part").select("p_partkey", "p_size", "p_retailprice").collect()
+
+    def dominates(q, p):
+        return (
+            q["p_retailprice"] <= p["p_retailprice"]
+            and q["p_size"] >= p["p_size"]
+            and (q["p_retailprice"] < p["p_retailprice"] or q["p_size"] > p["p_size"])
+        )
+
+    for a in sky:
+        assert not any(dominates(b, a) for b in sky if b["p_partkey"] != a["p_partkey"])
+    sky_keys = {r["p_partkey"] for r in sky}
+    for p in part:
+        if p["p_partkey"] not in sky_keys:
+            assert any(dominates(s, p) for s in sky), p
+
+
+def test_concurrency_peak_bounds_and_witness(spark):
+    """Peak is within [1, events-of-type]; at the reported peak_at,
+    recounting open intervals directly reproduces the peak."""
+    from bishe_gpu_database_spark.operators.timeseries import events_concurrency_sweep
+
+    out = {r["event_type"]: r for r in events_concurrency_sweep(spark, SF_SMALL).collect()}
+    ev = (
+        t(spark, SF_SMALL, "events")
+        .select("event_type", F.unix_micros("ts").alias("tsu"))
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["tsu"])
+    assert set(out) == set(by_type)
+    for etype, row in out.items():
+        times = by_type[etype]
+        assert 1 <= row["peak_concurrency"] <= len(times)
+        at = row["peak_at"].timestamp() * 1_000_000
+        open_now = sum(1 for s in times if s <= at < s + 300_000_000)
+        assert round(open_now) == row["peak_concurrency"]
+
+
+def test_ab_test_totals_and_rate_consistency(spark):
+    """Arm sizes partition the user universe; conversion counts bound by
+    arm sizes; ppm rates recompute from the counts."""
+    from bishe_gpu_database_spark.operators.mining import events_ab_test
+
+    r = events_ab_test(spark, SF_SMALL).collect()[0]
+    n_users = t(spark, SF_SMALL, "events").select("user_id").distinct().count()
+    assert r["n0"] + r["n1"] == n_users
+    assert 0 <= r["c0"] <= r["n0"] and 0 <= r["c1"] <= r["n1"]
+    assert r["rate0_ppm"] == r["c0"] * 1_000_000 // r["n0"]
+    assert r["rate1_ppm"] == r["c1"] * 1_000_000 // r["n1"]
+
+
+def test_keyset_page_equals_offset_page(spark):
+    """The seek-predicate page must be exactly rows 101-150 of the global
+    (o_orderdate, o_orderkey) order — keyset and OFFSET agree."""
+    from bishe_gpu_database_spark.operators.relational import page_keyset
+
+    got = [
+        (r["o_orderdate"], r["o_orderkey"])
+        for r in page_keyset(spark, SF_SMALL).collect()
+    ]
+    want = [
+        (r["o_orderdate"], r["o_orderkey"])
+        for r in t(spark, SF_SMALL, "orders")
+        .orderBy("o_orderdate", "o_orderkey")
+        .offset(100)
+        .limit(50)
+        .collect()
+    ]
+    assert sorted(got) == want

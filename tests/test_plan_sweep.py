@@ -28,7 +28,15 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             # O(n) with a 1-row build side.
             "text_salience_topk", "text_lift_bigrams", "quality_drift_ppm",
             "pipeline_mixture_temperature",
-            "text_bm25_topk"}
+            "text_bm25_topk",
+            # Query batch × corpus scoring, same bounded-broadcast shape
+            # as ann_cosine_topk (recall eval reuses both index paths;
+            # range search is the thresholded variant).
+            "ann_eval_recall", "ann_range_search",
+            # 1-row order-count scalar broadcast onto the rule set.
+            "mining_assoc_rules",
+            # 1-row pagination anchor broadcast onto the scan.
+            "page_keyset"}
 # Iterative drivers plan per-epoch; their inner plans are covered by the
 # single-epoch queries.
 _SKIP = {"aria_drain_batch", "aria_drain_skewed"}
