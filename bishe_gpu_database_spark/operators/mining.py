@@ -578,12 +578,12 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM arms
     )
     SELECT n0, c0, n1, c1,
-           CAST(CAST(c0 AS DECIMAL(38,0)) * 1000000 // n0 AS BIGINT) AS rate0_ppm,
-           CAST(CAST(c1 AS DECIMAL(38,0)) * 1000000 // n1 AS BIGINT) AS rate1_ppm,
-           (CAST(c0 AS DECIMAL(38,0)) * n1 - CAST(c1 AS DECIMAL(38,0)) * n0)
-             * (CAST(c0 AS DECIMAL(38,0)) * n1 - CAST(c1 AS DECIMAL(38,0)) * n0)
+           CAST(CAST(c0 AS HUGEINT) * 1000000 // n0 AS BIGINT) AS rate0_ppm,
+           CAST(CAST(c1 AS HUGEINT) * 1000000 // n1 AS BIGINT) AS rate1_ppm,
+           (CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)
+             * (CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)
              * (n0 + n1) * 10000
-           > CAST(38416 AS DECIMAL(38,0)) * n0 * n1 * (c0 + c1)
+           > CAST(38416 AS HUGEINT) * n0 * n1 * (c0 + c1)
              * ((n0 + n1) - (c0 + c1))
              AS significant_95
     FROM wide

@@ -991,3 +991,72 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros(F.min("t")).alias("peak_at"),
         )
     )
+
+
+@register(
+    "timeseries_twap",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS tsu, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, cents,
+             lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) - tsu
+               AS dt_us,
+             tsu
+      FROM s
+    )
+    SELECT user_id,
+           count(*) + 1 AS n_samples,
+           max(tsu + dt_us) - min(tsu) AS span_us,
+           CAST(sum(CAST(cents AS HUGEINT) * dt_us)
+                // (max(tsu + dt_us) - min(tsu)) AS BIGINT) AS twap_cents
+    FROM seg
+    WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    HAVING max(tsu + dt_us) - min(tsu) > 0
+    """,
+)
+def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price (TWAP) over irregular samples with
+    last-observation-carried-forward weighting: each sample holds its
+    value until the next one, so the average is
+    Σ value_i·(t_{i+1}−t_i) / (t_last−t_first) — the TimescaleDB
+    `time_weighted_average` / kdb `twap` primitive, and the correct
+    answer where a plain AVG over-weights burst periods. Exact integer
+    arithmetic end-to-end: cents × µs durations summed in DECIMAL(38,0),
+    one integer division at the end — bit-identical cross-engine, no
+    float accumulation order to disagree on. One user-key shuffle + sort
+    (shared with every other per-user window in the catalogue); segment
+    durations come from lead(), so nothing is exploded. Users with a
+    single sample (zero span) are excluded — no 0/0. Irregular-interval
+    time math is absent from the reference (its only clock is the epoch
+    counter, src/database/ycsb/TransctionManager.cuh:115-185)."""
+    s = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tsu"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    seg = s.select(
+        "user_id",
+        "cents",
+        (F.lead("tsu").over(w) - F.col("tsu")).alias("dt_us"),
+        "tsu",
+    ).filter(F.col("dt_us").isNotNull())
+    span = F.max(F.col("tsu") + F.col("dt_us")) - F.min("tsu")
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_samples"),
+            span.alias("span_us"),
+            F.expr(
+                "CAST(sum(CAST(cents AS DECIMAL(38,0)) * dt_us)"
+                " DIV (max(tsu + dt_us) - min(tsu)) AS BIGINT)"
+            ).alias("twap_cents"),
+        )
+        .filter(F.col("span_us") > 0)
+    )

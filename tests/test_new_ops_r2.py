@@ -219,3 +219,25 @@ def test_keyset_page_equals_offset_page(spark):
         .collect()
     ]
     assert sorted(got) == want
+
+
+def test_twap_bounded_by_value_range(spark):
+    """A time-weighted average must lie within [min, max] of the user's
+    observed cent values (weights are non-negative and sum to the span)."""
+    from bishe_gpu_database_spark.operators.timeseries import timeseries_twap
+
+    out = {r["user_id"]: r for r in timeseries_twap(spark, SF_SMALL).collect()}
+    assert out
+    bounds = {
+        r["user_id"]: r
+        for r in t(spark, SF_SMALL, "events")
+        .select("user_id", F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+        .groupBy("user_id")
+        .agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for uid, r in out.items():
+        b = bounds[uid]
+        assert b["lo"] - 1 <= r["twap_cents"] <= b["hi"]
+        assert r["n_samples"] == b["n"]
+        assert r["span_us"] > 0
