@@ -638,3 +638,79 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "   * ((n0 + n1) - (c0 + c1))"
         ).alias("significant_95"),
     )
+
+
+@register(
+    "mining_chi_square",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             date_part('dow', ts) IN (0, 6) AS is_weekend,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT event_type, is_weekend, o,
+             sum(o) OVER (PARTITION BY event_type) AS r_tot,
+             sum(o) OVER (PARTITION BY is_weekend) AS c_tot,
+             sum(o) OVER () AS n
+      FROM cells
+    ),
+    scaled AS (
+      SELECT event_type, is_weekend, o, r_tot, c_tot,
+             greatest(CAST(r_tot AS HUGEINT) * c_tot * 1000 // n, 1) AS e_milli
+      FROM margins
+    )
+    SELECT event_type, is_weekend, o, r_tot, c_tot,
+           CAST((CAST(o AS HUGEINT) * 1000 - e_milli)
+                * (CAST(o AS HUGEINT) * 1000 - e_milli)
+                * 1000 // e_milli AS BIGINT) AS chi_term_ppm
+    FROM scaled
+    """,
+)
+def mining_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence terms for the event_type × weekend
+    contingency table: per cell, ((O·N − R·C)²·10⁶) / (N·R·C) in exact
+    HUGEINT/DECIMAL arithmetic — summing the column gives X²·10⁶ (up to
+    per-cell truncation), the feature-selection / drift-detection
+    statistic. The expected count is carried as e_milli = R·C·10³ DIV N
+    (truncated identically on both engines, floored at 1 to keep the
+    division total), so every intermediate stays ≤ 10⁹·N² — within
+    DECIMAL(38,0)/HUGEINT up to ~3·10¹⁴ rows, unlike the naive
+    (O·N−R·C)² form which wraps at N≈10⁸ (the overflow class ADVICE.md
+    flagged on pad_waste_ppm). Shape: one hash aggregate to cells
+    (map-side combinable), then margins via windows over the CELL table
+    (cardinality = types × 2, not rows) — the fact scan happens once and
+    everything after is dimension-sized, so at 100 TB the statistic is
+    free on top of any existing rollup. Statistical tests are absent
+    from the reference (driver-mandated analytics surface)."""
+    e = t(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            "event_type",
+            F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
+        )
+        .groupBy("event_type", "is_weekend")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    margins = cells.select(
+        "event_type",
+        "is_weekend",
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("r_tot"),
+        F.sum("o").over(W.partitionBy("is_weekend")).alias("c_tot"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    scaled = margins.withColumn(
+        "e_milli",
+        F.expr("greatest(CAST(r_tot AS DECIMAL(38,0)) * c_tot * 1000 DIV n, 1)"),
+    )
+    d2 = "CAST(o AS DECIMAL(38,0)) * 1000 - e_milli"
+    return scaled.select(
+        "event_type",
+        "is_weekend",
+        "o",
+        "r_tot",
+        "c_tot",
+        F.expr(f"CAST(({d2}) * ({d2}) * 1000 DIV e_milli AS BIGINT)").alias("chi_term_ppm"),
+    )

@@ -385,3 +385,111 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("CAST(n * 1000000 DIV sum(n) OVER () AS BIGINT)").alias("share_ppm"),
     )
+
+
+@register(
+    "governance_forget_users",
+    oracle="""
+    WITH doomed AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST(('0x' || substr(md5('erase|' || user_id), 1, 12)) AS BIGINT) % 11 = 0
+    )
+    SELECT 'events' AS table_name,
+           count(*) AS rows_before,
+           count(*) FILTER (WHERE user_id IN (SELECT user_id FROM doomed))
+             AS rows_purged,
+           count(*) FILTER (WHERE user_id NOT IN (SELECT user_id FROM doomed))
+             AS rows_after
+    FROM events
+    UNION ALL
+    SELECT 'orders' AS table_name,
+           count(*) AS rows_before,
+           count(*) FILTER (WHERE o_custkey IN (SELECT user_id FROM doomed))
+             AS rows_purged,
+           count(*) FILTER (WHERE o_custkey NOT IN (SELECT user_id FROM doomed))
+             AS rows_after
+    FROM orders
+    """,
+)
+def governance_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge audit: a deterministic erasure cohort
+    (portable-hash stand-in for a deletion-request table) is propagated
+    across every table keyed by the user, and the audit reports
+    before/purged/after counts per table — the receipt a GDPR/CCPA
+    pipeline must produce. The purge itself is a broadcast anti-join per
+    fact table (the cohort is request-sized, never data-sized), so at
+    100 TB each table pays one pruned scan and zero shuffles; the
+    conditional counts here fuse both sides of the anti-join into one
+    aggregate per table. Deletion is an explicit stub in the reference
+    (HashTable::_delete, src/cuda/hashTable.cuh:112-114) — this is that
+    operator made real, set-oriented, and auditable."""
+    from bishe_gpu_database_spark.functions.text import h48
+
+    ev = t(spark, sf_dir, "events")
+    doomed = (
+        ev.select("user_id")
+        .distinct()
+        .filter(h48(F.concat(F.lit("erase|"), F.col("user_id").cast("string"))) % 11 == 0)
+    )
+
+    def audit(df, key, name):
+        # one scan: membership flag via left join on the broadcast
+        # cohort, then conditional counts cover both sides of the purge
+        d = df.join(
+            F.broadcast(doomed.select(F.col("user_id").alias(key), F.lit(1).alias("_doom"))),
+            key,
+            "left",
+        )
+        return d.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("rows_before"),
+            F.count("_doom").alias("rows_purged"),
+            F.count(F.when(F.col("_doom").isNull(), 1)).alias("rows_after"),
+        )
+
+    return audit(ev, "user_id", "events").unionByName(
+        audit(t(spark, sf_dir, "orders"), "o_custkey", "orders")
+    )
+
+
+@register(
+    "governance_masked_view",
+    oracle="""
+    SELECT c_custkey,
+           substr(c_name, 1, 2) || repeat('*', greatest(length(c_name) - 2, 0))
+             AS name_masked,
+           CASE WHEN c_acctbal < 0 THEN 'NEGATIVE' ELSE 'OK' END AS balance_band,
+           c_mktsegment
+    FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+    """,
+)
+def governance_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level security + column masking as a governed view: the
+    analyst tenant sees only region-1 customers (row filter via a
+    broadcast semi join on the dimension chain) and never raw PII —
+    names are prefix-masked, balances banded. Both policies compile into
+    the scan: the row predicate prunes via DPP/pushdown and the masks
+    are per-row projections, so the governed view costs the same as the
+    raw one at 100 TB — governance as a plan property, not a
+    post-filter. (Engines ship this as CREATE VIEW + policy DDL; the
+    view body IS this plan either way.) No access-control surface exists
+    in the reference (single-tenant in-process store)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    return (
+        c.join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"))),
+            "c_nationkey",
+            "left_semi",
+        )
+        .select(
+            "c_custkey",
+            F.concat(
+                F.substring("c_name", 1, 2),
+                F.expr("repeat('*', greatest(length(c_name) - 2, 0))"),
+            ).alias("name_masked"),
+            F.when(F.col("c_acctbal") < 0, "NEGATIVE").otherwise("OK").alias("balance_band"),
+            "c_mktsegment",
+        )
+    )

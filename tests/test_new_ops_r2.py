@@ -241,3 +241,55 @@ def test_twap_bounded_by_value_range(spark):
         assert b["lo"] - 1 <= r["twap_cents"] <= b["hi"]
         assert r["n_samples"] == b["n"]
         assert r["span_us"] > 0
+
+
+def test_forget_users_audit_balances(spark):
+    """Purge audit must balance: before = purged + after, per table, and
+    the purge is non-trivial on events (the cohort comes from events)."""
+    from bishe_gpu_database_spark.operators.quality import governance_forget_users
+
+    rows = {r["table_name"]: r for r in governance_forget_users(spark, SF_SMALL).collect()}
+    assert set(rows) == {"events", "orders"}
+    for r in rows.values():
+        assert r["rows_before"] == r["rows_purged"] + r["rows_after"]
+    assert rows["events"]["rows_purged"] > 0
+
+
+def test_masked_view_leaks_no_pii(spark):
+    """Every masked name keeps exactly 2 plaintext chars; every returned
+    customer belongs to region 1; banding covers all rows."""
+    from bishe_gpu_database_spark.operators.quality import governance_masked_view
+
+    out = governance_masked_view(spark, SF_SMALL).collect()
+    assert out
+    raw = {
+        r["c_custkey"]: r
+        for r in t(spark, SF_SMALL, "customer")
+        .join(
+            t(spark, SF_SMALL, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "n_regionkey")
+        .collect()
+    }
+    for r in out:
+        src = raw[r["c_custkey"]]
+        assert src["n_regionkey"] == 1
+        name = src["c_name"]
+        assert r["name_masked"] == name[:2] + "*" * max(len(name) - 2, 0)
+        assert r["balance_band"] in ("NEGATIVE", "OK")
+
+
+def test_chi_square_margins_consistent(spark):
+    """Cell counts must sum to n via both margins; terms are non-negative;
+    recompute one cell's term from its margins."""
+    from bishe_gpu_database_spark.operators.mining import mining_chi_square
+
+    out = mining_chi_square(spark, SF_SMALL).collect()
+    n_events = t(spark, SF_SMALL, "events").count()
+    assert sum(r["o"] for r in out) == n_events
+    for r in out:
+        assert r["chi_term_ppm"] >= 0
+        e_milli = max(r["r_tot"] * r["c_tot"] * 1000 // n_events, 1)
+        d2 = r["o"] * 1000 - e_milli
+        assert r["chi_term_ppm"] == d2 * d2 * 1000 // e_milli
