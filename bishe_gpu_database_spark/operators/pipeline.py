@@ -750,3 +750,109 @@ def pipeline_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 5)
     )
+
+
+@register(
+    "pipeline_winsorize",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS k
+      FROM documents
+    ),
+    cuts AS (
+      SELECT source,
+             min(CASE WHEN rn * 20 >= k THEN n_chars END) AS lo,
+             min(CASE WHEN rn * 20 >= 19 * k THEN n_chars END) AS hi
+      FROM ranked GROUP BY source
+    )
+    SELECT r.source, r.doc_id, r.n_chars,
+           least(greatest(r.n_chars, c.lo), c.hi) AS n_chars_winsor,
+           (r.n_chars < c.lo OR r.n_chars > c.hi) AS clipped
+    FROM ranked r JOIN cuts c ON r.source = c.source
+    """,
+)
+def pipeline_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier capping) at the exact per-source 5th/95th
+    percentiles — the heavy-tail taming step before any mean-based
+    training statistic. Percentile conventions differ across engines
+    (disc vs cont, rank rounding), so the cut is defined portably by
+    integer arithmetic alone: with k rows ranked by (value, doc_id), the
+    p-th cut is the smallest value whose rank satisfies rn·20 ≥ p·k —
+    identical truncation-free inequalities on both engines. One shuffle
+    on source serves the ranking window, the cut aggregate, and the
+    final clip join (cuts are source-cardinality, broadcast back). At
+    100 TB swap the exact rank for approx_percentile per source and keep
+    the identical clip — the plumbing is unchanged. Feature
+    preprocessing is absent from the reference (driver-mandated)."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("k"),
+    )
+    cuts = ranked.groupBy("source").agg(
+        F.min(F.when(F.col("rn") * 20 >= F.col("k"), F.col("n_chars"))).alias("lo"),
+        F.min(F.when(F.col("rn") * 20 >= 19 * F.col("k"), F.col("n_chars"))).alias("hi"),
+    )
+    return ranked.join(F.broadcast(cuts), "source").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.least(F.greatest(F.col("n_chars"), F.col("lo")), F.col("hi")).alias("n_chars_winsor"),
+        ((F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi"))).alias("clipped"),
+    )
+
+
+@register(
+    "feature_target_encoding",
+    oracle="""
+    WITH cat AS (
+      SELECT o_orderpriority,
+             count(*) AS n_cat,
+             sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS sum_cents
+      FROM orders GROUP BY o_orderpriority
+    ),
+    overall AS (
+      SELECT sum(sum_cents) // sum(n_cat) AS gmean_cents FROM cat
+    )
+    SELECT c.o_orderpriority, c.n_cat,
+           CAST(c.sum_cents // c.n_cat AS BIGINT) AS raw_mean_cents,
+           CAST((c.sum_cents + 100 * g.gmean_cents) // (c.n_cat + 100) AS BIGINT)
+             AS encoded_cents
+    FROM cat c, overall g
+    """,
+)
+def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (the categorical-feature workhorse):
+    each category's code is its target mean shrunk toward the global
+    mean with pseudo-count m=100 — (Σ_cat + m·μ_global)/(n_cat + m) — so
+    rare categories don't memorize noise. All in exact integer cents
+    (HUGEINT / DECIMAL(38,0)): the truncated divisions are identical on
+    both engines, so the encoding is bit-stable no matter how the rows
+    partition — which matters because a training feature that drifts
+    with partition count silently breaks reproducibility. Shape: one
+    map-side-combinable category aggregate (output is category-sized),
+    a 1-row global reduce of THAT, and a broadcast cross join back —
+    the fact table is scanned once. At 100 TB the same two-level
+    mergeable-moment pattern serves any per-category statistic."""
+    o = t(spark, sf_dir, "orders")
+    cat = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_cat"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")).alias("sum_cents"),
+    )
+    glob = cat.agg(
+        F.expr("sum(sum_cents) DIV sum(n_cat)").alias("gmean_cents")
+    )
+    return cat.crossJoin(F.broadcast(glob)).select(
+        "o_orderpriority",
+        "n_cat",
+        F.expr("CAST(sum_cents DIV n_cat AS BIGINT)").alias("raw_mean_cents"),
+        F.expr(
+            "CAST((sum_cents + 100 * gmean_cents) DIV (n_cat + 100) AS BIGINT)"
+        ).alias("encoded_cents"),
+    )

@@ -293,3 +293,38 @@ def test_chi_square_margins_consistent(spark):
         e_milli = max(r["r_tot"] * r["c_tot"] * 1000 // n_events, 1)
         d2 = r["o"] * 1000 - e_milli
         assert r["chi_term_ppm"] == d2 * d2 * 1000 // e_milli
+
+
+def test_winsorize_clips_to_cuts(spark):
+    """Winsorized values lie inside [lo, hi]; unclipped rows are
+    untouched; roughly the right fraction clips (≤ ~12% for 5/95)."""
+    from bishe_gpu_database_spark.operators.pipeline import pipeline_winsorize
+
+    out = pipeline_winsorize(spark, SF_SMALL).collect()
+    assert out
+    n_clipped = sum(1 for r in out if r["clipped"])
+    assert 0 < n_clipped <= len(out) * 0.15
+    for r in out:
+        if not r["clipped"]:
+            assert r["n_chars_winsor"] == r["n_chars"]
+    # winsorized mean moves toward the center: variance must not grow
+    import statistics
+
+    raw = [r["n_chars"] for r in out]
+    wz = [r["n_chars_winsor"] for r in out]
+    assert statistics.pvariance(wz) <= statistics.pvariance(raw)
+
+
+def test_target_encoding_shrinks_toward_global(spark):
+    """Every encoded value lies between its raw category mean and the
+    global mean (shrinkage property), within integer-truncation slack."""
+    from bishe_gpu_database_spark.operators.pipeline import feature_target_encoding
+
+    rows = feature_target_encoding(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    tot = sum(r["raw_mean_cents"] * r["n_cat"] for r in rows)
+    n = sum(r["n_cat"] for r in rows)
+    gmean = tot // n
+    for r in rows:
+        lo, hi = sorted((r["raw_mean_cents"], gmean))
+        assert lo - 2 <= r["encoded_cents"] <= hi + 2
