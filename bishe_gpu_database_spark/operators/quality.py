@@ -493,3 +493,87 @@ def governance_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
         )
     )
+
+
+@register(
+    "quality_table_checksum",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(('0x' || substr(md5(
+               event_id || '|' || epoch_us(ts) || '|' || user_id || '|' ||
+               event_type || '|' || CAST(round(value * 100) AS BIGINT) || '|' ||
+               coalesce(props, '<null>')), 1, 12)) AS BIGINT) AS h
+      FROM events
+    ),
+    od AS (
+      SELECT CAST(('0x' || substr(md5(
+               o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+               CAST(round(o_totalprice * 100) AS BIGINT) || '|' ||
+               epoch_us(o_orderdate) || '|' || o_orderpriority), 1, 12)) AS BIGINT) AS h
+      FROM orders
+    )
+    SELECT 'events' AS table_name, count(*) AS n_rows,
+           bit_xor(h) AS xor48,
+           CAST(sum(CAST(h AS HUGEINT)) % 9007199254740997 AS BIGINT) AS sum_mod
+    FROM ev
+    UNION ALL
+    SELECT 'orders' AS table_name, count(*) AS n_rows,
+           bit_xor(h) AS xor48,
+           CAST(sum(CAST(h AS HUGEINT)) % 9007199254740997 AS BIGINT) AS sum_mod
+    FROM od
+    """,
+)
+def quality_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum: every row canonicalizes to a
+    48-bit portable digest (timestamps as epoch-µs, money as integer
+    cents, NULL spelled explicitly — no float or locale formatting in
+    the hash input), folded with XOR plus a modular sum. XOR alone
+    misses duplicated-pair corruption (x⊕x=0), the modular sum catches
+    it; together with the count they form a commutative fingerprint that
+    is identical under ANY row order or partitioning — so two replicas,
+    or a table before and after a migration, compare with one aggregate
+    each and zero data movement beyond a handful of partials. This is
+    the anti-entropy / backup-verification primitive every 100 TB store
+    needs; both folds are map-side combinable, the shuffle carries one
+    triple per partition. (The reference's integrity story is a row
+    count, src/database/ycsb/db.h:73-76.)"""
+    from bishe_gpu_database_spark.functions.text import h48
+
+    e = t(spark, sf_dir, "events")
+    ev_h = h48(
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.unix_micros("ts").cast("string"),
+            F.col("user_id").cast("string"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").cast("string"),
+            F.coalesce("props", F.lit("<null>")),
+        )
+    )
+    o = t(spark, sf_dir, "orders")
+    od_h = h48(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            F.unix_micros("o_orderdate").cast("string"),
+            "o_orderpriority",
+        )
+    )
+
+    def fold(df, h, name):
+        return df.select(h.alias("h")).agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("xor48"),
+            # DECIMAL/HUGEINT sum: 48-bit digests summed over >2^15 rows wrap
+            # int64 — Spark would wrap silently while DuckDB promotes.
+            F.expr(
+                "CAST(sum(CAST(h AS DECIMAL(38,0))) % 9007199254740997 AS BIGINT)"
+            ).alias("sum_mod"),
+        )
+
+    return fold(e, ev_h, "events").unionByName(fold(o, od_h, "orders"))

@@ -328,3 +328,46 @@ def test_target_encoding_shrinks_toward_global(spark):
     for r in rows:
         lo, hi = sorted((r["raw_mean_cents"], gmean))
         assert lo - 2 <= r["encoded_cents"] <= hi + 2
+
+
+def test_table_checksum_detects_tamper_and_ignores_order(spark):
+    """The checksum triple must be invariant under repartition/order and
+    must CHANGE when one row is altered."""
+    from bishe_gpu_database_spark.operators.quality import quality_table_checksum
+
+    base = {r["table_name"]: r for r in quality_table_checksum(spark, SF_SMALL).collect()}
+    again = {
+        r["table_name"]: r for r in quality_table_checksum(spark, SF_SMALL).collect()
+    }
+    assert base == again  # deterministic across runs/partitionings
+    # tamper: recompute events checksum with one event_type flipped
+    from bishe_gpu_database_spark.functions.text import h48
+    from bishe_gpu_database_spark.operators.relational import t as _t
+
+    e = _t(spark, SF_SMALL, "events").withColumn(
+        "event_type",
+        F.when(F.col("event_id") == 1, F.lit("__tampered__")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    h = h48(
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.unix_micros("ts").cast("string"),
+            F.col("user_id").cast("string"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").cast("string"),
+            F.coalesce("props", F.lit("<null>")),
+        )
+    )
+    tampered = e.select(h.alias("h")).agg(
+        F.expr("bit_xor(h)").alias("xor48"),
+        F.expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 9007199254740997 AS BIGINT)").alias(
+            "sum_mod"
+        ),
+    ).collect()[0]
+    assert (
+        tampered["xor48"] != base["events"]["xor48"]
+        or tampered["sum_mod"] != base["events"]["sum_mod"]
+    )
