@@ -26,6 +26,10 @@ PROBES = [
     "text_bigram_lm_score",     # two co-partitioned text shuffles
     "agg_ntile_scalable",       # distributed global rank
     "events_ohlc_minute",       # map-combined argmin/argmax agg
+    "events_concurrency_sweep", # ±1 sweep line (2× point fan-out + window)
+    "timeseries_twap",          # lead() segments + decimal agg
+    "quality_table_checksum",   # two full-scan commutative folds
+    "skyline_pareto",           # level collapse + tiny global window
 ]
 
 
