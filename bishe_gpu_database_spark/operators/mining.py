@@ -525,21 +525,42 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto frontier): parts not dominated on
     (minimize price, maximize size). The textbook definition is the
     quadratic NOT EXISTS self-join the oracle runs; the engine instead
-    computes it linearly — collapse to one row per price level carrying
-    that level's max size, then a running max over strictly-cheaper
-    levels: a part survives iff no cheaper level reaches its size and
-    nothing at its own price strictly beats it. Ties on both axes are
-    mutually non-dominating and all kept (standard skyline semantics).
-    The price-level window is a single global sort, but it runs AFTER
-    the groupBy collapsed the input to |distinct prices| rows — at
-    100 TB the cascade is: per-partition local skyline first (domination
-    is transitive, so any globally dominated row is already dominated by
-    some local survivor), then this pass over the tiny survivor union;
-    the level collapse here is that local prune in aggregate form.
+    computes it in two pruning stages. Stage 1 — LOCAL skyline: rows
+    are hashed into bounded groups and, within each group's
+    (price asc, size desc) order, any row preceded by a strictly larger
+    size is dropped. That drop is SOUND (the preceding row has
+    price ≤ mine by sort order and size > mine, so it dominates me),
+    and for non-adversarial data local frontiers are tiny — O(log n)
+    expected per group — so the survivor union is group-count-bounded,
+    never data-sized. Stage 2 — exact global pass over the survivors:
+    collapse to one row per price level carrying that level's max size,
+    then a running max over strictly-cheaper levels; a part survives iff
+    no cheaper level reaches its size and nothing at its own price
+    strictly beats it. Ties on both axes are mutually non-dominating and
+    all kept (standard skyline semantics). The stage-2 window is a
+    single-task sort, but only over the pruned frontier union — the
+    standard distributed-skyline cascade (domination is transitive, so
+    anything stage 1 drops is provably dominated by a survivor).
     Preference queries are absent from the reference (point lookups
     only, src/cuda/hashTable.cuh:94-110); driver-mandated analytics."""
     p = t(spark, sf_dir, "part")
-    levels = p.groupBy("p_retailprice").agg(F.max("p_size").alias("level_max"))
+    # Stage 1: sound local prune in 64 hash groups. pmod of the key (not
+    # spark_partition_id) so the survivor set — and hence the result —
+    # is layout-independent by construction, not just by soundness.
+    grp = F.pmod(F.col("p_partkey"), F.lit(64)).alias("_g")
+    wloc = (
+        W.partitionBy("_g")
+        .orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc(), F.col("p_partkey").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = (
+        p.select("p_partkey", "p_size", "p_retailprice", grp)
+        .withColumn("_prev", F.max("p_size").over(wloc))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") <= F.col("p_size")))
+        .drop("_g", "_prev")
+    )
+    # Stage 2: exact skyline over the frontier union.
+    levels = local.groupBy("p_retailprice").agg(F.max("p_size").alias("level_max"))
     wprev = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
     levels = levels.select(
         "p_retailprice",
@@ -547,7 +568,7 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("level_max").over(wprev).alias("prev_max"),
     )
     return (
-        p.join(F.broadcast(levels), "p_retailprice")
+        local.join(F.broadcast(levels), "p_retailprice")
         .filter(
             (F.col("prev_max").isNull() | (F.col("prev_max") < F.col("p_size")))
             & (F.col("level_max") <= F.col("p_size"))
@@ -576,17 +597,21 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(CASE WHEN arm = 1 THEN n_users END) AS n1,
              max(CASE WHEN arm = 1 THEN n_conv END) AS c1
       FROM arms
+    ),
+    ppm AS (
+      SELECT n0, c0, n1, c1,
+             CAST(c0 AS HUGEINT) * 1000000 // n0 AS r0,
+             CAST(c1 AS HUGEINT) * 1000000 // n1 AS r1,
+             CAST(c0 + c1 AS HUGEINT) * 1000000 // (n0 + n1) AS pp
+      FROM wide
     )
     SELECT n0, c0, n1, c1,
-           CAST(CAST(c0 AS HUGEINT) * 1000000 // n0 AS BIGINT) AS rate0_ppm,
-           CAST(CAST(c1 AS HUGEINT) * 1000000 // n1 AS BIGINT) AS rate1_ppm,
-           (CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)
-             * (CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)
-             * (n0 + n1) * 10000
-           > CAST(38416 AS HUGEINT) * n0 * n1 * (c0 + c1)
-             * ((n0 + n1) - (c0 + c1))
+           CAST(r0 AS BIGINT) AS rate0_ppm,
+           CAST(r1 AS BIGINT) AS rate1_ppm,
+           (r0 - r1) * (r0 - r1) * n0 * n1 * 10000
+             > CAST(38416 AS HUGEINT) * pp * (1000000 - pp) * (n0 + n1)
              AS significant_95
-    FROM wide
+    FROM ppm
     """,
 )
 def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,24 +619,26 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     users are deterministically hash-assigned to arms (portable md5, the
     cross-engine stand-in for a bucketed experiment id), conversion is
     "any purchase event", and the pooled two-proportion z-test
-    z² > 1.96² is evaluated with every division cross-multiplied away —
-    (c0·n1 − c1·n0)²·N·10⁴ > 38416·n0·n1·C·(N−C) over DECIMAL(38,0) —
-    so the verdict is bit-identical on any engine, no float variance
-    path. Shape: one user-key aggregate (map-side combinable), a 2-row
+    z² > 1.96² is evaluated in integer ppm with the remaining division
+    cross-multiplied away — (r0−r1)²·n0·n1·10⁴ > 38416·p̂(10⁶−p̂)(n0+n1)
+    over HUGEINT/DECIMAL(38,0), where rates and p̂ are truncated to ppm
+    identically on both engines — so the verdict is bit-identical on any
+    engine, no float variance path, and every intermediate stays ≤
+    10¹⁶·n0·n1 (inside DECIMAL(38,0) to ~3·10¹⁰ users per arm; the
+    naive (c0·n1−c1·n0)²·N form wraps at ~10⁸ — the ADVICE.md overflow
+    class). Shape: one user-key aggregate (map-side combinable), a 2-row
     arm rollup, a 1-row pivot — the per-user pass is the only shuffle
     and it's the same one sessionization already pays, so the test rides
     an existing partitioning at 100 TB. Experimentation is absent from
     the reference (driver-mandated analytics surface)."""
     e = t(spark, sf_dir, "events")
+    from bishe_gpu_database_spark.functions.text import h48
+
     assign = (
         e.groupBy("user_id")
         .agg(F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"))
         .select(
-            (
-                F.conv(F.substring(F.md5(F.concat(F.lit("ab1|"), F.col("user_id").cast("string"))), 1, 12), 16, 10)
-                .cast("bigint")
-                % 2
-            ).alias("arm"),
+            (h48(F.concat(F.lit("ab1|"), F.col("user_id").cast("string"))) % 2).alias("arm"),
             "converted",
         )
     )
@@ -624,18 +651,25 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
         F.max(F.when(F.col("arm") == 1, F.col("n_conv"))).alias("c1"),
     )
-    d = "CAST(c0 AS DECIMAL(38,0)) * n1 - CAST(c1 AS DECIMAL(38,0)) * n0"
-    return wide.select(
+    ppm = wide.select(
         "n0",
         "c0",
         "n1",
         "c1",
-        F.expr("CAST(CAST(c0 AS DECIMAL(38,0)) * 1000000 DIV n0 AS BIGINT)").alias("rate0_ppm"),
-        F.expr("CAST(CAST(c1 AS DECIMAL(38,0)) * 1000000 DIV n1 AS BIGINT)").alias("rate1_ppm"),
+        F.expr("CAST(c0 AS DECIMAL(38,0)) * 1000000 DIV n0").alias("r0"),
+        F.expr("CAST(c1 AS DECIMAL(38,0)) * 1000000 DIV n1").alias("r1"),
+        F.expr("CAST(c0 + c1 AS DECIMAL(38,0)) * 1000000 DIV (n0 + n1)").alias("pp"),
+    )
+    return ppm.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.col("r0").cast("bigint").alias("rate0_ppm"),
+        F.col("r1").cast("bigint").alias("rate1_ppm"),
         F.expr(
-            f"({d}) * ({d}) * (n0 + n1) * 10000"
-            " > CAST(38416 AS DECIMAL(38,0)) * n0 * n1 * (c0 + c1)"
-            "   * ((n0 + n1) - (c0 + c1))"
+            "(r0 - r1) * (r0 - r1) * n0 * n1 * 10000"
+            " > CAST(38416 AS DECIMAL(38,0)) * pp * (1000000 - pp) * (n0 + n1)"
         ).alias("significant_95"),
     )
 

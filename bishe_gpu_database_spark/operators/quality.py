@@ -500,16 +500,22 @@ def governance_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
       SELECT CAST(('0x' || substr(md5(
-               event_id || '|' || epoch_us(ts) || '|' || user_id || '|' ||
-               event_type || '|' || CAST(round(value * 100) AS BIGINT) || '|' ||
+               coalesce(CAST(event_id AS VARCHAR), '<null>') || '|' ||
+               coalesce(CAST(epoch_us(ts) AS VARCHAR), '<null>') || '|' ||
+               coalesce(CAST(user_id AS VARCHAR), '<null>') || '|' ||
+               coalesce(event_type, '<null>') || '|' ||
+               coalesce(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), '<null>') || '|' ||
                coalesce(props, '<null>')), 1, 12)) AS BIGINT) AS h
       FROM events
     ),
     od AS (
       SELECT CAST(('0x' || substr(md5(
-               o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
-               CAST(round(o_totalprice * 100) AS BIGINT) || '|' ||
-               epoch_us(o_orderdate) || '|' || o_orderpriority), 1, 12)) AS BIGINT) AS h
+               coalesce(CAST(o_orderkey AS VARCHAR), '<null>') || '|' ||
+               coalesce(CAST(o_custkey AS VARCHAR), '<null>') || '|' ||
+               coalesce(o_orderstatus, '<null>') || '|' ||
+               coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), '<null>') || '|' ||
+               coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), '<null>') || '|' ||
+               coalesce(o_orderpriority, '<null>')), 1, 12)) AS BIGINT) AS h
       FROM orders
     )
     SELECT 'events' AS table_name, count(*) AS n_rows,
@@ -526,8 +532,9 @@ def governance_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent table checksum: every row canonicalizes to a
     48-bit portable digest (timestamps as epoch-µs, money as integer
-    cents, NULL spelled explicitly — no float or locale formatting in
-    the hash input), folded with XOR plus a modular sum. XOR alone
+    cents, every nullable field coalesced to an explicit '<null>' token
+    so NULLs neither shift fields nor null the digest — no float or
+    locale formatting in the hash input), folded with XOR plus a modular sum. XOR alone
     misses duplicated-pair corruption (x⊕x=0), the modular sum catches
     it; together with the count they form a commutative fingerprint that
     is identical under ANY row order or partitioning — so two replicas,
@@ -540,40 +547,61 @@ def quality_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bishe_gpu_database_spark.functions.text import h48
 
     e = t(spark, sf_dir, "events")
-    ev_h = h48(
-        F.concat_ws(
-            "|",
-            F.col("event_id").cast("string"),
-            F.unix_micros("ts").cast("string"),
-            F.col("user_id").cast("string"),
-            "event_type",
-            F.round(F.col("value") * 100).cast("bigint").cast("string"),
-            F.coalesce("props", F.lit("<null>")),
-        )
-    )
     o = t(spark, sf_dir, "orders")
-    od_h = h48(
+    return checksum_fold(e, events_row_digest(), "events").unionByName(
+        checksum_fold(o, orders_row_digest(), "orders")
+    )
+
+
+def _canon(c) -> F.Column:
+    """NULL-safe string canonicalization for digest input: concat_ws
+    silently DROPS null fields (separator too) — two rows differing only
+    in a null-vs-adjacent-field shift would collide — and the oracle's
+    || would instead null the whole hash. Every field is coalesced to an
+    explicit '<null>' token BEFORE joining, identically on both engines."""
+    return F.coalesce(c.cast("string"), F.lit("<null>"))
+
+
+def events_row_digest() -> F.Column:
+    from bishe_gpu_database_spark.functions.text import h48
+
+    return h48(
         F.concat_ws(
             "|",
-            F.col("o_orderkey").cast("string"),
-            F.col("o_custkey").cast("string"),
-            "o_orderstatus",
-            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
-            F.unix_micros("o_orderdate").cast("string"),
-            "o_orderpriority",
+            _canon(F.col("event_id")),
+            _canon(F.unix_micros("ts")),
+            _canon(F.col("user_id")),
+            _canon(F.col("event_type")),
+            _canon(F.round(F.col("value") * 100).cast("bigint")),
+            _canon(F.col("props")),
         )
     )
 
-    def fold(df, h, name):
-        return df.select(h.alias("h")).agg(
-            F.lit(name).alias("table_name"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.expr("bit_xor(h)").alias("xor48"),
-            # DECIMAL/HUGEINT sum: 48-bit digests summed over >2^15 rows wrap
-            # int64 — Spark would wrap silently while DuckDB promotes.
-            F.expr(
-                "CAST(sum(CAST(h AS DECIMAL(38,0))) % 9007199254740997 AS BIGINT)"
-            ).alias("sum_mod"),
-        )
 
-    return fold(e, ev_h, "events").unionByName(fold(o, od_h, "orders"))
+def orders_row_digest() -> F.Column:
+    from bishe_gpu_database_spark.functions.text import h48
+
+    return h48(
+        F.concat_ws(
+            "|",
+            _canon(F.col("o_orderkey")),
+            _canon(F.col("o_custkey")),
+            _canon(F.col("o_orderstatus")),
+            _canon(F.round(F.col("o_totalprice") * 100).cast("bigint")),
+            _canon(F.unix_micros("o_orderdate")),
+            _canon(F.col("o_orderpriority")),
+        )
+    )
+
+
+def checksum_fold(df: DataFrame, h: F.Column, name: str) -> DataFrame:
+    return df.select(h.alias("h")).agg(
+        F.lit(name).alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(h)").alias("xor48"),
+        # DECIMAL/HUGEINT sum: 48-bit digests summed over >2^15 rows wrap
+        # int64 — Spark would wrap silently while DuckDB promotes.
+        F.expr(
+            "CAST(sum(CAST(h AS DECIMAL(38,0))) % 9007199254740997 AS BIGINT)"
+        ).alias("sum_mod"),
+    )

@@ -331,43 +331,34 @@ def test_target_encoding_shrinks_toward_global(spark):
 
 
 def test_table_checksum_detects_tamper_and_ignores_order(spark):
-    """The checksum triple must be invariant under repartition/order and
-    must CHANGE when one row is altered."""
-    from bishe_gpu_database_spark.operators.quality import quality_table_checksum
-
-    base = {r["table_name"]: r for r in quality_table_checksum(spark, SF_SMALL).collect()}
-    again = {
-        r["table_name"]: r for r in quality_table_checksum(spark, SF_SMALL).collect()
-    }
-    assert base == again  # deterministic across runs/partitionings
-    # tamper: recompute events checksum with one event_type flipped
-    from bishe_gpu_database_spark.functions.text import h48
+    """The checksum triple must be invariant under repartitioning and
+    row order, and must CHANGE when one row is altered."""
+    from bishe_gpu_database_spark.operators.quality import (
+        checksum_fold,
+        events_row_digest,
+        quality_table_checksum,
+    )
     from bishe_gpu_database_spark.operators.relational import t as _t
 
-    e = _t(spark, SF_SMALL, "events").withColumn(
+    base = {r["table_name"]: r for r in quality_table_checksum(spark, SF_SMALL).collect()}
+
+    def ev_fold(df):
+        r = checksum_fold(df, events_row_digest(), "events").collect()[0]
+        return (r["n_rows"], r["xor48"], r["sum_mod"])
+
+    ev = _t(spark, SF_SMALL, "events")
+    b = base["events"]
+    assert ev_fold(ev) == (b["n_rows"], b["xor48"], b["sum_mod"])
+    # genuinely different layout: scrambled partitioning AND row order
+    shuffled = ev.repartition(7, "event_type").sortWithinPartitions(
+        F.col("value").desc(), F.col("event_id").desc()
+    )
+    assert ev_fold(shuffled) == ev_fold(ev)
+    # tamper: flip one row's event_type
+    tampered = ev.withColumn(
         "event_type",
         F.when(F.col("event_id") == 1, F.lit("__tampered__")).otherwise(
             F.col("event_type")
         ),
     )
-    h = h48(
-        F.concat_ws(
-            "|",
-            F.col("event_id").cast("string"),
-            F.unix_micros("ts").cast("string"),
-            F.col("user_id").cast("string"),
-            "event_type",
-            F.round(F.col("value") * 100).cast("bigint").cast("string"),
-            F.coalesce("props", F.lit("<null>")),
-        )
-    )
-    tampered = e.select(h.alias("h")).agg(
-        F.expr("bit_xor(h)").alias("xor48"),
-        F.expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 9007199254740997 AS BIGINT)").alias(
-            "sum_mod"
-        ),
-    ).collect()[0]
-    assert (
-        tampered["xor48"] != base["events"]["xor48"]
-        or tampered["sum_mod"] != base["events"]["sum_mod"]
-    )
+    assert ev_fold(tampered) != ev_fold(ev)

@@ -36,7 +36,9 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             # 1-row order-count scalar broadcast onto the rule set.
             "mining_assoc_rules",
             # 1-row pagination anchor broadcast onto the scan.
-            "page_keyset"}
+            "page_keyset",
+            # 1-row global-mean scalar broadcast onto the category table.
+            "feature_target_encoding"}
 # Iterative drivers plan per-epoch; their inner plans are covered by the
 # single-epoch queries.
 _SKIP = {"aria_drain_batch", "aria_drain_skewed"}
