@@ -1060,3 +1060,72 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("span_us") > 0)
     )
+
+
+_ATTR_MULTI_SQL = """
+WITH nxt AS (
+  SELECT user_id, event_id, event_type, ts,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN lpad(CAST({us}(ts) AS {str}), 20, '0')
+                       || '|' || lpad(CAST(event_id AS {str}), 12, '0')
+             END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN CURRENT ROW AND INTERVAL 30 MINUTES FOLLOWING)
+           AS p_eid
+  FROM {src}
+),
+assigned AS (
+  SELECT user_id, event_id, event_type, ts, p_eid
+  FROM nxt
+  WHERE event_type IN ('click', 'view') AND p_eid IS NOT NULL
+),
+pos AS (
+  SELECT event_type, user_id, p_eid,
+         row_number() OVER (PARTITION BY user_id, p_eid
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, p_eid) AS k
+  FROM assigned
+),
+credited AS (
+  SELECT event_type,
+         CASE WHEN k = 1 THEN 1000000
+              WHEN rn = 1 THEN 400000
+              WHEN rn = k THEN 600000
+                   - (200000 {div} greatest(k - 2, 1)) * (k - 2)
+              ELSE 200000 {div} greatest(k - 2, 1)
+         END AS credit_ppm
+  FROM pos
+)
+SELECT event_type AS channel,
+       count(*) AS n_touches,
+       sum(credit_ppm) AS credit_ppm
+FROM credited
+GROUP BY event_type
+"""
+
+
+@register(
+    "events_attribution_u_shaped",
+    oracle=_ATTR_MULTI_SQL.format(src="events", div="//", us="epoch_us", str="VARCHAR"),
+)
+def events_attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every
+    click/view is assigned to the user's NEXT purchase within 30 minutes
+    (nearest-following-purchase via a bounded forward RANGE-frame min
+    over a zero-padded (epoch-µs, event_id) sort key — the forward as-of
+    join as a window, no touch×purchase self-join),
+    then each purchase's touch sequence splits credit 40/20/40: first
+    and last touch take 400k ppm each, middles share the 200k ppm
+    remainder by truncated division with the remainder folded into the
+    last touch — so per-purchase credit sums to EXACTLY 10⁶ ppm
+    (conservation is test-asserted, and every credit is integer
+    arithmetic both engines agree on). Shape: two windows and the final
+    rollup all keyed by user_id (one shuffle), then (channel) pairs.
+    The quadratic alternative — join every purchase to every prior
+    touch — is the one this stays linear against at 100 TB."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("_attr_multi_events")
+    return spark.sql(
+        _ATTR_MULTI_SQL.format(
+            src="_attr_multi_events", div="DIV", us="unix_micros", str="STRING"
+        )
+    )

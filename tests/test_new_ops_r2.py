@@ -362,3 +362,40 @@ def test_table_checksum_detects_tamper_and_ignores_order(spark):
         ),
     )
     assert ev_fold(tampered) != ev_fold(ev)
+
+
+def test_u_shaped_attribution_conserves_credit(spark):
+    """Total credited ppm must equal 10^6 × (number of attributed
+    purchases): per-purchase credit is conserved exactly despite
+    truncated middle shares (remainder folds into the last touch)."""
+    from bishe_gpu_database_spark.operators.timeseries import (
+        events_attribution_u_shaped,
+    )
+
+    out = events_attribution_u_shaped(spark, SF_SMALL).collect()
+    assert out
+    total_credit = sum(r["credit_ppm"] for r in out)
+    # independently count attributed purchases: purchases with ≥1
+    # click/view by the same user in the preceding 30 minutes
+    e = t(spark, SF_SMALL, "events").select("user_id", "event_id", "event_type", "ts")
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("event_id").alias("t_eid"), F.unix_micros("ts").alias("t_ts")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_eid"), F.unix_micros("ts").alias("p_ts")
+    )
+    # small-scale quadratic check is fine at sf0.001: each touch goes to
+    # its NEAREST next purchase (≤30 min); count distinct assigned ones
+    attributed = (
+        touches.join(purch, "user_id")
+        .filter(
+            (F.col("t_ts") <= F.col("p_ts"))
+            & (F.col("p_ts") - F.col("t_ts") <= 1_800_000_000)
+        )
+        .groupBy("user_id", "t_eid")
+        .agg(F.min(F.struct("p_ts", "p_eid")).alias("np"))
+        .select("user_id", F.col("np.p_eid").alias("p_eid"))
+        .distinct()
+        .count()
+    )
+    assert total_credit == attributed * 1_000_000
