@@ -780,9 +780,9 @@ def dedup_span_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT count(*) FROM truth) AS n_truth,
            (SELECT count(*) FROM cand) AS n_cand,
            (SELECT n_hit FROM hit) AS n_hit,
-           CAST((SELECT n_hit FROM hit) * 1000000
+           CAST(CAST((SELECT n_hit FROM hit) AS HUGEINT) * 1000000
                 // nullif((SELECT count(*) FROM cand), 0) AS BIGINT) AS precision_ppm,
-           CAST((SELECT n_hit FROM hit) * 1000000
+           CAST(CAST((SELECT n_hit FROM hit) AS HUGEINT) * 1000000
                 // nullif((SELECT count(*) FROM truth), 0) AS BIGINT) AS recall_ppm
     """,
 )
@@ -828,6 +828,11 @@ def dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth",
         "n_cand",
         "n_hit",
-        F.expr("CAST(n_hit * 1000000 DIV nullif(n_cand, 0) AS BIGINT)").alias("precision_ppm"),
-        F.expr("CAST(n_hit * 1000000 DIV nullif(n_truth, 0) AS BIGINT)").alias("recall_ppm"),
+        # DECIMAL(38,0): global pair counts·10⁶ wrap int64 at corpus scale
+        F.expr(
+            "CAST(CAST(n_hit AS DECIMAL(38,0)) * 1000000 DIV nullif(n_cand, 0) AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(CAST(n_hit AS DECIMAL(38,0)) * 1000000 DIV nullif(n_truth, 0) AS BIGINT)"
+        ).alias("recall_ppm"),
     )

@@ -131,7 +131,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.token, tf.tf,
-             (tf.tf * 1000000 * n.n_docs) // docfreq.df AS salience_ppm
+             CAST(CAST(tf.tf AS HUGEINT) * 1000000 * n.n_docs // docfreq.df
+                  AS BIGINT) AS salience_ppm
       FROM tf JOIN docfreq USING (token) CROSS JOIN n
       WHERE tf.doc_id < 100
     )
@@ -162,7 +163,10 @@ def text_salience_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "token",
             "tf",
-            F.expr("(tf * 1000000 * n_docs) DIV df").alias("salience_ppm"),
+            # DECIMAL(38,0): tf·10⁶·n_docs wraps int64 at corpus scale
+            F.expr(
+                "CAST(CAST(tf AS DECIMAL(38,0)) * 1000000 * n_docs DIV df AS BIGINT)"
+            ).alias("salience_ppm"),
         )
     )
     rk = F.row_number().over(
@@ -190,7 +194,8 @@ def text_salience_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT count(*) AS total_tokens
             FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents))
     SELECT bigram, pair_n,
-           (pair_n * total_tokens * 1000000) // (u1.uni_n * u2.uni_n) AS lift_ppm
+           CAST(CAST(pair_n AS HUGEINT) * total_tokens * 1000000
+                // (CAST(u1.uni_n AS HUGEINT) * u2.uni_n) AS BIGINT) AS lift_ppm
     FROM pair
     JOIN uni u1 ON u1.token = split_part(bigram, ' ', 1)
     JOIN uni u2 ON u2.token = split_part(bigram, ' ', 2)
@@ -233,7 +238,12 @@ def text_lift_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "bigram",
             "pair_n",
-            F.expr("(pair_n * total_tokens * 1000000) DIV (n1 * n2)").alias("lift_ppm"),
+            # DECIMAL(38,0): pair_n·T·10⁶ (T ≈ 2·10¹³ tokens at 100 TB) and
+            # n1·n2 both wrap int64 — the ADVICE.md overflow class
+            F.expr(
+                "CAST(CAST(pair_n AS DECIMAL(38,0)) * total_tokens * 1000000"
+                " DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
         .orderBy(F.col("lift_ppm").desc(), "bigram")
         .limit(20)

@@ -191,10 +191,10 @@ def quality_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT sum(n_early) AS te, sum(n_late) AS tl FROM halves
     )
     SELECT event_type, n_early, n_late,
-           CAST(n_early * 1000000 // te AS BIGINT) AS early_ppm,
-           CAST(n_late * 1000000 // tl AS BIGINT) AS late_ppm,
-           abs(CAST(n_early * 1000000 // te AS BIGINT)
-               - CAST(n_late * 1000000 // tl AS BIGINT)) AS drift_ppm
+           CAST(CAST(n_early AS HUGEINT) * 1000000 // te AS BIGINT) AS early_ppm,
+           CAST(CAST(n_late AS HUGEINT) * 1000000 // tl AS BIGINT) AS late_ppm,
+           abs(CAST(CAST(n_early AS HUGEINT) * 1000000 // te AS BIGINT)
+               - CAST(CAST(n_late AS HUGEINT) * 1000000 // tl AS BIGINT)) AS drift_ppm
     FROM halves, tot
     """,
 )
@@ -222,8 +222,9 @@ def quality_drift_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_early").alias("te"), F.sum("n_late").alias("tl")
     )
     j = halves.join(F.broadcast(tot))
-    early_ppm = F.expr("n_early * 1000000 div te")
-    late_ppm = F.expr("n_late * 1000000 div tl")
+    # DECIMAL(38,0): count·10⁶ wraps int64 past ~9.2·10¹² rows per type
+    early_ppm = F.expr("CAST(CAST(n_early AS DECIMAL(38,0)) * 1000000 DIV te AS BIGINT)")
+    late_ppm = F.expr("CAST(CAST(n_late AS DECIMAL(38,0)) * 1000000 DIV tl AS BIGINT)")
     return j.select(
         "event_type",
         "n_early",
