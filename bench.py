@@ -99,7 +99,7 @@ def main() -> None:
         # headline warmups do — the timed runs then measure steady state.
         fn(spark, warm_dir).collect()
         best, epochs = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
@@ -111,6 +111,25 @@ def main() -> None:
             "epochs": epochs,
         }
         print(f"# aria_drain_batch: {best:.3f}s ({epochs} epochs)", file=sys.stderr)
+        # BASELINE.md row 1: bulk load of 199,999 generated KVs into the
+        # keyed table (the reference's host-insert loop + GPU rehashes,
+        # src/main.cu:34-38). Spark analogue: generate, hash-place by key
+        # (the hashKey shuffle), materialize.
+        from bishe_gpu_database_spark.aria.workload import gen_kv
+
+        n_parts = spark.sparkContext.defaultParallelism
+        gen_kv(spark, 200_000).repartition(n_parts, "k").localCheckpoint().count()  # warm
+        t0 = time.perf_counter()
+        n_loaded = (
+            gen_kv(spark, 200_000, seed="bench_load")
+            .repartition(n_parts, "k")
+            .localCheckpoint()
+            .count()
+        )
+        load_s = time.perf_counter() - t0
+        aria["bulk_load_200k_sec"] = round(load_s, 3)
+        aria["load_rows_per_sec"] = round(n_loaded / load_s)
+        print(f"# bulk_load_200k: {load_s:.3f}s ({n_loaded} rows)", file=sys.stderr)
     except Exception as e:  # never fail the bench line
         print(f"# aria drain failed: {e}", file=sys.stderr, flush=True)
 
