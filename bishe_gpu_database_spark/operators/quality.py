@@ -606,3 +606,60 @@ def checksum_fold(df: DataFrame, h: F.Column, name: str) -> DataFrame:
             "CAST(sum(CAST(h AS DECIMAL(38,0))) % 9007199254740997 AS BIGINT)"
         ).alias("sum_mod"),
     )
+
+
+@register(
+    "quality_fd_discovery",
+    oracle="""
+    WITH fds AS (
+      SELECT 'c_custkey->c_mktsegment' AS fd,
+             count(*) AS n_lhs,
+             count(*) FILTER (WHERE n_rhs > 1) AS n_violations
+      FROM (SELECT c_custkey, count(DISTINCT c_mktsegment) AS n_rhs
+            FROM customer GROUP BY c_custkey)
+      UNION ALL
+      SELECT 'c_nationkey->c_mktsegment' AS fd,
+             count(*) AS n_lhs,
+             count(*) FILTER (WHERE n_rhs > 1) AS n_violations
+      FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_rhs
+            FROM customer GROUP BY c_nationkey)
+      UNION ALL
+      SELECT 'o_custkey->o_orderpriority' AS fd,
+             count(*) AS n_lhs,
+             count(*) FILTER (WHERE n_rhs > 1) AS n_violations
+      FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_rhs
+            FROM orders GROUP BY o_custkey)
+    )
+    SELECT fd, n_lhs, n_violations, (n_violations = 0) AS holds
+    FROM fds
+    """,
+)
+def quality_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery/audit (the schema-profiling
+    primitive behind normalization advice, join-key validation, and
+    dedup-key selection): for each candidate FD lhs→rhs, count the lhs
+    groups whose rhs is not single-valued. Each check is one hash
+    aggregate to (lhs, distinct-rhs-count) — map-side combinable, output
+    dimension-sized — followed by a 1-row rollup; candidate FDs share a
+    table's scan via the union. A key-like lhs (c_custkey) trivially
+    holds; a coarse lhs (c_nationkey) reports exactly how broken the
+    dependency is, which is the statistic a profiler ranks candidates
+    by. At 100 TB nothing but (lhs, n_rhs) pairs ever shuffles. Schema
+    inference is absent from the reference (schemas are compile-time
+    templates, src/database/ycsb/db.h:32); driver-mandated profiling."""
+
+    def check(df, lhs: str, rhs: str, label: str) -> DataFrame:
+        per_lhs = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("n_rhs"))
+        return per_lhs.agg(
+            F.lit(label).alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.count(F.when(F.col("n_rhs") > 1, 1)).alias("n_violations"),
+        ).select("fd", "n_lhs", "n_violations", (F.col("n_violations") == 0).alias("holds"))
+
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        check(c, "c_custkey", "c_mktsegment", "c_custkey->c_mktsegment")
+        .unionByName(check(c, "c_nationkey", "c_mktsegment", "c_nationkey->c_mktsegment"))
+        .unionByName(check(o, "o_custkey", "o_orderpriority", "o_custkey->o_orderpriority"))
+    )

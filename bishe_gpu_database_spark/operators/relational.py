@@ -2042,3 +2042,66 @@ def page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(50)
     )
+
+
+@register(
+    "agg_hist_equiheight",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY round(l_extendedprice * 100), l_orderkey,
+                                         l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS k
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           max(k) AS n_rows,
+           min(CASE WHEN rn * 10 >= 1 * k THEN cents END) AS d1,
+           min(CASE WHEN rn * 10 >= 2 * k THEN cents END) AS d2,
+           min(CASE WHEN rn * 10 >= 3 * k THEN cents END) AS d3,
+           min(CASE WHEN rn * 10 >= 4 * k THEN cents END) AS d4,
+           min(CASE WHEN rn * 10 >= 5 * k THEN cents END) AS d5,
+           min(CASE WHEN rn * 10 >= 6 * k THEN cents END) AS d6,
+           min(CASE WHEN rn * 10 >= 7 * k THEN cents END) AS d7,
+           min(CASE WHEN rn * 10 >= 8 * k THEN cents END) AS d8,
+           min(CASE WHEN rn * 10 >= 9 * k THEN cents END) AS d9,
+           max(cents) AS d10
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def agg_hist_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height histogram boundaries (the ANALYZE-statistics /
+    optimizer-cardinality primitive): per group, the 10 decile upper
+    bounds of the price distribution, each defined by the portable
+    integer rank inequality rn·10 ≥ i·k over a deterministic
+    (value, orderkey, linenumber) total order — no engine-specific
+    percentile convention, values in exact cents. One shuffle on the
+    group key serves the ranking window, and all ten boundaries fuse
+    into a single conditional-min aggregate over the SAME partitioning —
+    the whole statistic is one pass. At 100 TB per-group ranking is the
+    same sort every group-window pays; for a GLOBAL histogram swap in
+    the range-repartition rank of agg_ntile_scalable (identical
+    boundary arithmetic). Statistics collection is absent from the
+    reference (no optimizer exists); driver-mandated profiling."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("l_returnflag").orderBy("cents", "l_orderkey", "l_linenumber")
+    ranked = li.select(
+        "l_returnflag",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("l_returnflag")).alias("k"),
+    )
+    aggs = [F.max("k").alias("n_rows")]
+    for i in range(1, 10):
+        aggs.append(
+            F.min(F.when(F.col("rn") * 10 >= i * F.col("k"), F.col("cents"))).alias(f"d{i}")
+        )
+    aggs.append(F.max("cents").alias("d10"))
+    return ranked.groupBy("l_returnflag").agg(*aggs)

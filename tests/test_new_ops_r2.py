@@ -399,3 +399,47 @@ def test_u_shaped_attribution_conserves_credit(spark):
         .count()
     )
     assert total_credit == attributed * 1_000_000
+
+
+def test_equiheight_boundaries_monotone_and_balanced(spark):
+    """Decile boundaries must be non-decreasing; each bucket holds
+    between 0 and ~2×(k/10) rows (equal heights up to value ties)."""
+    from bishe_gpu_database_spark.operators.relational import agg_hist_equiheight
+
+    rows = agg_hist_equiheight(spark, SF_SMALL).collect()
+    assert rows
+    li = (
+        t(spark, SF_SMALL, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        )
+        .collect()
+    )
+    by_flag = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(r["cents"])
+    for r in rows:
+        ds = [r[f"d{i}"] for i in range(1, 11)]
+        assert ds == sorted(ds)
+        vals = sorted(by_flag[r["l_returnflag"]])
+        assert r["n_rows"] == len(vals)
+        assert ds[-1] == vals[-1]
+        # each boundary's rank is within one position of i*k/10
+        for i, d in enumerate(ds[:-1], start=1):
+            import bisect
+
+            rank = bisect.bisect_left(vals, d) + 1
+            assert rank * 10 >= i * len(vals)
+
+
+def test_fd_discovery_key_holds_coarse_breaks(spark):
+    """A key lhs must satisfy any FD; the coarse nationkey lhs must not
+    (25 nations cannot determine 5 segments for 1500 customers)."""
+    from bishe_gpu_database_spark.operators.quality import quality_fd_discovery
+
+    out = {r["fd"]: r for r in quality_fd_discovery(spark, SF_SMALL).collect()}
+    assert out["c_custkey->c_mktsegment"]["holds"]
+    assert out["c_custkey->c_mktsegment"]["n_violations"] == 0
+    assert not out["c_nationkey->c_mktsegment"]["holds"]
+    assert out["c_nationkey->c_mktsegment"]["n_violations"] > 0
