@@ -277,3 +277,54 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit(n_edges).alias("n_edges"), "n_wedges", "n_triangles")
     )
+
+
+_ORACLE_SSSP = """
+    WITH RECURSIVE trans AS (
+      SELECT src, dst, count(*) AS n FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+      ) WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    edges AS (
+      SELECT src, dst, CAST(1000000 AS BIGINT) / n AS w FROM trans WHERE src <> dst
+    ),
+    paths AS (
+      SELECT CAST('signup' AS {str}) AS node, CAST(0 AS BIGINT) AS cost,
+             0 AS depth
+      UNION ALL
+      SELECT e.dst, p.cost + CAST(e.w AS BIGINT), p.depth + 1
+      FROM paths p JOIN edges e ON e.src = p.node
+      WHERE p.depth < 4
+    )
+    SELECT node, min(cost) AS min_cost
+    FROM paths GROUP BY node
+"""
+
+
+@register(
+    "graph_shortest_cost_rcte",
+    oracle=_ORACLE_SSSP.format(str="VARCHAR").replace("1000000 AS BIGINT) / n", "1000000 AS BIGINT) // n"),
+)
+def graph_shortest_cost_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest path over the behavioral state
+    graph (event-type transitions; edge cost = 10⁶ DIV transition count,
+    so the cheapest route is the most-travelled): WITH RECURSIVE expands
+    the frontier up to 4 hops and a final min-aggregate settles the
+    cheapest cost per node — Bellman-Ford with a bounded horizon,
+    declared, not hand-scheduled. The state graph is dimension-sized
+    (|event types|²) no matter how many events built it, so recursion
+    cost is trivial and the heavy lifting is the ONE user-key shuffle
+    that counts transitions — the same aggregate events_markov_
+    transitions already pays. Unlike reachability (graph_reachability_
+    rcte) this recursion carries an accumulating MEASURE and settles it
+    by aggregation — the other half of recursive-query semantics.
+    Integer costs only: truncated division both engines."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("_sssp_events")
+    return spark.sql(
+        _ORACLE_SSSP.format(str="STRING")
+        .replace("FROM events", "FROM _sssp_events")
+        .replace("1000000 AS BIGINT) / n", "1000000 AS BIGINT) DIV n")
+    )

@@ -863,3 +863,68 @@ def mart_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000 DIV min(seg_customers) AS BIGINT)"
         ).alias("permille_of_base"),
     )
+
+
+@register(
+    "mart_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             sum(CAST(round(o.o_totalprice * 100) AS HUGEINT)) AS rev_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    with_prev AS (
+      SELECT segment, month, rev_cents,
+             lag(rev_cents) OVER (PARTITION BY segment ORDER BY month) AS prev_cents
+      FROM monthly
+    )
+    SELECT segment, month,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(prev_cents AS BIGINT) AS prev_cents,
+           CAST(CASE WHEN prev_cents > 0
+                     THEN (rev_cents - prev_cents) * 1000000 // prev_cents
+                END AS BIGINT) AS growth_ppm
+    FROM with_prev
+    """,
+)
+def mart_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per market segment — the
+    ubiquitous BI reporting mart: monthly DECIMAL-exact cent totals,
+    lag() for the prior month, growth in integer ppm with the division
+    guarded and DECIMAL/HUGEINT-routed (rev·10⁶ wraps int64 once a
+    month's revenue passes ~$92 billion — reachable at 100 TB, the
+    ADVICE.md overflow class). Shape: broadcast dim join (customer is
+    the bounded side after Catalyst sizes it), one month×segment hash
+    aggregate — map-side combinable, dimension-sized output — then a
+    lag window over the TINY mart, not the fact table. At 100 TB the
+    expensive pass is the aggregate the dashboard already needs; the
+    growth column is free on top."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("MONTH", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w = W.partitionBy("segment").orderBy("month")
+    wp = monthly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+    return wp.select(
+        "segment",
+        "month",
+        F.col("rev_cents").cast("bigint").alias("rev_cents"),
+        F.col("prev_cents").cast("bigint").alias("prev_cents"),
+        F.expr(
+            "CAST(CASE WHEN prev_cents > 0"
+            "          THEN (rev_cents - prev_cents) * 1000000 DIV prev_cents"
+            "     END AS BIGINT)"
+        ).alias("growth_ppm"),
+    )

@@ -7,6 +7,7 @@ inverted-index posting-head consistency.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from bishe_gpu_database_spark.operators.dedup import dedup_span_level
@@ -443,3 +444,63 @@ def test_fd_discovery_key_holds_coarse_breaks(spark):
     assert out["c_custkey->c_mktsegment"]["n_violations"] == 0
     assert not out["c_nationkey->c_mktsegment"]["holds"]
     assert out["c_nationkey->c_mktsegment"]["n_violations"] > 0
+
+
+def test_shortest_cost_settles_to_cheapest_route(spark):
+    """Source node costs 0; every reported cost must equal the true
+    bounded-hop shortest path recomputed in Python over the edge list."""
+    from bishe_gpu_database_spark.operators.graph import graph_shortest_cost_rcte
+
+    out = {r["node"]: r["min_cost"] for r in graph_shortest_cost_rcte(spark, SF_SMALL).collect()}
+    assert out.get("signup") == 0
+    # rebuild edges
+    e = t(spark, SF_SMALL, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    edges = {}
+    for r in trans:
+        edges.setdefault(r["src"], []).append((r["dst"], 1_000_000 // r["n"]))
+    best = {"signup": 0}
+    frontier = {"signup": 0}
+    for _ in range(4):
+        nxt = {}
+        for node, cost in frontier.items():
+            for dst, wgt in edges.get(node, []):
+                c = cost + wgt
+                if c < best.get(dst, float("inf")):
+                    best[dst] = c
+                    nxt[dst] = c
+                elif c < nxt.get(dst, float("inf")) and c <= best.get(dst, float("inf")):
+                    nxt[dst] = c
+        frontier = nxt
+    assert out == best
+
+
+def test_mom_growth_recomputes_from_counts(spark):
+    """growth_ppm must equal the truncated integer formula over the
+    reported cents; first month per segment has NULL prev/growth."""
+    from bishe_gpu_database_spark.operators.tpch_extra import mart_mom_growth
+
+    rows = mart_mom_growth(spark, SF_SMALL).collect()
+    assert rows
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["segment"], []).append(r)
+    for seg, rs in by_seg.items():
+        rs.sort(key=lambda r: r["month"])
+        assert rs[0]["prev_cents"] is None and rs[0]["growth_ppm"] is None
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur["prev_cents"] == prev["rev_cents"]
+            want = (cur["rev_cents"] - cur["prev_cents"]) * 1_000_000
+            # Spark DIV truncates toward zero
+            q = abs(want) // cur["prev_cents"]
+            assert cur["growth_ppm"] == (q if want >= 0 else -q)
