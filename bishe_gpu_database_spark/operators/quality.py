@@ -663,3 +663,62 @@ def quality_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(check(c, "c_nationkey", "c_mktsegment", "c_nationkey->c_mktsegment"))
         .unionByName(check(o, "o_custkey", "o_orderpriority", "o_custkey->o_orderpriority"))
     )
+
+
+@register(
+    "quality_sequence_gaps",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem
+    ),
+    buckets AS (
+      SELECT l_orderkey // 1000 AS bucket,
+             count(DISTINCT l_orderkey) AS present
+      FROM lineitem GROUP BY 1
+    )
+    SELECT b.bucket,
+           least((b.bucket + 1) * 1000 - 1, bo.hi)
+             - greatest(b.bucket * 1000, bo.lo) + 1 AS expected,
+           b.present,
+           least((b.bucket + 1) * 1000 - 1, bo.hi)
+             - greatest(b.bucket * 1000, bo.lo) + 1 - b.present AS missing
+    FROM buckets b, bounds bo
+    WHERE least((b.bucket + 1) * 1000 - 1, bo.hi)
+          - greatest(b.bucket * 1000, bo.lo) + 1 - b.present > 0
+    """,
+)
+def quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit (ledger/invoice integrity: 'which
+    order numbers are missing?'): the key space splits into fixed
+    1000-wide buckets, each bucket's expected population comes from
+    arithmetic against the global [min, max] span (a 1-row broadcast),
+    and present-vs-expected flags every bucket with holes. No global
+    sort and no lag() chain over the data — the classic gap-and-island
+    window needs a total order, which at 100 TB means a range
+    repartition; the bucket formulation gets the same audit from ONE
+    hash aggregate whose output is span/1000 rows, embarrassingly
+    parallel, with gaps localized to a bucket for follow-up. (The audit
+    runs on lineitem.l_orderkey, whose key space has real holes in the
+    fixture — order keys that placed no line items.) Sequence integrity is
+    absent from the reference (keys are assumed dense, src/database/
+    ycsb/db.h:42-53); driver-mandated data-quality surface."""
+    li = t(spark, sf_dir, "lineitem")
+    bounds = li.agg(F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi"))
+    buckets = li.groupBy((F.col("l_orderkey") / 1000).cast("bigint").alias("bucket")).agg(
+        F.count_distinct("l_orderkey").alias("present")
+    )
+    j = buckets.crossJoin(F.broadcast(bounds))
+    expected = (
+        F.least((F.col("bucket") + 1) * 1000 - 1, F.col("hi"))
+        - F.greatest(F.col("bucket") * 1000, F.col("lo"))
+        + 1
+    )
+    return (
+        j.select(
+            "bucket",
+            expected.alias("expected"),
+            "present",
+            (expected - F.col("present")).alias("missing"),
+        )
+        .filter(F.col("missing") > 0)
+    )

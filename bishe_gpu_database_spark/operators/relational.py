@@ -2105,3 +2105,49 @@ def agg_hist_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     aggs.append(F.max("cents").alias("d10"))
     return ranked.groupBy("l_returnflag").agg(*aggs)
+
+
+@register(
+    "window_ratio_to_report",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+           CAST(CAST(round(c_acctbal * 100) AS HUGEINT) * 1000000
+                // nullif(sum(CAST(round(c_acctbal * 100) AS HUGEINT))
+                            OVER (PARTITION BY c_mktsegment), 0)
+             AS BIGINT) AS share_ppm
+    FROM customer
+    WHERE c_acctbal > 0
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report (contribution share): each customer's fraction of
+    their segment's positive balance total, as a whole-partition window
+    sum with no ORDER BY — one shuffle on the report key and NO sort,
+    the cheapest window shape there is (an unordered frame aggregates
+    the partition once instead of maintaining a running frame). Shares
+    in integer ppm over HUGEINT/DECIMAL cent sums: the partition total
+    easily exceeds what value·10⁶ leaves of int64 at 100 TB, and a
+    float share would hash-drift between engines. nullif guards the
+    all-zero partition. The per-key totals join the reference's
+    reservation aggregate shape (groupBy k) — this is the windowed
+    form that keeps every detail row."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    staged = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        cents.alias("bal_cents"),
+        F.sum(cents.cast("decimal(38,0)"))
+        .over(W.partitionBy("c_mktsegment"))
+        .alias("tot_cents"),
+    )
+    return staged.select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal_cents",
+        F.expr(
+            "CAST(CAST(bal_cents AS DECIMAL(38,0)) * 1000000"
+            " DIV nullif(tot_cents, 0) AS BIGINT)"
+        ).alias("share_ppm"),
+    )

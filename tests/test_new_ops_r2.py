@@ -504,3 +504,39 @@ def test_mom_growth_recomputes_from_counts(spark):
             # Spark DIV truncates toward zero
             q = abs(want) // cur["prev_cents"]
             assert cur["growth_ppm"] == (q if want >= 0 else -q)
+
+
+def test_sequence_gaps_total_matches_span_arithmetic(spark):
+    """Sum of per-bucket missing must equal span-size minus distinct
+    keys; every bucket satisfies 0 < missing <= expected."""
+    from bishe_gpu_database_spark.operators.quality import quality_sequence_gaps
+
+    out = quality_sequence_gaps(spark, SF_SMALL).collect()
+    li = t(spark, SF_SMALL, "lineitem").select("l_orderkey")
+    stats = li.agg(
+        F.min("l_orderkey").alias("lo"),
+        F.max("l_orderkey").alias("hi"),
+        F.count_distinct("l_orderkey").alias("nd"),
+    ).collect()[0]
+    want_missing = (stats["hi"] - stats["lo"] + 1) - stats["nd"]
+    assert sum(r["missing"] for r in out) == want_missing
+    for r in out:
+        assert 0 < r["missing"] <= r["expected"]
+        assert r["present"] + r["missing"] == r["expected"]
+
+
+def test_ratio_to_report_shares_sum_to_million(spark):
+    """Per-segment shares must sum to 10^6 within truncation slack
+    (one ppm lost per row at most), and each share recomputes."""
+    from bishe_gpu_database_spark.operators.relational import window_ratio_to_report
+
+    rows = window_ratio_to_report(spark, SF_SMALL).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r)
+    for seg, rs in by_seg.items():
+        tot = sum(r["bal_cents"] for r in rs)
+        s = sum(r["share_ppm"] for r in rs)
+        assert 1_000_000 - len(rs) <= s <= 1_000_000
+        for r in rs[:20]:
+            assert r["share_ppm"] == r["bal_cents"] * 1_000_000 // tot

@@ -38,7 +38,9 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             # 1-row pagination anchor broadcast onto the scan.
             "page_keyset",
             # 1-row global-mean scalar broadcast onto the category table.
-            "feature_target_encoding"}
+            "feature_target_encoding",
+            # 1-row global key-span bounds broadcast onto the bucket table.
+            "quality_sequence_gaps"}
 # Iterative drivers plan per-epoch; their inner plans are covered by the
 # single-epoch queries.
 _SKIP = {"aria_drain_batch", "aria_drain_skewed"}
