@@ -118,10 +118,10 @@ def main() -> None:
         from bishe_gpu_database_spark.aria.workload import gen_kv
 
         n_parts = spark.sparkContext.defaultParallelism
-        gen_kv(spark, 200_000).repartition(n_parts, "k").localCheckpoint().count()  # warm
+        gen_kv(spark, 199_999).repartition(n_parts, "k").localCheckpoint().count()  # warm
         t0 = time.perf_counter()
         n_loaded = (
-            gen_kv(spark, 200_000, seed="bench_load")
+            gen_kv(spark, 199_999, seed="bench_load")
             .repartition(n_parts, "k")
             .localCheckpoint()
             .count()

@@ -704,7 +704,7 @@ def quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ycsb/db.h:42-53); driver-mandated data-quality surface."""
     li = t(spark, sf_dir, "lineitem")
     bounds = li.agg(F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi"))
-    buckets = li.groupBy((F.col("l_orderkey") / 1000).cast("bigint").alias("bucket")).agg(
+    buckets = li.groupBy(F.expr("l_orderkey DIV 1000").alias("bucket")).agg(
         F.count_distinct("l_orderkey").alias("present")
     )
     j = buckets.crossJoin(F.broadcast(bounds))

@@ -1098,7 +1098,7 @@ credited AS (
 )
 SELECT event_type AS channel,
        count(*) AS n_touches,
-       sum(credit_ppm) AS credit_ppm
+       CAST(sum(CAST(credit_ppm AS DECIMAL(38,0))) AS BIGINT) AS credit_ppm
 FROM credited
 GROUP BY event_type
 """
@@ -1119,8 +1119,9 @@ def events_attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     remainder by truncated division with the remainder folded into the
     last touch — so per-purchase credit sums to EXACTLY 10⁶ ppm
     (conservation is test-asserted, and every credit is integer
-    arithmetic both engines agree on). Shape: two windows and the final
-    rollup all keyed by user_id (one shuffle), then (channel) pairs.
+    arithmetic both engines agree on). Shape: one user_id shuffle for
+    the assignment window, one (user, purchase) shuffle for the credit
+    window — both batch-of-touches-sized — then (channel) pairs.
     The quadratic alternative — join every purchase to every prior
     touch — is the one this stays linear against at 100 TB."""
     t(spark, sf_dir, "events").createOrReplaceTempView("_attr_multi_events")

@@ -895,8 +895,10 @@ def mart_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag() for the prior month, growth in integer ppm with the division
     guarded and DECIMAL/HUGEINT-routed (rev·10⁶ wraps int64 once a
     month's revenue passes ~$92 billion — reachable at 100 TB, the
-    ADVICE.md overflow class). Shape: broadcast dim join (customer is
-    the bounded side after Catalyst sizes it), one month×segment hash
+    ADVICE.md overflow class). Shape: a plain join Catalyst
+    sizes (customer broadcasts while it fits, shuffles when it no
+    longer does — forcing the hint would OOM at SF-scale customer
+    counts), one month×segment hash
     aggregate — map-side combinable, dimension-sized output — then a
     lag window over the TINY mart, not the fact table. At 100 TB the
     expensive pass is the aggregate the dashboard already needs; the
@@ -904,7 +906,7 @@ def mart_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     monthly = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.date_trunc("MONTH", "o_orderdate").cast("date").alias("month"),
