@@ -1130,3 +1130,71 @@ def events_attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
             src="_attr_multi_events", div="DIV", us="unix_micros", str="STRING"
         )
     )
+
+
+@register(
+    "events_stickiness_dau_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_num, user_id
+      FROM events
+    ),
+    dau AS (
+      SELECT day_num, count(*) AS dau FROM du GROUP BY day_num
+    ),
+    wau AS (
+      SELECT d.day_num, count(DISTINCT u.user_id) AS wau
+      FROM dau d JOIN du u
+        ON u.day_num BETWEEN d.day_num - 6 AND d.day_num
+      GROUP BY d.day_num
+    )
+    SELECT a.day_num, a.dau, w.wau,
+           CAST(CAST(a.dau AS HUGEINT) * 1000000 // w.wau AS BIGINT)
+             AS stickiness_ppm
+    FROM dau a JOIN wau w ON a.day_num = w.day_num
+    """,
+)
+def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness (the product-analytics engagement ratio): per
+    day, distinct daily actives over distinct trailing-7-day actives, in
+    integer ppm. Time is integer day numbers (epoch-µs DIV 86.4e9) so
+    no engine-specific date arithmetic or timezone rounding can skew
+    the window. Shape: the fact table collapses ONCE to distinct
+    (day, user) pairs — the only data-sized aggregate — and every
+    later step runs on that day×actives table: DAU is a count per day,
+    WAU a 7-day band join whose fan-out is exactly 7 (each pair lands
+    in ≤7 windows — linear, never quadratic), stickiness a guarded
+    integer division. Sliding-window DISTINCT cannot partial-aggregate
+    (distinct isn't mergeable across overlapping windows), so the band
+    join IS the scale path — the alternative per-day full rescan is
+    7× the IO. Engagement analytics are absent from the reference
+    (driver-mandated surface)."""
+    e = t(spark, sf_dir, "events")
+    du = (
+        e.select(
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day_num"),
+            "user_id",
+        )
+        .distinct()
+    )
+    dau = du.groupBy("day_num").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        dau.select("day_num")
+        .join(
+            du.select(F.col("day_num").alias("u_day"), "user_id"),
+            F.col("u_day").between(F.col("day_num") - 6, F.col("day_num")),
+        )
+        .groupBy("day_num")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day_num")
+        .select(
+            "day_num",
+            "dau",
+            "wau",
+            F.expr(
+                "CAST(CAST(dau AS DECIMAL(38,0)) * 1000000 DIV wau AS BIGINT)"
+            ).alias("stickiness_ppm"),
+        )
+    )

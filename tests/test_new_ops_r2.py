@@ -540,3 +540,32 @@ def test_ratio_to_report_shares_sum_to_million(spark):
         assert 1_000_000 - len(rs) <= s <= 1_000_000
         for r in rs[:20]:
             assert r["share_ppm"] == r["bal_cents"] * 1_000_000 // tot
+
+
+def test_stickiness_bounds_and_dau_subset(spark):
+    """DAU ≤ WAU always (a day's actives are inside its week window), so
+    stickiness ∈ (0, 10^6]; single-day recomputation must agree."""
+    from bishe_gpu_database_spark.operators.timeseries import events_stickiness_dau_wau
+
+    rows = events_stickiness_dau_wau(spark, SF_SMALL).collect()
+    assert rows
+    du = (
+        t(spark, SF_SMALL, "events")
+        .select(
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day_num"), "user_id"
+        )
+        .distinct()
+        .collect()
+    )
+    by_day = {}
+    for r in du:
+        by_day.setdefault(r["day_num"], set()).add(r["user_id"])
+    for r in rows:
+        assert 0 < r["dau"] <= r["wau"]
+        assert 0 < r["stickiness_ppm"] <= 1_000_000
+        assert r["dau"] == len(by_day[r["day_num"]])
+        week = set()
+        for d in range(r["day_num"] - 6, r["day_num"] + 1):
+            week |= by_day.get(d, set())
+        assert r["wau"] == len(week)
+        assert r["stickiness_ppm"] == r["dau"] * 1_000_000 // r["wau"]
