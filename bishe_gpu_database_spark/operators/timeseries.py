@@ -1162,12 +1162,13 @@ def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window. Shape: the fact table collapses ONCE to distinct
     (day, user) pairs — the only data-sized aggregate — and every
     later step runs on that day×actives table: DAU is a count per day,
-    WAU a 7-day band join whose fan-out is exactly 7 (each pair lands
-    in ≤7 windows — linear, never quadratic), stickiness a guarded
-    integer division. Sliding-window DISTINCT cannot partial-aggregate
-    (distinct isn't mergeable across overlapping windows), so the band
-    join IS the scale path — the alternative per-day full rescan is
-    7× the IO. Engagement analytics are absent from the reference
+    WAU an explode of each pair to the exactly-7 window days it serves
+    followed by a plain distinct-aggregate (fan-out 7 — linear, never
+    quadratic, and a pure equi plan with no nested-loop join; the
+    oracle states the same semantics as a band join). Sliding-window
+    DISTINCT cannot partial-aggregate (distinct isn't mergeable across
+    overlapping windows), so the bounded fan-out IS the scale path —
+    the alternative per-day full rescan is 7× the IO. Engagement analytics are absent from the reference
     (driver-mandated surface)."""
     e = t(spark, sf_dir, "events")
     du = (
@@ -1178,11 +1179,16 @@ def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     dau = du.groupBy("day_num").agg(F.count(F.lit(1)).alias("dau"))
+    # Each (day, user) pair serves the 7 window days it falls in — an
+    # explode to (window_day, user) makes WAU a plain equi-aggregate
+    # (no non-equi join in the plan); days with no activity of their
+    # own drop out via the inner join with dau.
     wau = (
-        dau.select("day_num")
-        .join(
-            du.select(F.col("day_num").alias("u_day"), "user_id"),
-            F.col("u_day").between(F.col("day_num") - 6, F.col("day_num")),
+        du.select(
+            F.explode(F.sequence(F.col("day_num"), F.col("day_num") + 6)).alias(
+                "day_num"
+            ),
+            "user_id",
         )
         .groupBy("day_num")
         .agg(F.count_distinct("user_id").alias("wau"))
