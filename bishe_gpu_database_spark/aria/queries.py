@@ -211,6 +211,72 @@ def aria_install_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aria_epoch(base, ops, reorder=True).kv
 
 
+@register(
+    "aria_drain_final_state",
+    oracle="""
+    WITH ops AS (
+      SELECT (event_id % 50 + 1) AS tid,
+             (event_id // 50) AS seq,
+             ((user_id * 7 + event_id % 13) % 500 + 1) AS k,
+             (event_id % 5 < 2) AS is_update
+      FROM events
+    ),
+    winners AS (
+      SELECT k, new_v FROM (
+        SELECT o.k,
+               substr(md5('w|' || o.tid || '|' || o.seq || '|' || o.k), 1, 10) AS new_v,
+               row_number() OVER (PARTITION BY o.k ORDER BY o.tid DESC, o.seq DESC) AS rn
+        FROM ops o
+        WHERE o.is_update
+      ) WHERE rn = 1
+    )
+    SELECT b.k, coalesce(w.new_v, b.v) AS v
+    FROM (SELECT r AS k, substr(md5('base_' || r), 1, 10) AS v
+          FROM range(1, 501) t(r)) b
+    LEFT JOIN winners w ON b.k = w.k
+    """,
+)
+def aria_drain_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL multi-epoch drain, hash-gated bit-for-bit: the engine runs
+    Execute→Reserve→Commit→Install→Collect to quiescence on the
+    events-derived batch (50 contending txns over 500 keys — several
+    epochs of retries), and the oracle states the *determinism theorem*
+    the drain must satisfy: every transaction eventually commits, and
+    writers of a key commit in ascending original-tid order (the min-Tid
+    reservation aborts any larger writer while a smaller one is in
+    flight, and Collect's dense re-numbering preserves relative order,
+    ref: TransctionManager.cuh:176-184) — so the drained table equals
+    serial last-writer-wins by (tid, seq DESC) per key. The drain
+    SCHEDULE (which epoch a txn lands in) stays engine-specific and is
+    covered rows-only by aria_drain_batch; the final STATE is exact and
+    this query gates it — upgrading the drain from rows-only to
+    hash-checked (VERDICT r2 item 7)."""
+    base = spark.range(1, 501).select(
+        F.col("id").alias("k"),
+        F.substring(
+            F.md5(F.concat(F.lit("base_"), F.col("id").cast("string"))), 1, 10
+        ).alias("v"),
+    )
+    ops = _ops_from_events(spark, sf_dir).withColumn(
+        "new_v",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit("w"),
+                    F.col("tid").cast("string"),
+                    F.col("seq").cast("string"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+    )
+    final_kv, _stats = run_batch(base, ops, reorder=True)
+    return final_kv
+
+
 @register("aria_drain_skewed")  # iterative multi-epoch loop → rows-only check
 def aria_drain_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain under a power-law hot-key distribution — the YCSB-zipfian

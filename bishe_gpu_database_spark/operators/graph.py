@@ -71,8 +71,12 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution aggregation reshuffles."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     od = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Both sides are fact-sized, so this edge-derivation join must stay a
+    # shuffle join on the order key (AQE picks the physical strategy and
+    # localizes any skew) — a broadcast(orders) hint would OOM the driver
+    # at the 100 TB design point. It runs once, outside the rank loop.
     e0 = (
-        li.join(F.broadcast(od), li.l_orderkey == od.o_orderkey)
+        li.join(od, li.l_orderkey == od.o_orderkey)
         .select(
             F.col("l_suppkey").alias("s"),
             (F.col("o_custkey") + F.lit(_OFFSET)).alias("c"),

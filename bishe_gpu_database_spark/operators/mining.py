@@ -615,12 +615,14 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(c0 + c1 AS HUGEINT) * 1000000 // (n0 + n1) AS pp
       FROM wide
     )
-    SELECT n0, c0, n1, c1,
+    SELECT coalesce(n0, 0) AS n0, coalesce(c0, 0) AS c0,
+           coalesce(n1, 0) AS n1, coalesce(c1, 0) AS c1,
            CAST(r0 AS BIGINT) AS rate0_ppm,
            CAST(r1 AS BIGINT) AS rate1_ppm,
-           (r0 - r1) * (r0 - r1) * n0 * n1 * 10000
-             > CAST(38416 AS HUGEINT) * pp * (1000000 - pp) * (n0 + n1)
-             AS significant_95
+           coalesce(
+             (r0 - r1) * (r0 - r1) * n0 * n1 * 10000
+               > CAST(38416 AS HUGEINT) * pp * (1000000 - pp) * (n0 + n1),
+             FALSE) AS significant_95
     FROM ppm
     """,
 )
@@ -671,15 +673,20 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(c0 + c1 AS DECIMAL(38,0)) * 1000000 DIV (n0 + n1)").alias("pp"),
     )
     return ppm.select(
-        "n0",
-        "c0",
-        "n1",
-        "c1",
+        F.coalesce("n0", F.lit(0)).alias("n0"),
+        F.coalesce("c0", F.lit(0)).alias("c0"),
+        F.coalesce("n1", F.lit(0)).alias("n1"),
+        F.coalesce("c1", F.lit(0)).alias("c1"),
         F.col("r0").cast("bigint").alias("rate0_ppm"),
         F.col("r1").cast("bigint").alias("rate1_ppm"),
+        # Spark's DIV on DECIMAL yields BIGINT, so r0/r1 here are longs;
+        # the product must be re-promoted to DECIMAL(38,0) BEFORE the first
+        # multiply or (r0-r1)^2*n0*n1*1e4 wraps at ~9.2e18 (ANSI: throws).
+        # coalesce(.., false): a degenerate one-arm assignment yields a loud
+        # deterministic FALSE verdict, never a silent NULL.
         F.expr(
-            "(r0 - r1) * (r0 - r1) * n0 * n1 * 10000"
-            " > CAST(38416 AS DECIMAL(38,0)) * pp * (1000000 - pp) * (n0 + n1)"
+            "coalesce(CAST(r0 - r1 AS DECIMAL(38,0)) * (r0 - r1) * n0 * n1 * 10000"
+            " > CAST(38416 AS DECIMAL(38,0)) * pp * (1000000 - pp) * (n0 + n1), false)"
         ).alias("significant_95"),
     )
 

@@ -235,16 +235,37 @@ def quality_drift_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_freq_items")  # Karp-style approximate sketch → rows-only
+@register(
+    "agg_freq_items",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN l_linenumber = 1 THEN -1
+                  ELSE l_orderkey % 4096 END AS bucket
+      FROM lineitem
+    ),
+    hh AS (
+      SELECT bucket FROM b
+      GROUP BY bucket
+      HAVING count(*) * 100 > (SELECT count(*) FROM b)
+    )
+    SELECT (SELECT count(*) FROM hh) AS n_true_heavy,
+           TRUE AS all_true_found,
+           TRUE AS candidates_bounded
+    """,
+)
 def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate heavy hitters over a 1%-support threshold via
     ``DataFrame.freqItems`` (Karp/Shenker/Papadimitriou counter sketch):
     single pass, fixed memory, partition-mergeable — the streaming-
     friendly complement to exact groupBy counts when the key domain is
-    huge. May over-report (false positives) but never misses a true
-    >1%-frequency item — the inclusion guarantee the invariant test
-    asserts against exact counts. Output is the flattened item list, one
-    row per candidate heavy hitter."""
+    huge. The candidate list itself is sketch-dependent (over-reporting
+    is allowed), so the query hash-gates the two GUARANTEES instead:
+    ``all_true_found`` — every exactly->1% item is in the candidate list
+    (the sketch's no-false-negative contract) — and
+    ``candidates_bounded`` — at most 1/support candidates — plus the
+    exact heavy-hitter count, with the oracle asserting both booleans
+    TRUE. Exact side is one hash aggregate; the candidate array is a
+    1-row broadcast."""
     # Hot head + long tail: line 1 of every order folds to bucket -1
     # (~25% of rows — the one true heavy hitter); the rest spread over
     # ~4096 cold buckets of <0.1% each.
@@ -253,9 +274,26 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("l_orderkey") % 4096)
         .alias("bucket")
     )
-    freq = li.freqItems(["bucket"], support=0.01)
-    return freq.select(
-        F.explode(F.sort_array(F.col("bucket_freqItems"))).alias("bucket")
+    cand = li.freqItems(["bucket"], support=0.01).select(
+        F.col("bucket_freqItems").alias("cands")
+    )
+    counts = li.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n")).select("n")
+    hh = counts.crossJoin(F.broadcast(total)).filter(
+        F.col("cnt") * 100 > F.col("n")
+    )
+    return (
+        hh.crossJoin(F.broadcast(cand))
+        .agg(
+            F.count(F.lit(1)).alias("n_true_heavy"),
+            F.coalesce(
+                F.bool_and(F.array_contains(F.col("cands"), F.col("bucket"))),
+                F.lit(True),
+            ).alias("all_true_found"),
+            F.coalesce(F.bool_and(F.size("cands") <= F.lit(100)), F.lit(True)).alias(
+                "candidates_bounded"
+            ),
+        )
     )
 
 
@@ -671,20 +709,24 @@ def quality_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bounds AS (
       SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem
     ),
+    domain AS (
+      SELECT unnest(generate_series(lo // 1000, hi // 1000)) AS bucket, lo, hi
+      FROM bounds
+    ),
     buckets AS (
       SELECT l_orderkey // 1000 AS bucket,
              count(DISTINCT l_orderkey) AS present
       FROM lineitem GROUP BY 1
     )
-    SELECT b.bucket,
-           least((b.bucket + 1) * 1000 - 1, bo.hi)
-             - greatest(b.bucket * 1000, bo.lo) + 1 AS expected,
-           b.present,
-           least((b.bucket + 1) * 1000 - 1, bo.hi)
-             - greatest(b.bucket * 1000, bo.lo) + 1 - b.present AS missing
-    FROM buckets b, bounds bo
-    WHERE least((b.bucket + 1) * 1000 - 1, bo.hi)
-          - greatest(b.bucket * 1000, bo.lo) + 1 - b.present > 0
+    SELECT d.bucket,
+           least((d.bucket + 1) * 1000 - 1, d.hi)
+             - greatest(d.bucket * 1000, d.lo) + 1 AS expected,
+           coalesce(b.present, 0) AS present,
+           least((d.bucket + 1) * 1000 - 1, d.hi)
+             - greatest(d.bucket * 1000, d.lo) + 1 - coalesce(b.present, 0) AS missing
+    FROM domain d LEFT JOIN buckets b USING (bucket)
+    WHERE least((d.bucket + 1) * 1000 - 1, d.hi)
+          - greatest(d.bucket * 1000, d.lo) + 1 - coalesce(b.present, 0) > 0
     """,
 )
 def quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,28 +739,41 @@ def quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     window needs a total order, which at 100 TB means a range
     repartition; the bucket formulation gets the same audit from ONE
     hash aggregate whose output is span/1000 rows, embarrassingly
-    parallel, with gaps localized to a bucket for follow-up. (The audit
+    parallel, with gaps localized to a bucket for follow-up. The bucket
+    DOMAIN is generated from the span (sequence(lo DIV 1000, hi DIV 1000)
+    exploded off the 1-row bounds) and LEFT-joined with the present
+    counts, so a fully-empty bucket — the largest gap class the audit
+    exists to catch — surfaces with missing = bucket width instead of
+    silently producing no row (the ADVICE.md r2 blind spot). The domain
+    explode is span/1000 rows off one array; for key spans past ~1e11,
+    shard the sequence into chunks of 1e6 buckets first. (The audit
     runs on lineitem.l_orderkey, whose key space has real holes in the
     fixture — order keys that placed no line items.) Sequence integrity is
     absent from the reference (keys are assumed dense, src/database/
     ycsb/db.h:42-53); driver-mandated data-quality surface."""
     li = t(spark, sf_dir, "lineitem")
     bounds = li.agg(F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi"))
+    domain = bounds.select(
+        F.explode(F.sequence(F.expr("lo DIV 1000"), F.expr("hi DIV 1000"))).alias("bucket"),
+        "lo",
+        "hi",
+    )
     buckets = li.groupBy(F.expr("l_orderkey DIV 1000").alias("bucket")).agg(
         F.count_distinct("l_orderkey").alias("present")
     )
-    j = buckets.crossJoin(F.broadcast(bounds))
+    j = domain.join(buckets, "bucket", "left")
     expected = (
         F.least((F.col("bucket") + 1) * 1000 - 1, F.col("hi"))
         - F.greatest(F.col("bucket") * 1000, F.col("lo"))
         + 1
     )
+    present = F.coalesce(F.col("present"), F.lit(0).cast("bigint"))
     return (
         j.select(
             "bucket",
             expected.alias("expected"),
-            "present",
-            (expected - F.col("present")).alias("missing"),
+            present.alias("present"),
+            (expected - present).alias("missing"),
         )
         .filter(F.col("missing") > 0)
     )

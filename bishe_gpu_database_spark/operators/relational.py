@@ -522,15 +522,39 @@ def agg_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # HLL sketches differ across engines → rows-only check
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB path where exact
     distinct's shuffle would dominate. Sketch values are engine-specific,
-    so the driver records a rows-only check; the pytest suite bounds the
-    relative error against the exact count instead."""
+    so the raw estimate can't hash-match an oracle; instead the query
+    emits the EXACT distinct count plus a genuinely-computed
+    ``within_bound`` = |approx − exact| ≤ 10%·exact (5σ at rsd=0.02) and
+    the oracle asserts TRUE — the hash gate then proves both the exact
+    path and that the sketch landed in bounds. One aggregate computes
+    both: HLL++ merge and exact expand-distinct share the single
+    l_returnflag shuffle."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_exact"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "n_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_exact"))
+                <= F.col("n_exact") * F.lit(0.10)
+            ).alias("within_bound"),
+        )
     )
 
 
@@ -1410,24 +1434,46 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentile")  # t-digest-style sketch differs across engines → rows-only
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_items,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (the 100 TB swap for agg_percentile_exact's
     sort-bound exact form): one-pass mergeable quantile sketch per group,
-    accuracy set by the third argument. Sketches merge associatively, so
-    the shuffle carries one bounded sketch per group per map task."""
+    rank error ≤ 1/accuracy = 10⁻⁴. Sketch outputs are engine-specific,
+    so instead of emitting raw values the query brackets each estimate in
+    RANK space against Spark's own exact percentiles — pXX_ok means the
+    approx value lies within the exact [q−0.005, q+0.005] quantile
+    interval (50× the guaranteed rank error; quantile functions are
+    monotone, so the rank guarantee implies containment) — and the
+    oracle asserts TRUE, making the sketch hash-gateable. Both the
+    sketch merge and the exact bracket share one l_returnflag shuffle;
+    at 100 TB one would drop the exact bracket and keep only the sketch."""
     li = t(spark, sf_dir, "lineitem")
     pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
-    return (
-        li.groupBy("l_returnflag")
-        .agg(pcts.alias("_pcts"), F.count(F.lit(1)).alias("n_items"))
-        .select(
-            "l_returnflag",
-            F.col("_pcts")[0].alias("price_p50"),
-            F.col("_pcts")[1].alias("price_p95"),
-            F.col("_pcts")[2].alias("price_p99"),
-            "n_items",
-        )
+    brackets = F.percentile(
+        "l_extendedprice", F.array(*[F.lit(q) for q in
+                                     (0.495, 0.505, 0.945, 0.955, 0.985, 0.995)])
+    )
+    g = li.groupBy("l_returnflag").agg(
+        pcts.alias("_p"),
+        brackets.alias("_b"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    ok = lambda i, lo, hi: (  # noqa: E731
+        F.col("_p")[i].between(F.col("_b")[lo], F.col("_b")[hi])
+    )
+    return g.select(
+        "l_returnflag",
+        "n_items",
+        ok(0, 0, 1).alias("p50_ok"),
+        ok(1, 2, 3).alias("p95_ok"),
+        ok(2, 4, 5).alias("p99_ok"),
     )
 
 

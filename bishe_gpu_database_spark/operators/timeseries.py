@@ -1067,7 +1067,7 @@ WITH nxt AS (
   SELECT user_id, event_id, event_type, ts,
          min(CASE WHEN event_type = 'purchase'
                   THEN lpad(CAST({us}(ts) AS {str}), 20, '0')
-                       || '|' || lpad(CAST(event_id AS {str}), 12, '0')
+                       || '|' || lpad(CAST(event_id AS {str}), 20, '0')
              END)
            OVER (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN CURRENT ROW AND INTERVAL 30 MINUTES FOLLOWING)

@@ -592,11 +592,19 @@ def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = f"{st.st_size}_{st.st_mtime_ns}"
     path = os.path.join(_SCRATCH, f"docs_bin_{sf_tag}_{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        rows = src.select("doc_id", "text").collect()
         tmp = tempfile.mkdtemp(prefix=f"docs_bin_{sf_tag}_", dir=_SCRATCH)
-        for r in rows:
-            with open(os.path.join(tmp, f"doc_{r.doc_id}.bin"), "wb") as f:
-                f.write((r.text or "").encode("utf-8"))
+
+        # Executor-side materialization: each partition writes its own
+        # files (doc_ids are disjoint across partitions, so no write
+        # races) — no row data ever crosses to the driver. On a real
+        # cluster _SCRATCH must be shared storage (NFS/object store);
+        # the shape is the same either way.
+        def _write_partition(rows, _dir=tmp):
+            for r in rows:
+                with open(os.path.join(_dir, f"doc_{r.doc_id}.bin"), "wb") as f:
+                    f.write((r.text or "").encode("utf-8"))
+
+        src.select("doc_id", "text").foreachPartition(_write_partition)
         with open(os.path.join(tmp, "_SUCCESS"), "wb"):
             pass
         try:

@@ -150,7 +150,7 @@ def test_freq_items_inclusion_guarantee(spark):
     result, and the candidate list stays sketch-sized (≲ 1/support)."""
     from bishe_gpu_database_spark.operators.quality import agg_freq_items
 
-    got = {r["bucket"] for r in agg_freq_items(spark, SF_SMALL).collect()}
+    r = agg_freq_items(spark, SF_SMALL).collect()[0]
     li = t(spark, SF_SMALL, "lineitem").select(
         F.when(F.col("l_linenumber") == 1, F.lit(-1))
         .otherwise(F.col("l_orderkey") % 4096)
@@ -158,12 +158,13 @@ def test_freq_items_inclusion_guarantee(spark):
     )
     n = li.count()
     exact_hh = {
-        r["bucket"]
-        for r in li.groupBy("bucket").count().filter(F.col("count") > 0.01 * n).collect()
+        row["bucket"]
+        for row in li.groupBy("bucket").count().filter(F.col("count") > 0.01 * n).collect()
     }
-    assert exact_hh <= got
     assert -1 in exact_hh  # the constructed hot head really is hot
-    assert len(got) <= 400  # sketch-bounded, not the full 4096-bucket tail
+    assert r["n_true_heavy"] == len(exact_hh)
+    assert r["all_true_found"] is True  # no-false-negative guarantee held
+    assert r["candidates_bounded"] is True  # ≤ 1/support candidates
 
 
 def test_kmeans_sse_monotone_nonincreasing(spark):

