@@ -221,7 +221,16 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch_merge")  # rows-only: sketch estimates aren't SQL-exact
+@register(
+    "agg_hll_sketch_merge",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events
+    """,
+)
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches — the Apache DataSketches HLL
     built into Spark 3.5+: build one sketch of user_id per event_type
@@ -229,19 +238,36 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled state), then union-merge the per-type sketches into a global
     sketch WITHOUT rescanning the data. This partial/merge algebra is what
     makes distinct counts cheap at 100 TB: sketches roll up across
-    partitions, days, and tables in bytes, not rows. Estimates are
-    non-SQL-exact by nature → rows-only gate here; the error-bound test
-    asserts <2% deviation from the exact count (lgConfigK=14)."""
+    partitions, days, and tables in bytes, not rows. Estimate bytes are
+    engine-specific, so the query emits the EXACT distinct count per row
+    plus a genuinely-computed ``within_bound`` = |est − exact| ≤ 5%·exact
+    (lgConfigK=14's 3σ is ~2.3%; the pytest bound test keeps the tight 2%)
+    with the oracle asserting TRUE — hash-gating both the exact path and
+    the sketch's accuracy, including through the union-merge."""
     e = t(spark, sf_dir, "events")
     per_type = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", 14).alias("sk")
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
     )
     merged = per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_users")
-    ).select(F.lit("ALL").alias("event_type"), "est_distinct_users")
-    return per_type.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("est_distinct_users")
-    ).unionByName(merged)
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est")
+    ).select(F.lit("ALL").alias("event_type"), "_est")
+    global_exact = e.agg(F.countDistinct("user_id").alias("n_exact"))
+    merged = merged.crossJoin(F.broadcast(global_exact))
+    bound = (
+        F.abs(F.col("_est") - F.col("n_exact")) <= F.col("n_exact") * F.lit(0.05)
+    ).alias("within_bound")
+    return (
+        per_type.select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+                <= F.col("n_exact") * F.lit(0.05)
+            ).alias("within_bound"),
+        )
+        .unionByName(merged.select("event_type", "n_exact", bound))
+    )
 
 
 @register(

@@ -1184,14 +1184,55 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_seeded")  # engines sample differently → rows-only check
+@register(
+    "sample_seeded",
+    oracle="""
+    SELECT count(*) AS n_source,
+           TRUE AS frac_in_bounds,
+           TRUE AS is_subset,
+           TRUE AS repeat_identical
+    FROM lineitem
+    """,
+)
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bernoulli sampling with a fixed seed — reproducible within Spark
     (same seed + same partitioning → same rows), the pipeline primitive
-    for corpus subsampling. Cross-engine row identity is undefined, so
-    this is a rows-only check."""
+    for corpus subsampling. WHICH rows are drawn is engine-specific, so
+    the query emits the sample's CONTRACT instead of its rows, each
+    genuinely computed and TRUE-asserted by the oracle:
+    ``frac_in_bounds`` — the draw count sits within ±5σ of n·p (binomial;
+    at the gate scale that is ±~1.5% absolute); ``is_subset`` — every
+    sampled (key, line) exists in the source (anti-join is empty);
+    ``repeat_identical`` — the same seed re-drawn yields the identical
+    multiset (symmetric exceptAll both empty). All three checks are
+    batch-shaped: one scan for the sample, broadcast-sized compare."""
     li = t(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    p = 0.1
+    s1 = li.sample(fraction=p, seed=42).select("l_orderkey", "l_linenumber")
+    s2 = li.sample(fraction=p, seed=42).select("l_orderkey", "l_linenumber")
+    stats = li.agg(F.count(F.lit(1)).alias("n_source"))
+    n_sample = s1.agg(F.count(F.lit(1)).alias("n_sample"))
+    not_in_src = s1.join(
+        li.select("l_orderkey", "l_linenumber"), ["l_orderkey", "l_linenumber"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_escaped"))
+    diff12 = s1.exceptAll(s2).agg(F.count(F.lit(1)).alias("d12"))
+    diff21 = s2.exceptAll(s1).agg(F.count(F.lit(1)).alias("d21"))
+    j = (
+        stats.crossJoin(F.broadcast(n_sample))
+        .crossJoin(F.broadcast(not_in_src))
+        .crossJoin(F.broadcast(diff12))
+        .crossJoin(F.broadcast(diff21))
+    )
+    # 5σ binomial band around n·p, σ = sqrt(n·p·(1−p)).
+    return j.select(
+        "n_source",
+        (
+            F.abs(F.col("n_sample") - F.col("n_source") * F.lit(p))
+            <= F.lit(5.0) * F.sqrt(F.col("n_source") * F.lit(p * (1 - p)))
+        ).alias("frac_in_bounds"),
+        (F.col("n_escaped") == 0).alias("is_subset"),
+        ((F.col("d12") == 0) & (F.col("d21") == 0)).alias("repeat_identical"),
+    )
 
 
 @register(

@@ -1,0 +1,145 @@
+"""sf1 scale probe (VERDICT r2 item 5): synthesize a 10x blowup of the
+sf0.1 fixture in scratch, run the probe queries at sf0.1 and sf1, and
+write SCALE_r3.json with per-query times + the 10x-data cost ratio.
+
+Synthesis keeps each query's workload CHARACTER, not just its byte count:
+  - fact tables (lineitem, orders, events, documents, embeddings) are 10
+    key-shifted replicas, so every key domain is 10x and no artificial
+    hot key appears;
+  - documents.text gets a per-replica suffix so the dedup/fingerprint
+    probes don't degenerate into 10-way duplicate cliques (pair output
+    would grow as C(10,2) per doc — a data artifact, not an engine one);
+  - events timestamps shift by +i hours per replica so windows/sessions
+    densify realistically rather than stacking 10 identical points;
+  - dimensions (region nation customer supplier part) stay 1x, as in
+    TPC-H's non-scaling small tables.
+
+Run: PYTHONPATH=/root/repo python scripts/scale_probe_sf1.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from bishe_gpu_database_spark.registry import REGISTRY, _ensure_loaded
+from bishe_gpu_database_spark.session import get_spark
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/bishe_spark_scratch/sf1_synth"
+REPLICAS = 10
+
+PROBES = [
+    "q1_pricing_summary",        # scan + partial agg
+    "q3_shipping_priority",      # 3-way join tree
+    "q5_local_supplier_volume",  # 6-way join tree
+    "join_sortmerge_large",      # fact-fact shuffle join
+    "window_running_frame",      # window sort
+    "topk_per_group",            # ranked window + filter
+    "dedup_minhash_lsh_pairs",   # map-side signatures + band join
+    "ann_cosine_topk",           # broadcast query batch x corpus
+    "text_quality",              # text feature extraction
+    "timeseries_twap",           # lead() segments + decimal agg
+    "events_sessionize",         # gap sessionization window
+    "events_attribution_u_shaped",  # forward range-frame + credit split
+    "graph_triangle_count",      # degree-ordered wedge join
+    "graph_pagerank_3iter",      # iterative rank loop
+    "quality_table_checksum",    # full-scan commutative fold
+    "pipeline_e2e_corpus",       # composed corpus build
+]
+
+SHIFTS = {
+    # table: (shift_cols, tag_text_cols)
+    "lineitem": (["l_orderkey"], []),
+    "orders": (["o_orderkey"], []),
+    "events": (["event_id"], []),
+    "documents": (["doc_id"], ["text"]),
+    "embeddings": (["vec_id"], []),
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+
+def synthesize(spark) -> None:
+    if os.path.exists(os.path.join(SF1, "_SYNTH_DONE")):
+        return
+    os.makedirs(SF1, exist_ok=True)
+    n_parts = spark.sparkContext.defaultParallelism
+    for tbl in DIMS:
+        df = spark.read.parquet(os.path.join(SF01, f"{tbl}.parquet"))
+        df.write.mode("overwrite").parquet(os.path.join(SF1, f"{tbl}.parquet"))
+    for tbl, (shift_cols, tag_cols) in SHIFTS.items():
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from bishe_gpu_database_spark.operators.relational import _raw_scan
+
+        df = _raw_scan(spark, SF01, tbl)
+        maxes = {c: df.agg(F.max(c)).collect()[0][0] + 1 for c in shift_cols}
+        parts = []
+        for i in range(REPLICAS):
+            d = df
+            for c in shift_cols:
+                d = d.withColumn(c, F.col(c) + F.lit(i * maxes[c]))
+            for c in tag_cols:
+                d = d.withColumn(c, F.concat(F.col(c), F.lit(f" r{i}")))
+            if tbl == "events":
+                d = d.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i} HOURS"))
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(n_parts).write.mode("overwrite").parquet(
+            os.path.join(SF1, f"{tbl}.parquet")
+        )
+    with open(os.path.join(SF1, "_SYNTH_DONE"), "w"):
+        pass
+
+
+def main() -> None:
+    _ensure_loaded()
+    spark = get_spark("scale_probe_sf1")
+    spark.range(1).count()
+    t0 = time.time()
+    synthesize(spark)
+    print(f"# synthesis: {time.time() - t0:.1f}s", flush=True)
+
+    results: dict[str, dict] = {}
+    for sf_name, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+        # warm relayout + codegen per SF
+        for name in PROBES:
+            try:
+                REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:  # noqa: BLE001
+                print(f"# warmup {name}@{sf_name}: {e}", flush=True)
+        for name in PROBES:
+            best = float("inf")
+            for _ in range(3):
+                t1 = time.perf_counter()
+                REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t1)
+            results.setdefault(name, {})[sf_name] = round(best, 3)
+            print(f"# {name}@{sf_name}: {best:.3f}s", flush=True)
+
+    for name, r in results.items():
+        r["ratio_10x"] = round(r["sf1"] / r["sf0.1"], 2)
+    worst = max(r["ratio_10x"] for r in results.values())
+    out = {
+        "probe": "sf0.1 -> synthetic sf1 (10x key-shifted replicas)",
+        "replicas": REPLICAS,
+        "queries": results,
+        "worst_ratio_10x": worst,
+        "note": "ratio <= ~10 means at-worst-linear scaling in data; "
+        "well below 10 while fixed per-job overhead still dominates.",
+    }
+    with open("/root/repo/SCALE_r3.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"worst_ratio_10x": worst}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,10 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             # 1-row total-count scalar + 1-row candidate-array broadcast
             # onto the (≤1/support)-row heavy-hitter table — the bound
             # check that makes the sketch hash-gateable.
-            "agg_freq_items"}
+            "agg_freq_items",
+            # 1-row invariant scalars (counts, subset/repeat checks)
+            # broadcast-folded into the sample's contract row.
+            "sample_seeded", "agg_hll_sketch_merge"}
 # Iterative drivers plan per-epoch; their inner plans are covered by the
 # single-epoch queries.
 _SKIP = {"aria_drain_batch", "aria_drain_skewed", "aria_drain_final_state"}
