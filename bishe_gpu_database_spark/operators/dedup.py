@@ -836,3 +836,72 @@ def dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(n_hit AS DECIMAL(38,0)) * 1000000 DIV nullif(n_truth, 0) AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+@register(
+    "dedup_prefix_filter_join",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.3
+    """,
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (Jaccard >= 0.3) via PREFIX
+    FILTERING (Chaudhuri et al. 2006 / PPJoin) — the scalable exact-dup
+    path that complements LSH's approximate one: sort each doc's shingle
+    set in a global order and index only its first n − ceil(tau*n) + 1
+    shingles. Completeness proof: J(A,B) >= tau implies |A inter B| >=
+    ceil(tau*|A|); let e = min(A inter B) in the global order — at least
+    |A inter B| − 1 elements of A sort after e, so e sits within A's
+    prefix, and symmetrically within B's — every qualifying pair shares
+    a PREFIX shingle. The oracle is the brute-force all-pairs join, so
+    the hash gate proves the filter loses nothing. Shape: the only
+    pairwise step is the equi-join on prefix shingles (fan-out bounded
+    by prefix rarity); verification reads the two sorted arrays per
+    CANDIDATE pair (array_intersect), never all pairs. At 100 TB the
+    arrays carry 48-bit digests instead of strings and the prefix index
+    is df-ascending (rarest-first) — same plan, smaller bytes."""
+    tau = 0.3
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sets = (
+        toks.select("doc_id", F.array_sort(shingles_of(F.col("toks"))).alias("sh"))
+        .withColumn("n", F.size("sh"))
+        .filter(F.col("n") > 0)
+        .localCheckpoint()  # read 3x (prefix index + both verify sides)
+    )
+    plen = (F.col("n") - F.ceil(F.col("n") * F.lit(tau)) + 1).cast("int")
+    pref = sets.select("doc_id", F.explode(F.slice("sh", F.lit(1), plen)).alias("p"))
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .filter(jac >= tau)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -856,3 +856,62 @@ def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((sum_cents + 100 * gmean_cents) DIV (n_cat + 100) AS BIGINT)"
         ).alias("encoded_cents"),
     )
+
+
+@register(
+    "pipeline_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      FROM documents
+    ),
+    wf AS (
+      SELECT w, count(*) AS freq FROM words WHERE len(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+      FROM wf, unnest(generate_series(1, len(w) - 1)) t(i)
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 20
+    """,
+)
+def pipeline_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer-training inner loop: count adjacent symbol pairs
+    across the corpus and surface the top merge candidates (the pair a
+    BPE step would merge next). The classic trick that makes this
+    tractable at 100 TB is counting over the VOCABULARY, not the corpus:
+    words collapse to (word, freq) first — vocab-sized, Zipf-bounded —
+    and each distinct word's adjacent character pairs are weighted by its
+    frequency, so the expensive per-character explode touches each
+    distinct word once no matter how often it occurs. Two shuffles
+    (word count, pair sum), both map-side combinable; top-20 with a
+    deterministic (count desc, pair asc) tie-break so both engines pick
+    the identical row set. Tokenization is absent from the reference;
+    driver-mandated LLM-pipeline surface."""
+    from bishe_gpu_database_spark.functions.text import tokens
+
+    d = widen(t(spark, sf_dir, "documents").select("text"))
+    words = d.select(F.explode(tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # sequence(1, 0) is DESCENDING in Spark (DuckDB's is empty); length
+    # >= 2 is guaranteed by the filter above so the range is never empty.
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(20)
+    )

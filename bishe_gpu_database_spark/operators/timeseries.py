@@ -1204,3 +1204,72 @@ def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness_ppm"),
         )
     )
+
+
+@register(
+    "timeseries_seasonal_profile",
+    oracle="""
+    WITH c AS (
+      SELECT date_part('dow', ts) AS dow, date_part('hour', ts) AS hour,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    cells AS (
+      SELECT dow, hour, count(*) AS n_events,
+             sum(CAST(cents AS HUGEINT)) AS cents_total
+      FROM c GROUP BY dow, hour
+    ),
+    tot AS (
+      SELECT sum(cents_total) AS grand_cents, sum(n_events) AS grand_n
+      FROM cells
+    )
+    SELECT CAST(c.dow AS BIGINT) AS dow, CAST(c.hour AS BIGINT) AS hour,
+           c.n_events,
+           CAST(c.cents_total AS BIGINT) AS cents_total,
+           CAST(c.cents_total // c.n_events AS BIGINT) AS cents_avg,
+           CAST(c.cents_total * t.grand_n * 1000000
+                // (c.n_events * t.grand_cents) AS BIGINT) AS seasonal_ppm
+    FROM cells c, tot t
+    """,
+)
+def timeseries_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (day-of-week x hour) load/value profile with a
+    seasonality index: per-cell event count, exact cent totals, and
+    cell-average vs global-average in ppm — the decomposition behind
+    capacity planning and anomaly baselines ("is Tuesday 14:00 running
+    hot vs its own season?"). Exact integer arithmetic end to end: cents
+    sum in DECIMAL(38,0)/HUGEINT, one truncating division per cell — the
+    index is bit-identical cross-engine. Shape: ONE hash aggregate to
+    168 cells (map-side combinable — the fact scan is the only
+    data-sized pass), then the global totals come from a window over the
+    CELL table, so the seasonality join costs nothing at 100 TB.
+    date_part('dow') is 0=Sunday in DuckDB; Spark's dayofweek() is
+    1=Sunday — normalized by -1."""
+    e = t(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hour"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("_ct"),
+        )
+    )
+    w = Window.partitionBy()
+    g = cells.withColumn("_grand", F.sum("_ct").over(w)).withColumn(
+        "_gn", F.sum("n_events").over(w)
+    )
+    return g.select(
+        "dow",
+        "hour",
+        "n_events",
+        F.col("_ct").cast("bigint").alias("cents_total"),
+        F.expr("CAST(_ct DIV n_events AS BIGINT)").alias("cents_avg"),
+        F.expr(
+            "CAST(CAST(_ct AS DECIMAL(38,0)) * _gn * 1000000"
+            " DIV (n_events * _grand) AS BIGINT)"
+        ).alias("seasonal_ppm"),
+    )

@@ -302,3 +302,20 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
         )
     )
+
+
+@register(
+    "stream_runtime_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_runtime_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual streaming-dedup runtime, oracle-checked:
+    dropDuplicatesWithinWatermark emits each (user, type) key exactly
+    once per watermark horizon through the state store; the emitted key
+    set equals SELECT DISTINCT — the batch contract the runtime must
+    reproduce (the surviving representative row is engine-internal, so
+    only keys are projected). Complements stream_dedup_by_key (the batch
+    twin with first-event semantics) with the real state-store path."""
+    from bishe_gpu_database_spark.streaming.streams import run_dedup_runtime
+
+    return run_dedup_runtime(spark, sf_dir)

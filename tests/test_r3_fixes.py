@@ -87,3 +87,75 @@ def test_ab_test_overflow_safe_at_large_counts(spark):
     # z ~ 32 at this scale: decisively significant; the unfixed form
     # raises ARITHMETIC_OVERFLOW here instead.
     assert row["significant_95"] is True
+
+
+def test_prefix_filter_join_equals_bruteforce(spark):
+    """Prefix filtering must be lossless: its pair set at tau=0.3 equals
+    the brute-force shingle-join pairs filtered to jaccard >= 0.3."""
+    from bishe_gpu_database_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_prefix_filter_join,
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_prefix_filter_join(spark, SF_SMALL).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, SF_SMALL).collect()
+        if r["jaccard"] >= 0.3
+    }
+    assert got == want and len(got) > 0
+
+
+def test_bpe_pair_counts_conserve_mass(spark):
+    """Every reported pair count must equal an independent corpus-side
+    recount (explode words directly, no vocab collapse)."""
+    from bishe_gpu_database_spark.functions.text import tokens
+    from bishe_gpu_database_spark.operators.pipeline import pipeline_bpe_pair_counts
+    from bishe_gpu_database_spark.operators.relational import t
+
+    got = {
+        r["pair"]: r["n_occurrences"]
+        for r in pipeline_bpe_pair_counts(spark, SF_SMALL).collect()
+    }
+    assert len(got) == 20
+    d = t(spark, SF_SMALL, "documents").select("text")
+    w = d.select(F.explode(tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    direct = {
+        r["pair"]: r["n"]
+        for r in w.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.substring(F.col("w"), i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for pair, n in got.items():
+        assert direct[pair] == n, (pair, n, direct.get(pair))
+
+
+def test_seasonal_profile_index_centers_on_million(spark):
+    """The event-weighted mean of the seasonal index is 1e6 by
+    construction (cell_avg/global_avg weighted by cell size), and counts
+    partition the corpus."""
+    from bishe_gpu_database_spark.operators.relational import t
+    from bishe_gpu_database_spark.operators.timeseries import (
+        timeseries_seasonal_profile,
+    )
+
+    rows = timeseries_seasonal_profile(spark, SF_SMALL).collect()
+    n_total = t(spark, SF_SMALL, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_total
+    weighted = sum(r["seasonal_ppm"] * r["n_events"] for r in rows) / n_total
+    assert abs(weighted - 1_000_000) < 200  # truncation slack only
+    for r in rows:
+        assert 0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23
