@@ -2238,3 +2238,65 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV nullif(tot_cents, 0) AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+@register(
+    "window_median_sliding",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    fr AS (
+      SELECT event_type, event_id,
+             list_sort(list(cents) OVER w) AS win
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id,
+           CAST(len(win) AS INT) AS n_in_frame,
+           win[CAST((len(win) - 1) // 2 AS INT) + 1]
+             + win[CAST(len(win) // 2 AS INT) + 1] AS median_2x_cents
+    FROM fr
+    """,
+)
+def window_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sliding-window MEDIAN — the rolling robust statistic Spark's
+    window aggregates don't offer natively: collect the BOUNDED 5-row
+    frame into an array, sort it, and pick the middle (doubled —
+    lo+hi middles summed — so even frames stay in exact integer cents
+    with no .5 fraction to disagree on). The bounded-frame array trick is
+    O(frame log frame) per row and shuffles nothing extra — it rides the
+    same (event_type, ts) sort every other window op pays; contrast an
+    UNBOUNDED-frame median, which needs the two-pass rank approach of
+    agg_percentile_exact. Rolling medians are the robust denoiser for
+    sensor/metric streams where one spike wrecks a rolling mean."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    c = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    fr = c.select(
+        "event_type",
+        "event_id",
+        F.array_sort(F.collect_list("cents").over(w)).alias("win"),
+    )
+    n = F.size("win")
+    return fr.select(
+        "event_type",
+        "event_id",
+        n.alias("n_in_frame"),
+        (
+            F.element_at("win", ((n - 1) / 2).cast("int") + 1)
+            + F.element_at("win", (n / 2).cast("int") + 1)
+        ).alias("median_2x_cents"),
+    )

@@ -727,3 +727,65 @@ def catalog_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(cents) AS BIGINT) AS total_cents
             FROM {tbl} GROUP BY o_orderstatus"""
     )
+
+
+@register(
+    "mv_rewrite_monthly",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_total
+    FROM orders GROUP BY 1
+    """,
+)
+def mv_rewrite_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view REWRITE, semantics proven by the hash gate: a
+    DAY-level rollup of orders is materialized once (the MV — count +
+    exact cent sums per day, fingerprint-keyed so fixture regeneration
+    invalidates it), and the MONTH query is answered ENTIRELY from the
+    MV — the base table is not in the plan — by re-aggregating days into
+    months. count and sum compose over any partition of the rows, so the
+    rewrite is exact; the oracle computes the months straight from the
+    base table, and a value-hash match proves the MV answer is
+    indistinguishable from the base answer. This is the continuous-
+    aggregate / summary-table pattern: at 100 TB the month query scans
+    days (≈ table_days rows) instead of the fact table, and the MV
+    refreshes incrementally by day partition (see ivm_incremental_agg
+    for the delta-merge form)."""
+    od = t(spark, sf_dir, "orders")
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    path = os.path.join(_SCRATCH, f"mv_orders_daily_{sf_tag}_{st.st_size}_{st.st_mtime_ns}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = tempfile.mkdtemp(prefix=f"mv_orders_daily_{sf_tag}_", dir=_SCRATCH)
+        (
+            od.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).alias("cents_total"),
+            )
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        import glob as _glob
+        import shutil as _shutil
+
+        for old in _glob.glob(os.path.join(_SCRATCH, f"mv_orders_daily_{sf_tag}_*")):
+            if old != path:
+                _shutil.rmtree(old, ignore_errors=True)
+    mv = spark.read.parquet(path)
+    return (
+        mv.groupBy(F.date_trunc("month", "day").cast("date").alias("month"))
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("cents_total").alias("cents_total"),
+        )
+    )

@@ -159,3 +159,50 @@ def test_seasonal_profile_index_centers_on_million(spark):
     assert abs(weighted - 1_000_000) < 200  # truncation slack only
     for r in rows:
         assert 0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23
+
+
+def test_sliding_median_matches_python_rolling(spark):
+    """Recompute the 5-row rolling doubled-median in plain Python over
+    the same (ts, event_id) order and compare every row."""
+    from bishe_gpu_database_spark.operators.relational import (
+        t,
+        window_median_sliding,
+    )
+
+    got = {
+        (r["event_type"], r["event_id"]): (r["n_in_frame"], r["median_2x_cents"])
+        for r in window_median_sliding(spark, SF_SMALL).collect()
+    }
+    ev = sorted(
+        t(spark, SF_SMALL, "events")
+        .select("event_type", "ts", "event_id", F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+        .collect(),
+        key=lambda r: (r["event_type"], r["ts"], r["event_id"]),
+    )
+    by_type: dict = {}
+    for r in ev:
+        hist = by_type.setdefault(r["event_type"], [])
+        hist.append(r["cents"])
+        win = sorted(hist[-5:])
+        n = len(win)
+        want = (n, win[(n - 1) // 2] + win[n // 2])
+        assert got[(r["event_type"], r["event_id"])] == want
+
+
+def test_mv_rewrite_conserves_base_totals(spark):
+    """The MV-answered month rollup must conserve the base table's global
+    count and cent total exactly (aggregation compositionality)."""
+    from bishe_gpu_database_spark.operators.relational import t
+    from bishe_gpu_database_spark.sources.formats import mv_rewrite_monthly
+
+    rows = mv_rewrite_monthly(spark, SF_SMALL).collect()
+    od = t(spark, SF_SMALL, "orders")
+    base = od.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+    ).collect()[0]
+    assert sum(r["n_orders"] for r in rows) == base["n"]
+    assert sum(r["cents_total"] for r in rows) == base["cents"]
+    months = [r["month"] for r in rows]
+    assert len(months) == len(set(months))
+    assert all(m.day == 1 for m in months)
