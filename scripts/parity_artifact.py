@@ -61,6 +61,7 @@ def check_one(spark, sf_dir: str, name: str, fn, sql: str | None) -> dict:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/PARITY.json"
     _ensure_loaded()
     # A PLAIN session, mirroring the verify driver's own (no tuned configs).
     spark = (
@@ -95,7 +96,7 @@ def main() -> int:
         "n_fail": n_fail,
         "wall_seconds": round(time.time() - t_start, 1),
     }
-    with open("/root/repo/PARITY.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump({"summary": summary, "queries": results}, f, indent=1, default=str)
     print(json.dumps(summary), flush=True)
     return 1 if n_fail else 0
