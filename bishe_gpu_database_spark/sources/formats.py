@@ -44,10 +44,15 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     path = os.path.join(_SCRATCH, f"orders_{fmt}_{os.path.basename(sf_dir.rstrip('/'))}")
     writer = o.write.mode("overwrite").partitionBy("o_orderstatus")
     getattr(writer, fmt)(path)
+    # Explicit schema on re-read for EVERY format, not just CSV: schema
+    # inference needs at least one data file, so an upstream that matched
+    # zero rows (an everyday event at 100 TB — empty date range, dead
+    # partition) would otherwise crash the downstream read with
+    # UNABLE_TO_INFER_SCHEMA. The producer knows its schema; declare it.
     back = (
-        spark.read.schema("o_orderkey bigint, cents bigint, o_orderstatus string").csv(path)
-        if fmt == "csv"
-        else getattr(spark.read, fmt)(path)
+        spark.read.schema("o_orderkey bigint, cents bigint, o_orderstatus string")
+        .format(fmt)
+        .load(path)
     )
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -107,8 +112,12 @@ def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     as 'partition filters' in .explain, asserted in tests/test_plans.py).
     At 100 TB this is the first line of defense: whole years of data are
     never opened."""
-    back = spark.read.parquet(_byyear_path(spark, sf_dir)).filter(
-        F.col("ship_year") >= 1997
+    # Schema declared (not inferred) so a zero-row upstream still reads
+    # as an empty frame instead of failing schema inference.
+    back = (
+        spark.read.schema("cents bigint, ship_year int")
+        .parquet(_byyear_path(spark, sf_dir))
+        .filter(F.col("ship_year") >= 1997)
     )
     return back.groupBy("ship_year").agg(
         F.count(F.lit(1)).alias("n_items"),
@@ -222,7 +231,9 @@ def source_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     directories (asserted in tests/test_plans.py). At 100 TB this is the
     difference between scanning two years and scanning all of them, with
     the year set only known from data."""
-    fact = spark.read.parquet(_byyear_path(spark, sf_dir))
+    fact = spark.read.schema("cents bigint, ship_year int").parquet(
+        _byyear_path(spark, sf_dir)
+    )
     # The selective predicate on the dim side is what licenses DPP
     # (a bare unfiltered relation does not trigger the rewrite).
     dim = spark.createDataFrame(
@@ -313,7 +324,13 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SCRATCH, f"orders_pq_sink_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     o.write.mode("overwrite").partitionBy("o_orderstatus", "o_year").parquet(path)
-    back = spark.read.parquet(path).filter(F.col("o_year") >= 1996)
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_totalprice double, o_orderstatus string, o_year int"
+        )
+        .parquet(path)
+        .filter(F.col("o_year") >= 1996)
+    )
     return back.groupBy("o_orderstatus", "o_year").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total_price"),
