@@ -905,3 +905,77 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= tau)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_editdist_fastss",
+    oracle="""
+    WITH seg AS (
+      SELECT c_custkey AS k, c_name AS name FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT a.k AS u, b.k AS v,
+           a.name AS u_name, b.name AS v_name,
+           levenshtein(a.name, b.name) AS ed
+    FROM seg a JOIN seg b
+      ON a.k < b.k AND levenshtein(a.name, b.name) <= 1
+    """,
+)
+def dedup_editdist_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join (all BUILDING-segment customer
+    name pairs within Levenshtein distance 1) via the FastSS deletion
+    neighborhood: each name generates its ≤k-deletion variants (k=1:
+    itself plus the L delete-one-char strings), and two strings are
+    within edit distance 1 **iff their variant sets intersect** — a
+    substitution pair shares the delete-the-differing-position variant,
+    an insert/delete pair shares the shorter string itself. Candidate
+    generation is therefore an EQUI-join on the variant string (never the
+    quadratic all-pairs the oracle brute-forces), followed by an exact
+    bounded `levenshtein(u, v, 1)` verify, which early-exits at the
+    threshold. Fan-out is L+1 keys per row (19 here) and variant groups
+    are true near-matches only — on common-prefix-heavy data like these
+    names, prefix/segment blocking schemes (PassJoin, positional q-grams)
+    degenerate to all-pairs while deletion variants stay selective. At
+    100 TB: map-side variant generation, one shuffle, per-group fan-out
+    bounded by real duplicate density. Complements the token-level
+    similarity joins (``dedup_prefix_filter_join``, MinHash/LSH): this is
+    the CHARACTER-level fuzzy key-matching used for entity resolution."""
+    seg = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"), F.col("c_name").alias("name"))
+    )
+    variants = seg.select(
+        "k",
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("name")),
+                    F.expr(
+                        "transform(sequence(1, length(name)),"
+                        " i -> concat(substr(name, 1, i - 1), substr(name, i + 1)))"
+                    ),
+                )
+            )
+        ).alias("variant"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("u"),
+            F.col("b.k").alias("v"),
+            F.col("a.name").alias("u_name"),
+            F.col("b.name").alias("v_name"),
+        )
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein(F.col("u_name"), F.col("v_name"), 1) >= 0
+    ).withColumn("ed", F.levenshtein("u_name", "v_name"))

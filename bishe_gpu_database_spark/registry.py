@@ -77,6 +77,7 @@ def _ensure_loaded() -> None:
     import bishe_gpu_database_spark.operators.mining  # noqa: F401
     import bishe_gpu_database_spark.operators.quality  # noqa: F401
     import bishe_gpu_database_spark.operators.graph  # noqa: F401
+    import bishe_gpu_database_spark.operators.geo  # noqa: F401
     import bishe_gpu_database_spark.operators.cdc  # noqa: F401
     import bishe_gpu_database_spark.operators.sketches  # noqa: F401
     import bishe_gpu_database_spark.aria.queries  # noqa: F401
