@@ -282,3 +282,87 @@ def geo_box_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 geo_box_containment.__doc__ = geo_box_containment.__doc__.format(
     bcell=_BCELL, w=2 * _HALF
 )
+
+
+@register(
+    "geo_knn_within_radius",
+    oracle=f"""
+    WITH pts AS ({_points_sql()}),
+    cand AS (
+      SELECT a.k AS u, b.k AS v,
+             greatest(abs(a.x - b.x), abs(a.y - b.y)) AS cheb
+      FROM pts a JOIN pts b
+        ON a.k <> b.k
+       AND abs(a.x - b.x) <= {_D} AND abs(a.y - b.y) <= {_D}
+    ),
+    ranked AS (
+      SELECT u, v, cheb,
+             row_number() OVER (PARTITION BY u ORDER BY cheb ASC, v ASC) AS rk
+      FROM cand
+    )
+    SELECT u, v, cheb, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def geo_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-nearest-neighbor join (each customer's 3 nearest
+    neighbors within Chebyshev radius {d}): the same grid-bucketed
+    candidate generation as geo_neighbor_pairs, kept DIRECTED (u ≠ v,
+    both orientations come out of the probe explosion for free), then a
+    per-point top-k window over candidates only. Ties break on the
+    neighbor key so ranks are deterministic cross-engine. This is the
+    radius-bounded kNN every practical system runs at scale — the
+    unbounded version needs expanding-ring search, which is the same
+    plan re-issued at growing cell radii. Candidates ∝ local density,
+    never N²; the top-k window partitions on the point key, so no
+    global sort exists anywhere."""
+    p = _points(spark, sf_dir).select("k", "x", "y").localCheckpoint()
+    home = p.select(
+        F.col("k").alias("v_k"),
+        F.col("x").alias("v_x"),
+        F.col("y").alias("v_y"),
+        F.expr(f"x div {_CELL}").alias("cx"),
+        F.expr(f"y div {_CELL}").alias("cy"),
+    )
+    probe = (
+        p.withColumn(
+            "dxy",
+            F.expr(
+                "explode(flatten(transform(sequence(-1, 1),"
+                " dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+            ),
+        )
+        .select(
+            F.col("k").alias("u_k"),
+            F.col("x").alias("u_x"),
+            F.col("y").alias("u_y"),
+            (F.expr(f"x div {_CELL}") + F.col("dxy.dx")).alias("cx"),
+            (F.expr(f"y div {_CELL}") + F.col("dxy.dy")).alias("cy"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    cand = (
+        probe.join(home, ["cx", "cy"])
+        .filter(
+            (F.col("u_k") != F.col("v_k"))
+            & (F.abs(F.col("u_x") - F.col("v_x")) <= _D)
+            & (F.abs(F.col("u_y") - F.col("v_y")) <= _D)
+        )
+        .select(
+            F.col("u_k").alias("u"),
+            F.col("v_k").alias("v"),
+            F.greatest(
+                F.abs(F.col("u_x") - F.col("v_x")),
+                F.abs(F.col("u_y") - F.col("v_y")),
+            ).alias("cheb"),
+        )
+    )
+    w = W.partitionBy("u").orderBy(F.col("cheb").asc(), F.col("v").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("u", "v", "cheb", "rk")
+    )
+
+
+geo_knn_within_radius.__doc__ = geo_knn_within_radius.__doc__.format(d=_D)

@@ -777,3 +777,65 @@ def quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("missing") > 0)
     )
+
+
+@register(
+    "quality_impute_median",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CASE WHEN event_id % 19 = 7 THEN NULL
+                  ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(round(median(cents)) AS BIGINT) AS med_cents
+      FROM c WHERE cents IS NOT NULL GROUP BY event_type
+    )
+    SELECT c.event_type,
+           count(*) AS n_rows,
+           count(CASE WHEN c.cents IS NULL THEN 1 END) AS n_imputed,
+           m.med_cents,
+           SUM(COALESCE(c.cents, m.med_cents)) AS sum_after_impute
+    FROM c JOIN med m ON c.event_type = m.event_type
+    GROUP BY c.event_type, m.med_cents
+    """,
+)
+def quality_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation by per-group exact median — the feature-
+    pipeline repair step. Missingness is simulated deterministically
+    (every event with event_id % 19 == 7 loses its value) so the oracle
+    reproduces the exact same holes. Two passes over the dimension-keyed
+    aggregate: the per-type median of the NON-null population (tiny
+    result, broadcast back), then one conditional-sum scan proving the
+    imputed column's exact integer total. The median rounds to integer
+    cents BEFORE imputation on both engines, so the filled values — not
+    just the counts — are bit-identical. At 100 TB this is one broadcast
+    join over the fact scan; the exact median is the sort-bound step and
+    approx_percentile is the documented swap at identical plan shape."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_id") % 19 == 7, F.lit(None))
+        .otherwise(F.round(F.col("value") * 100).cast("bigint"))
+        .alias("cents"),
+    )
+    med = (
+        ev.filter(F.col("cents").isNotNull())
+        .groupBy("event_type")
+        .agg(F.round(F.expr("percentile(cents, 0.5)")).cast("bigint").alias("med_cents"))
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("cents").isNull(), 1)).alias("n_imputed"),
+            F.sum(F.coalesce(F.col("cents"), F.col("med_cents"))).alias(
+                "sum_after_impute"
+            ),
+        )
+        .select(
+            "event_type", "n_rows", "n_imputed", "med_cents", "sum_after_impute"
+        )
+    )

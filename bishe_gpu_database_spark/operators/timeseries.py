@@ -1273,3 +1273,85 @@ def timeseries_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (n_events * _grand) AS BIGINT)"
         ).alias("seasonal_ppm"),
     )
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    cu AS (
+      SELECT event_type, day,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             SUM(x) OVER (PARTITION BY event_type) AS t
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type, day, n,
+             abs(n * c - k * t) AS s_abs,
+             CASE WHEN n * c - k * t > 0 THEN 1
+                  WHEN n * c - k * t < 0 THEN -1 ELSE 0 END AS drift_sign,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(n * c - k * t) DESC, day ASC) AS rn
+      FROM s0
+    )
+    SELECT event_type, n AS n_days, day AS cp_day,
+           CAST(s_abs AS DOUBLE) AS s_abs, drift_sign
+    FROM s WHERE rn = 1
+    """.replace("FROM s0", "FROM cu"),
+)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over each event type's daily revenue
+    series — the level-shift monitor behind data-drift and incident
+    alerts. The classic statistic max_k |Σ_{i≤k}(x_i − μ)| is scaled by n
+    (S_k = n·C_k − k·T with C the running sum and T the series total), so
+    it stays EXACT integer arithmetic — no float mean, no summation-order
+    hazard — carried in DECIMAL(38,0)/HUGEINT (n·C reaches ~10²² on a
+    century of 100 TB-scale days; int64 wraps at 9·10¹⁸). One fact
+    shuffle builds the daily series; the windows run over the
+    dimension-sized (type × day) table. Ties break to the earliest day,
+    so the argmax is deterministic cross-engine. drift_sign tells the
+    direction of the level shift at the change point."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("DAY", "ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("x")
+    )
+    w_all = W.partitionBy("event_type")
+    w_run = w_all.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    s = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.row_number().over(w_all.orderBy("day")).alias("k"),
+        F.sum("x").over(w_run).alias("c"),
+        F.sum("x").over(w_all).alias("t"),
+    ).withColumn("s_signed", F.col("n") * F.col("c") - F.col("k") * F.col("t"))
+    ranked = s.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_days"),
+        F.abs(F.col("s_signed")).alias("s_abs_d"),
+        F.signum(F.col("s_signed")).cast("int").alias("drift_sign"),
+        F.row_number()
+        .over(w_all.orderBy(F.abs(F.col("s_signed")).desc(), F.col("day").asc()))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "event_type",
+        "n_days",
+        F.col("day").alias("cp_day"),
+        F.col("s_abs_d").cast("double").alias("s_abs"),
+        "drift_sign",
+    )

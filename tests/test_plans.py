@@ -100,3 +100,27 @@ def test_shuffle_hash_hint_forces_shj(spark):
     plan = formatted_plan(R.join_shuffle_hash_hint(spark, SF_SMALL))
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_geo_joins_are_equi_joins(spark):
+    """The spatial distance/containment joins must plan as hash or
+    sort-merge equi-joins on the cell keys — never BroadcastNestedLoop
+    or CartesianProduct (the naive range-join physical fallback)."""
+    from bishe_gpu_database_spark.operators import geo as G
+
+    for q in (G.geo_neighbor_pairs, G.geo_box_containment):
+        plan = formatted_plan(q(spark, SF_SMALL))
+        assert_no_cartesian(q(spark, SF_SMALL))
+        assert "BroadcastNestedLoop" not in plan, plan
+        # candidate generation keys on the grid cell columns
+        assert "cx" in plan and "cy" in plan
+
+
+def test_fastss_variant_join_is_equi(spark):
+    from bishe_gpu_database_spark.operators import dedup as D
+
+    df = D.dedup_editdist_fastss(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "variant" in plan
