@@ -46,6 +46,11 @@ HEADLINE = [
     "timeseries_twap",
     "events_attribution_u_shaped",
     "quality_table_checksum",
+    # r3 new families: spatial grid join, character-level fuzzy join,
+    # exact-integer change-point detection.
+    "geo_neighbor_pairs",
+    "dedup_editdist_fastss",
+    "timeseries_cusum_changepoint",
 ]
 
 

@@ -119,8 +119,8 @@ def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side cell computation + one partial-agg'd shuffle on the cell —
     the heatmap/tile-server aggregate at any scale."""
     p = _points(spark, sf_dir)
-    cy = (F.col("y") / 1024).cast("bigint")
-    cx = (F.col("x") / 1024).cast("bigint")
+    cy = F.expr("y div 1024")
+    cx = F.expr("x div 1024")
     return (
         p.withColumn("cell_y", cy)
         .withColumn("cell_x", cx)
@@ -166,8 +166,8 @@ def geo_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("v_k"),
         F.col("x").alias("v_x"),
         F.col("y").alias("v_y"),
-        (F.col("x") / _CELL).cast("bigint").alias("cx"),
-        (F.col("y") / _CELL).cast("bigint").alias("cy"),
+        F.expr(f"x div {_CELL}").alias("cx"),
+        F.expr(f"y div {_CELL}").alias("cy"),
     )
     probe = (
         p.withColumn("dxy", F.expr("explode(flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))"))
@@ -175,8 +175,8 @@ def geo_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").alias("u_k"),
             F.col("x").alias("u_x"),
             F.col("y").alias("u_y"),
-            ((F.col("x") / _CELL).cast("bigint") + F.col("dxy.dx")).alias("cx"),
-            ((F.col("y") / _CELL).cast("bigint") + F.col("dxy.dy")).alias("cy"),
+            (F.expr(f"x div {_CELL}") + F.col("dxy.dx")).alias("cx"),
+            (F.expr(f"y div {_CELL}") + F.col("dxy.dy")).alias("cy"),
         )
     )
     return (

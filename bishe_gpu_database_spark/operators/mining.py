@@ -765,3 +765,57 @@ def mining_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_tot",
         F.expr(f"CAST(({d2}) * ({d2}) * 1000 DIV e_milli AS BIGINT)").alias("chi_term_ppm"),
     )
+
+
+@register(
+    "events_pattern_regex",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(CASE WHEN regexp_matches(journey, 'signup.*purchase')
+                      THEN 1 END) AS n_signup_then_purchase,
+           count(CASE WHEN regexp_matches(journey, 'error,purchase')
+                      THEN 1 END) AS n_purchase_right_after_error,
+           count(CASE WHEN regexp_matches(journey, 'click,click,click')
+                      THEN 1 END) AS n_triple_click
+    FROM seqs
+    """,
+)
+def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence pattern matching: each user's
+    time-ordered event types collapse to one comma-joined journey string
+    and row-pattern predicates become ordinary regexes over it —
+    "eventually follows" ('signup.*purchase'), "immediately follows"
+    ('error,purchase'), and "k consecutive" ('click,click,click') all in
+    one pass. This is the pragmatic distributed form of SQL row-pattern
+    matching: one user-key shuffle (collect_list partial-combines
+    map-side), then regex evaluation map-side on the journey table —
+    versus a window/self-join cascade per pattern. Patterns stay in the
+    RE2-compatible subset both engines share. At 100 TB journeys are
+    bounded the same way the sessionizer bounds state: window the
+    sequence by session or time slice before collapsing."""
+    e = t(spark, sf_dir, "events")
+    seqs = e.groupBy("user_id").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).getField("event_type"),
+            ",",
+        ).alias("journey")
+    )
+    return seqs.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("journey").rlike("signup.*purchase"), 1)).alias(
+            "n_signup_then_purchase"
+        ),
+        F.count(F.when(F.col("journey").rlike("error,purchase"), 1)).alias(
+            "n_purchase_right_after_error"
+        ),
+        F.count(F.when(F.col("journey").rlike("click,click,click"), 1)).alias(
+            "n_triple_click"
+        ),
+    )

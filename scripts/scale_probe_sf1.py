@@ -49,6 +49,7 @@ PROBES = [
     "graph_pagerank_3iter",      # iterative rank loop
     "quality_table_checksum",    # full-scan commutative fold
     "pipeline_e2e_corpus",       # composed corpus build
+    "timeseries_cusum_changepoint",  # daily series windows over fact scan
 ]
 
 SHIFTS = {

@@ -504,3 +504,80 @@ def test_checkpoint_restart_exactly_once(spark):
         (ts("2024-02-01 00:00:00"), 3),
         (ts("2024-02-01 01:00:00"), 1),
     ]
+
+
+def test_chained_stateful_join_then_window_agg(spark):
+    """Spark 4 chained stateful operators: a stream-stream interval join
+    whose output feeds a downstream tumbling window aggregate in the SAME
+    streaming query — two state stores in one pipeline (the pattern
+    pre-3.4 Spark rejected outright). Inner join so every emitted row is
+    watermark-final; the downstream hourly purchase-with-attribution
+    count is checked window-for-window against the batch equivalent,
+    excluding windows the final watermark leaves open."""
+    stream = streams.events_stream(spark, SF_SMALL)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("cu"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), "event_id")
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.cu)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    hourly = (
+        joined.groupBy(F.window("p_ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .select(F.col("window.start").alias("hour"), "n_attributed")
+    )
+    got = _drain_to_rows(spark, hourly, "chained_stateful_test")
+
+    e = relational.events_ts_to_micros(
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    )
+    bc = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("c_ts")
+    )
+    bp = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "event_id"
+    )
+    batch = (
+        bp.join(
+            bc,
+            (bp.user_id == bc.cu)
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "inner",
+        )
+        .groupBy(F.window("p_ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .select(F.col("window.start").alias("hour"), "n_attributed")
+    )
+    # The streaming query's effective watermark is delayed by both
+    # stateful stages; compare only hours strictly older than 2h before
+    # end-of-data (join horizon + delay + window), which MUST be final.
+    max_ts = e.agg(F.max("ts")).first()[0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=2)
+    got_final = {
+        (r.hour, r.n_attributed)
+        for r in got.filter(F.col("hour") < F.lit(cutoff)).collect()
+    }
+    want_final = {
+        (r.hour, r.n_attributed)
+        for r in batch.filter(F.col("hour") < F.lit(cutoff)).collect()
+    }
+    assert got_final == want_final
+    assert want_final, "fixture must produce at least one closed hour"
+    # and nothing outside the batch truth may ever appear
+    got_all = {(r.hour, r.n_attributed) for r in got.collect()}
+    want_all = {(r.hour, r.n_attributed) for r in batch.collect()}
+    assert got_all <= want_all
