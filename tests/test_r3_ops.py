@@ -141,3 +141,44 @@ def test_geo_neighbor_pairs_emitted_once(spark):
     n = df.count()
     nd = df.select("u", "v").distinct().count()
     assert n == nd
+
+
+def test_pca_power_rayleigh_monotone_and_exact(spark):
+    """The fixed-point power iteration must (a) reproduce the exact
+    integer recurrence bit-for-bit and (b) satisfy the power-method
+    invariant: the Rayleigh quotient R(q_k) = qGq/qq is non-decreasing
+    across iterations."""
+    import numpy as np
+
+    from bishe_gpu_database_spark.operators.similarity import embedding_pca_power3
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").select("embedding").collect()
+    V = np.floor(np.array([r.embedding for r in rows], dtype=np.float64) * 1048576).astype(
+        np.int64
+    )
+    G = (V.astype(np.float64).T @ V.astype(np.float64))
+
+    def rayleigh(q):
+        qf = q.astype(np.float64)
+        return (qf @ G @ qf) / (qf @ qf)
+
+    q = np.full(64, 1048576, dtype=np.int64)
+    rs = [rayleigh(q)]
+    for _ in range(3):
+        dots = V @ q
+        sd = np.max(np.abs(dots)) // 2**20 + 1
+        dots = np.sign(dots) * (np.abs(dots) // sd)
+        w = V.T @ dots
+        sw = np.max(np.abs(w)) // 2**20 + 1
+        q = np.sign(w) * (np.abs(w) // sw)
+        rs.append(rayleigh(q))
+    # (b) invariant: strictly improving on this fixture, non-decreasing always
+    assert all(rs[i + 1] >= rs[i] for i in range(3)), rs
+    assert rs[3] > rs[0], rs
+    # (a) the distributed result equals the exact integer recurrence
+    got = {
+        r.dim: r.q_fx for r in embedding_pca_power3(spark, sf).collect()
+    }
+    want = {i + 1: int(q[i]) for i in range(64)}
+    assert got == want
