@@ -245,15 +245,29 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the oracle asserting TRUE — hash-gating both the exact path and
     the sketch's accuracy, including through the union-merge."""
     e = t(spark, sf_dir, "events")
-    per_type = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", 14).alias("sk"),
-        F.countDistinct("user_id").alias("n_exact"),
+    # ONE fact scan for every exact count: ROLLUP computes the per-type
+    # AND global distincts in a single Expand pass (the r3 review flagged
+    # the separate global re-scan). The global ESTIMATE still comes from
+    # union-merging the per-type sketches — the merge algebra under test
+    # — never from rescanning rows. The rolled table is dimension-sized;
+    # localCheckpoint pins it so its three consumers don't re-run the
+    # scan.
+    rolled = (
+        e.rollup("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id", 14).alias("sk"),
+            F.countDistinct("user_id").alias("n_exact"),
+            F.grouping("event_type").alias("_g"),
+        )
+        .localCheckpoint()
     )
-    merged = per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est")
-    ).select(F.lit("ALL").alias("event_type"), "_est")
-    global_exact = e.agg(F.countDistinct("user_id").alias("n_exact"))
-    merged = merged.crossJoin(F.broadcast(global_exact))
+    per_type = rolled.filter(F.col("_g") == 0)
+    global_exact = rolled.filter(F.col("_g") == 1).select("n_exact")
+    merged = (
+        per_type.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"))
+        .select(F.lit("ALL").alias("event_type"), "_est")
+        .crossJoin(F.broadcast(global_exact))
+    )
     bound = (
         F.abs(F.col("_est") - F.col("n_exact")) <= F.col("n_exact") * F.lit(0.05)
     ).alias("within_bound")

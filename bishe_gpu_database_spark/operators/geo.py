@@ -138,6 +138,57 @@ _D = 300  # Chebyshev radius for the neighbor join
 _CELL = 512  # bucket size; completeness needs _CELL >= _D
 
 
+def _bucketed_candidates(p: DataFrame, directed: bool) -> DataFrame:
+    """Grid-bucketed Chebyshev-ball candidate pairs over points (k, x, y):
+    build side = home cells, probe side = 3×3 neighbor-cell explosion,
+    EQUI-join on the cell key, exact |dx|,|dy| ≤ _D filter on candidates.
+    Any pair within distance _D shares exactly one (probe-cell =
+    home-cell) key per orientation, so output is duplicate-free:
+    ``directed`` keeps both orientations (u ≠ v, for per-point kNN),
+    otherwise each unordered pair appears once (u < v). Shared by
+    geo_neighbor_pairs / geo_knn_within_radius and property-tested on
+    cell-boundary straddlers in tests/test_r3_ops.py."""
+    home = p.select(
+        F.col("k").alias("v_k"),
+        F.col("x").alias("v_x"),
+        F.col("y").alias("v_y"),
+        F.expr(f"x div {_CELL}").alias("cx"),
+        F.expr(f"y div {_CELL}").alias("cy"),
+    )
+    probe = p.withColumn(
+        "dxy",
+        F.expr(
+            "explode(flatten(transform(sequence(-1, 1),"
+            " dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+        ),
+    ).select(
+        F.col("k").alias("u_k"),
+        F.col("x").alias("u_x"),
+        F.col("y").alias("u_y"),
+        (F.expr(f"x div {_CELL}") + F.col("dxy.dx")).alias("cx"),
+        (F.expr(f"y div {_CELL}") + F.col("dxy.dy")).alias("cy"),
+    )
+    key_pred = (
+        (F.col("u_k") != F.col("v_k")) if directed else (F.col("u_k") < F.col("v_k"))
+    )
+    return (
+        probe.join(home, ["cx", "cy"])
+        .filter(
+            key_pred
+            & (F.abs(F.col("u_x") - F.col("v_x")) <= _D)
+            & (F.abs(F.col("u_y") - F.col("v_y")) <= _D)
+        )
+        .select(
+            F.col("u_k").alias("u"),
+            F.col("v_k").alias("v"),
+            F.greatest(
+                F.abs(F.col("u_x") - F.col("v_x")),
+                F.abs(F.col("u_y") - F.col("v_y")),
+            ).alias("cheb"),
+        )
+    )
+
+
 @register(
     "geo_neighbor_pairs",
     oracle=f"""
@@ -162,38 +213,7 @@ def geo_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB: map-side cell keys, one shuffle, AQE splits hot cells.
     """
     p = _points(spark, sf_dir).select("k", "x", "y").localCheckpoint()
-    home = p.select(
-        F.col("k").alias("v_k"),
-        F.col("x").alias("v_x"),
-        F.col("y").alias("v_y"),
-        F.expr(f"x div {_CELL}").alias("cx"),
-        F.expr(f"y div {_CELL}").alias("cy"),
-    )
-    probe = (
-        p.withColumn("dxy", F.expr("explode(flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))"))
-        .select(
-            F.col("k").alias("u_k"),
-            F.col("x").alias("u_x"),
-            F.col("y").alias("u_y"),
-            (F.expr(f"x div {_CELL}") + F.col("dxy.dx")).alias("cx"),
-            (F.expr(f"y div {_CELL}") + F.col("dxy.dy")).alias("cy"),
-        )
-    )
-    return (
-        probe.join(home, ["cx", "cy"])
-        .filter(
-            (F.col("u_k") < F.col("v_k"))
-            & (F.abs(F.col("u_x") - F.col("v_x")) <= _D)
-            & (F.abs(F.col("u_y") - F.col("v_y")) <= _D)
-        )
-        .select(
-            F.col("u_k").alias("u"),
-            F.col("v_k").alias("v"),
-            F.greatest(
-                F.abs(F.col("u_x") - F.col("v_x")), F.abs(F.col("u_y") - F.col("v_y"))
-            ).alias("cheb"),
-        )
-    )
+    return _bucketed_candidates(p, directed=False)
 
 
 geo_neighbor_pairs.__doc__ = geo_neighbor_pairs.__doc__.format(d=_D, cell=_CELL)
@@ -315,48 +335,10 @@ def geo_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan re-issued at growing cell radii. Candidates ∝ local density,
     never N²; the top-k window partitions on the point key, so no
     global sort exists anywhere."""
-    p = _points(spark, sf_dir).select("k", "x", "y").localCheckpoint()
-    home = p.select(
-        F.col("k").alias("v_k"),
-        F.col("x").alias("v_x"),
-        F.col("y").alias("v_y"),
-        F.expr(f"x div {_CELL}").alias("cx"),
-        F.expr(f"y div {_CELL}").alias("cy"),
-    )
-    probe = (
-        p.withColumn(
-            "dxy",
-            F.expr(
-                "explode(flatten(transform(sequence(-1, 1),"
-                " dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
-            ),
-        )
-        .select(
-            F.col("k").alias("u_k"),
-            F.col("x").alias("u_x"),
-            F.col("y").alias("u_y"),
-            (F.expr(f"x div {_CELL}") + F.col("dxy.dx")).alias("cx"),
-            (F.expr(f"y div {_CELL}") + F.col("dxy.dy")).alias("cy"),
-        )
-    )
     from pyspark.sql import Window as W
 
-    cand = (
-        probe.join(home, ["cx", "cy"])
-        .filter(
-            (F.col("u_k") != F.col("v_k"))
-            & (F.abs(F.col("u_x") - F.col("v_x")) <= _D)
-            & (F.abs(F.col("u_y") - F.col("v_y")) <= _D)
-        )
-        .select(
-            F.col("u_k").alias("u"),
-            F.col("v_k").alias("v"),
-            F.greatest(
-                F.abs(F.col("u_x") - F.col("v_x")),
-                F.abs(F.col("u_y") - F.col("v_y")),
-            ).alias("cheb"),
-        )
-    )
+    p = _points(spark, sf_dir).select("k", "x", "y").localCheckpoint()
+    cand = _bucketed_candidates(p, directed=True)
     w = W.partitionBy("u").orderBy(F.col("cheb").asc(), F.col("v").asc())
     return (
         cand.withColumn("rk", F.row_number().over(w))

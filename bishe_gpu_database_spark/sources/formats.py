@@ -774,7 +774,10 @@ def mv_rewrite_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = os.stat(os.path.join(sf_dir, "orders.parquet"))
     path = os.path.join(_SCRATCH, f"mv_orders_daily_{sf_tag}_{st.st_size}_{st.st_mtime_ns}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        tmp = tempfile.mkdtemp(prefix=f"mv_orders_daily_{sf_tag}_", dir=_SCRATCH)
+        # tmp prefix deliberately does NOT match the stale-MV cleanup
+        # glob below — a concurrent builder's in-progress tmp dir must
+        # never be swept as "stale".
+        tmp = tempfile.mkdtemp(prefix=f"tmp_mv_orders_daily_{sf_tag}_", dir=_SCRATCH)
         (
             od.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
             .agg(
@@ -792,6 +795,11 @@ def mv_rewrite_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
+            # Losing the rename race is fine (the winner's MV is
+            # identical — fingerprint-keyed); any other failure must
+            # surface, not fall through to reading a missing path.
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
         import glob as _glob
         import shutil as _shutil
 

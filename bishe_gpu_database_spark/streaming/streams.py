@@ -27,13 +27,23 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     # FileStreamSource requires a directory; expose the fixture file
-    # through a symlink dir (read-only testdata stays untouched).
+    # through a symlink dir (read-only testdata stays untouched). The dir
+    # is keyed by a digest of the ABSOLUTE fixture path — basenames
+    # collide across pytest tmp roots ('sf_empty0' recycles every run) —
+    # and a stale/dangling link (lexists but pointing elsewhere or at a
+    # pruned tmp dir) is replaced, never trusted.
+    import hashlib
+
+    digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:10]
     stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(),
+        f"events_stream_{os.path.basename(sf_dir.rstrip('/'))}_{digest}",
     )
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(path):
+        os.unlink(link)
+    if not os.path.lexists(link):
         os.symlink(path, link)
     raw = spark.readStream.schema(schema).format("parquet").load(stream_dir)
     # ts may arrive as raw nanos or a native micros timestamp depending on
@@ -337,8 +347,14 @@ def run_dedup_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "stream_rt_dedup_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     stream = events_stream(spark, sf_dir)
+    # Watermark horizon longer than the fixture's whole time span: keys
+    # stay in state for the full replay, so "every key exactly once"
+    # holds even if the source ever splits into multiple micro-batches
+    # (a 0-second horizon would evict between batches and re-emit). In a
+    # real deployment the horizon is the dedup contract window and state
+    # is bounded by distinct keys within it.
     dd = (
-        stream.withWatermark("ts", "0 seconds")
+        stream.withWatermark("ts", "3650 days")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )

@@ -18,45 +18,24 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, "/root/repo")
 
 from bishe_gpu_database_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
-from tests.conftest import duck_con, normalize_rows  # noqa: E402
+from tests.conftest import compare_structured  # noqa: E402
 
 
 def check_one(spark, sf_dir: str, name: str, fn, sql: str | None) -> dict:
-    out = {
-        "rows_match": None,
-        "schema_match": None,
-        "hash_match": None,
-        "spark_rows": None,
-        "oracle_rows": None,
-        "err": None,
-    }
+    """Delegate to the canonical comparator in tests/conftest.py (one
+    implementation for the pytest gate and this committed artifact)."""
     try:
-        sdf = fn(spark, sf_dir)
-        s_cols = sdf.columns
-        s_rows = [tuple(r) for r in sdf.collect()]
-        out["spark_rows"] = len(s_rows)
-        if sql is None:
-            out["err"] = "no_oracle"
-            return out
-        con = duck_con(sf_dir)
-        try:
-            res = con.execute(sql)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
-        finally:
-            con.close()
-        out["oracle_rows"] = len(d_rows)
-        out["schema_match"] = sorted(s_cols) == sorted(d_cols)
-        out["rows_match"] = len(s_rows) == len(d_rows)
-        if out["schema_match"] and out["rows_match"]:
-            _, s_norm = normalize_rows(s_cols, s_rows)
-            _, d_norm = normalize_rows(d_cols, d_rows)
-            out["hash_match"] = s_norm == d_norm
-        else:
-            out["hash_match"] = False
+        r = compare_structured(spark, sf_dir, fn, sql)
     except Exception as e:  # noqa: BLE001
-        out["err"] = f"{type(e).__name__}: {str(e)[:200]}"
-    return out
+        return {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": f"{type(e).__name__}: {str(e)[:200]}",
+        }
+    return {k: v for k, v in r.items() if not k.startswith("_")}
 
 
 def main() -> int:

@@ -71,12 +71,28 @@ def synthesize(spark) -> None:
     for tbl in DIMS:
         df = spark.read.parquet(os.path.join(SF01, f"{tbl}.parquet"))
         df.write.mode("overwrite").parquet(os.path.join(SF1, f"{tbl}.parquet"))
-    for tbl, (shift_cols, tag_cols) in SHIFTS.items():
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from bishe_gpu_database_spark.operators.relational import _raw_scan
+    # The orderkey DOMAIN is shared by lineitem and orders: both must
+    # shift by the SAME stride or replica joins lose alignment (the
+    # fixture can contain orders with no line items, so per-table maxes
+    # are not guaranteed equal).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from bishe_gpu_database_spark.operators.relational import _raw_scan
 
+    orderkey_stride = (
+        max(
+            _raw_scan(spark, SF01, "lineitem").agg(F.max("l_orderkey")).collect()[0][0],
+            _raw_scan(spark, SF01, "orders").agg(F.max("o_orderkey")).collect()[0][0],
+        )
+        + 1
+    )
+    for tbl, (shift_cols, tag_cols) in SHIFTS.items():
         df = _raw_scan(spark, SF01, tbl)
-        maxes = {c: df.agg(F.max(c)).collect()[0][0] + 1 for c in shift_cols}
+        maxes = {
+            c: orderkey_stride
+            if c in ("l_orderkey", "o_orderkey")
+            else df.agg(F.max(c)).collect()[0][0] + 1
+            for c in shift_cols
+        }
         parts = []
         for i in range(REPLICAS):
             d = df

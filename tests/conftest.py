@@ -66,12 +66,29 @@ def normalize_rows(columns, rows):
     return [columns[i] for i in order], out
 
 
-def compare_query_to_oracle(spark, sf_dir: str, name: str, fn, sql: str):
-    """Run the Spark query and the DuckDB oracle, compare row count,
-    column names, and normalized values. Returns (ok, message)."""
+def compare_structured(spark, sf_dir: str, fn, sql: str | None) -> dict:
+    """The ONE canonical engine-vs-oracle comparator (used by the pytest
+    gate AND scripts/parity_artifact.py, so the committed evidence and
+    the test verdicts can never drift apart): run the Spark query and the
+    DuckDB oracle, return per-aspect booleans plus normalized-value diffs
+    in the driver's order-insensitive shape."""
+    out = {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "spark_rows": None,
+        "oracle_rows": None,
+        "err": None,
+        "_diffs": None,
+        "_cols": None,
+    }
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
+    out["spark_rows"] = len(s_rows)
+    if sql is None:
+        out["err"] = "no_oracle"
+        return out
     con = duck_con(sf_dir)
     try:
         res = con.execute(sql)
@@ -79,13 +96,28 @@ def compare_query_to_oracle(spark, sf_dir: str, name: str, fn, sql: str):
         d_rows = res.fetchall()
     finally:
         con.close()
-    if sorted(s_cols) != sorted(d_cols):
-        return False, f"{name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}"
-    if len(s_rows) != len(d_rows):
-        return False, f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}"
-    _, s_norm = normalize_rows(s_cols, s_rows)
-    _, d_norm = normalize_rows(d_cols, d_rows)
-    if s_norm != d_norm:
-        diffs = [(a, b) for a, b in zip(s_norm, d_norm) if a != b][:3]
-        return False, f"{name}: values differ; first diffs {diffs}"
-    return True, f"{name}: OK ({len(s_rows)} rows)"
+    out["oracle_rows"] = len(d_rows)
+    out["schema_match"] = sorted(s_cols) == sorted(d_cols)
+    out["rows_match"] = len(s_rows) == len(d_rows)
+    out["_cols"] = (sorted(s_cols), sorted(d_cols))
+    if out["schema_match"] and out["rows_match"]:
+        _, s_norm = normalize_rows(s_cols, s_rows)
+        _, d_norm = normalize_rows(d_cols, d_rows)
+        out["hash_match"] = s_norm == d_norm
+        if not out["hash_match"]:
+            out["_diffs"] = [(a, b) for a, b in zip(s_norm, d_norm) if a != b][:3]
+    else:
+        out["hash_match"] = False
+    return out
+
+
+def compare_query_to_oracle(spark, sf_dir: str, name: str, fn, sql: str):
+    """Pytest-facing wrapper over compare_structured: (ok, message)."""
+    r = compare_structured(spark, sf_dir, fn, sql)
+    if not r["schema_match"]:
+        return False, f"{name}: columns differ spark={r['_cols'][0]} duck={r['_cols'][1]}"
+    if not r["rows_match"]:
+        return False, f"{name}: row count spark={r['spark_rows']} duck={r['oracle_rows']}"
+    if not r["hash_match"]:
+        return False, f"{name}: values differ; first diffs {r['_diffs']}"
+    return True, f"{name}: OK ({r['spark_rows']} rows)"

@@ -47,7 +47,11 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             "agg_freq_items",
             # 1-row invariant scalars (counts, subset/repeat checks)
             # broadcast-folded into the sample's contract row.
-            "sample_seeded", "agg_hll_sketch_merge"}
+            "sample_seeded", "agg_hll_sketch_merge",
+            # 1-row adaptive rescale divisors (max|dot|, max|w|) broadcast
+            # onto the per-row dots / 64-row direction each power step —
+            # the fixed-point analogue of the power method's norm scalar.
+            "embedding_pca_power3"}
 # Iterative drivers plan per-epoch; their inner plans are covered by the
 # single-epoch queries.
 _SKIP = {"aria_drain_batch", "aria_drain_skewed", "aria_drain_final_state"}

@@ -1,17 +1,27 @@
-"""Property tests for the round-3 operator additions: the FastSS
-edit-distance join's deletion-neighborhood completeness (including the
-insert/delete cases the fixture's fixed-length names never exercise) and
-the geo grid-bucket join's equivalence to brute force on adversarial
-point sets (cell-boundary straddlers)."""
+"""Property tests for the round-3 operator additions, driving the
+PRODUCTION functions (not re-pasted pipelines): the FastSS edit-distance
+join's deletion-neighborhood completeness (including the insert/delete
+cases the fixture's fixed-length names never exercise), the geo
+grid-bucket join's equivalence to brute force on adversarial point sets
+(cell-boundary straddlers), and the fixed-point power iteration's
+Rayleigh-monotonicity / exact-recurrence contract."""
 
 from __future__ import annotations
 
+import os
 import random
 
 import pytest
 from pyspark.sql import functions as F
 
-from bishe_gpu_database_spark.operators.geo import _CELL, _D
+from bishe_gpu_database_spark.operators.geo import _CELL, _D, _bucketed_candidates
+
+
+def _synthetic_dir(spark, tmp_path, name, df):
+    d = str(tmp_path / "sfdir")
+    os.makedirs(d, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, f"{name}.parquet"))
+    return d
 
 
 def _brute_lev(a: str, b: str) -> int:
@@ -29,67 +39,39 @@ def _brute_lev(a: str, b: str) -> int:
     return prev[lb]
 
 
-def _fastss_pairs(spark, names: list[str]):
-    """The exact candidate+verify pipeline dedup_editdist_fastss uses,
-    over an arbitrary name list."""
-    df = spark.createDataFrame(
-        [(i, n) for i, n in enumerate(names)], "k int, name string"
-    )
-    variants = df.select(
-        "k",
-        "name",
-        F.explode(
-            F.array_distinct(
-                F.concat(
-                    F.array(F.col("name")),
-                    F.expr(
-                        "transform(sequence(1, length(name)),"
-                        " i -> concat(substr(name, 1, i - 1), substr(name, i + 1)))"
-                    ),
-                )
-            )
-        ).alias("variant"),
-    )
-    a, b = variants.alias("a"), variants.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.variant") == F.col("b.variant")) & (F.col("a.k") < F.col("b.k")),
-        )
-        .select(
-            F.col("a.k").alias("u"),
-            F.col("b.k").alias("v"),
-            F.col("a.name").alias("u_name"),
-            F.col("b.name").alias("v_name"),
-        )
-        .distinct()
-    )
-    out = cand.filter(F.levenshtein("u_name", "v_name", 1) >= 0)
-    return {(r.u, r.v) for r in out.collect()}
+def test_fastss_complete_vs_bruteforce_mixed_lengths(spark, tmp_path):
+    """Random strings of varying length through the PRODUCTION
+    dedup_editdist_fastss (via a synthetic customer table): its result
+    must equal the brute-force ed<=1 pair set — substitutions,
+    insertions, deletions, and identical strings all covered."""
+    from bishe_gpu_database_spark.operators.dedup import dedup_editdist_fastss
 
-
-def test_fastss_complete_vs_bruteforce_mixed_lengths(spark):
-    """Random strings of varying length: FastSS candidates + verify must
-    equal the brute-force ed<=1 pair set — substitutions, insertions,
-    deletions, and identical strings all covered."""
     rng = random.Random(7)
     base = ["".join(rng.choice("abc") for _ in range(rng.randint(3, 8))) for _ in range(40)]
     # Seed guaranteed near-pairs of every edit kind.
     base += ["hello", "hallo", "hell", "helloo", "hello"]
+    df = spark.createDataFrame(
+        [(i, n, "BUILDING", 0, 0.0) for i, n in enumerate(base)],
+        "c_custkey bigint, c_name string, c_mktsegment string, "
+        "c_nationkey int, c_acctbal double",
+    )
+    d = _synthetic_dir(spark, tmp_path, "customer", df)
+    got = {(r.u, r.v) for r in dedup_editdist_fastss(spark, d).collect()}
     expected = {
         (i, j)
         for i in range(len(base))
         for j in range(i + 1, len(base))
         if _brute_lev(base[i], base[j]) <= 1
     }
-    assert _fastss_pairs(spark, base) == expected
+    assert got == expected
     assert expected, "fixture must contain at least one near pair"
 
 
 def test_geo_neighbor_bucketing_complete_on_boundaries(spark):
     """Points placed straddling cell boundaries (distance exactly _D,
-    _D±1, across a corner) — the grid-bucket join must produce exactly
-    the brute-force Chebyshev-ball pairs."""
+    _D±1, across a corner) through the production _bucketed_candidates —
+    must produce exactly the brute-force Chebyshev-ball pairs in both
+    directed and undirected modes."""
     rng = random.Random(11)
     pts = [(i, rng.randrange(0, 4 * _CELL), rng.randrange(0, 4 * _CELL)) for i in range(60)]
     # Adversarial straddlers around the cell seam at x = _CELL.
@@ -99,37 +81,19 @@ def test_geo_neighbor_bucketing_complete_on_boundaries(spark):
         pts.append((nid + 1, _CELL - 1 + dx, _CELL - 1 + dy))
         nid += 2
     df = spark.createDataFrame(pts, "k int, x long, y long").localCheckpoint()
-    home = df.select(
-        F.col("k").alias("v_k"), F.col("x").alias("v_x"), F.col("y").alias("v_y"),
-        F.expr(f"x div {_CELL}").alias("cx"), F.expr(f"y div {_CELL}").alias("cy"),
-    )
-    probe = df.withColumn(
-        "dxy",
-        F.expr("explode(flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))"),
-    ).select(
-        F.col("k").alias("u_k"), F.col("x").alias("u_x"), F.col("y").alias("u_y"),
-        (F.expr(f"x div {_CELL}") + F.col("dxy.dx")).alias("cx"),
-        (F.expr(f"y div {_CELL}") + F.col("dxy.dy")).alias("cy"),
-    )
-    got = {
-        (r.u, r.v)
-        for r in probe.join(home, ["cx", "cy"])
-        .filter(
-            (F.col("u_k") < F.col("v_k"))
-            & (F.abs(F.col("u_x") - F.col("v_x")) <= _D)
-            & (F.abs(F.col("u_y") - F.col("v_y")) <= _D)
-        )
-        .select(F.col("u_k").alias("u"), F.col("v_k").alias("v"))
-        .collect()
-    }
     expected = {
         (a[0], b[0])
         for i, a in enumerate(pts)
         for b in pts[i + 1 :]
         if abs(a[1] - b[1]) <= _D and abs(a[2] - b[2]) <= _D
     }
+    got = {(r.u, r.v) for r in _bucketed_candidates(df, directed=False).collect()}
     assert got == expected
     assert expected, "fixture must contain neighbor pairs"
+    got_directed = {
+        (r.u, r.v) for r in _bucketed_candidates(df, directed=True).collect()
+    }
+    assert got_directed == expected | {(v, u) for (u, v) in expected}
 
 
 def test_geo_neighbor_pairs_emitted_once(spark):
