@@ -939,7 +939,11 @@ def dedup_editdist_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: map-side variant generation, one shuffle, per-group fan-out
     bounded by real duplicate density. Complements the token-level
     similarity joins (``dedup_prefix_filter_join``, MinHash/LSH): this is
-    the CHARACTER-level fuzzy key-matching used for entity resolution."""
+    the CHARACTER-level fuzzy key-matching used for entity resolution.
+    Unit of edit: Spark's levenshtein counts Unicode characters while
+    some engines count bytes — identical on the ASCII keys this targets
+    (ids, SKUs, account names); normalize or transliterate first for
+    multi-byte alphabets."""
     seg = (
         t(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")

@@ -263,6 +263,9 @@ def geo_box_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _coord("bx", F.col("n_nationkey")).alias("bx"),
         _coord("by", F.col("n_nationkey")).alias("by"),
     )
+    # Truncation toward zero (not floor) is safe for a possibly-negative
+    # lower bound: it can only shift cell -1 up to cell 0, and negative
+    # cells contain no points (coordinates are in [0, 65536)).
     lo = lambda c: ((c - _HALF) / _BCELL).cast("bigint")
     hi = lambda c: ((c + _HALF) / _BCELL).cast("bigint")
     box_cells = (

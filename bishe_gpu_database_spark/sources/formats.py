@@ -814,3 +814,83 @@ def mv_rewrite_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents_total").alias("cents_total"),
         )
     )
+
+
+@register(
+    "catalog_analyze_stats",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderkey % 13 = 5 THEN NULL
+                  ELSE o_custkey END AS cust_or_null
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_s
+    FROM src
+    UNION ALL
+    SELECT 'cents', count(*), count(*) - count(cents),
+           CAST(min(cents) AS VARCHAR), CAST(max(cents) AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'cust_or_null', count(*), count(*) - count(cust_or_null),
+           CAST(min(cust_or_null) AS VARCHAR), CAST(max(cust_or_null) AS VARCHAR)
+    FROM src
+    """,
+)
+def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS — the CBO
+    statistics lifecycle: publish a catalog table, ANALYZE it, then read
+    min/max/null-count/row-count back FROM THE CATALOG (DESCRIBE
+    EXTENDED), not from the data. These are the numbers join reordering,
+    broadcast-threshold decisions, and filter-selectivity estimates run
+    on; at 100 TB ANALYZE is the scheduled maintenance pass whose cost is
+    one scan and whose absence silently degrades every plan. Only exact
+    catalog stats are emitted (min/max/null/row counts on integer
+    columns — distinct_count is an HLL estimate and stays out); the
+    oracle recomputes them from the source fixture, so the hash gate
+    proves the catalog's numbers are THE data's numbers. A deliberately
+    nullable column checks null accounting."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tbl = f"analyze_orders_{sf_tag}"
+    loc = os.path.join(_SCRATCH, f"catalog_{tbl}")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_an_orders_src")
+    spark.sql(
+        f"""CREATE TABLE IF NOT EXISTS {tbl}
+            (o_orderkey BIGINT, cents BIGINT, cust_or_null BIGINT)
+            USING parquet LOCATION '{loc}'"""
+    )
+    spark.sql(
+        f"""INSERT OVERWRITE {tbl}
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT),
+                   CASE WHEN o_orderkey % 13 = 5 THEN NULL
+                        ELSE o_custkey END
+            FROM _an_orders_src"""
+    )
+    spark.sql(
+        f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS"
+        " o_orderkey, cents, cust_or_null"
+    )
+    rows = []
+    n_rows = None
+    for line in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect():
+        if line.col_name.strip() == "Statistics":
+            # e.g. '1234 bytes, 15000 rows'
+            for tok in line.data_type.split(","):
+                tok = tok.strip()
+                if tok.endswith("rows"):
+                    n_rows = int(tok.split()[0])
+    for col in ("o_orderkey", "cents", "cust_or_null"):
+        info = {
+            r.info_name: r.info_value
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl} {col}").collect()
+        }
+        rows.append(
+            (col, n_rows, int(info["num_nulls"]), info["min"], info["max"])
+        )
+    return spark.createDataFrame(
+        rows, "col_name string, n_rows bigint, n_nulls bigint, min_s string, max_s string"
+    )
