@@ -332,3 +332,87 @@ def graph_shortest_cost_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("FROM events", "FROM _sssp_events")
         .replace("1000000 AS BIGINT) / n", "1000000 AS BIGINT) DIV n")
     )
+
+
+_LP_EDGES = f"""
+    e0 AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey + {_OFFSET} AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT s AS src, c AS dst FROM e0
+              UNION ALL SELECT c AS src, s AS dst FROM e0)
+"""
+
+_LP_ROUND = """
+    r{k}c AS (
+      SELECT e.src AS node_id, l.lbl, count(*) AS n
+      FROM edges e JOIN l{p} l ON e.dst = l.node_id
+      GROUP BY e.src, l.lbl
+    ),
+    l{k} AS (
+      SELECT node_id, lbl FROM (
+        SELECT node_id, lbl,
+               row_number() OVER (PARTITION BY node_id
+                                  ORDER BY n DESC, lbl ASC) AS rn
+        FROM r{k}c
+      ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "graph_label_communities",
+    oracle=f"""
+    WITH {_LP_EDGES},
+    l0 AS (SELECT DISTINCT src AS node_id, src AS lbl FROM edges),
+    {_LP_ROUND.format(k=1, p=0)},
+    {_LP_ROUND.format(k=2, p=1)}
+    SELECT node_id, lbl AS community FROM l2
+    """,
+)
+def graph_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (two fixed
+    rounds) over the supplier↔customer co-trade graph: every node starts
+    as its own label; each round it adopts the MOST FREQUENT label among
+    its neighbors, ties to the smallest label — fully deterministic, so
+    the assignment hash-gates cross-engine. This completes the engine's
+    iterative-graph triple: value-converging (PageRank), set-stabilizing
+    (connected components in dedup_clusters), and frequency-based (this —
+    the shape that finds dense groups CC merges away, since CC only needs
+    ONE bridging edge to fuse two communities). Per round: one edge⋈label
+    join (label table is node-sized — AQE picks broadcast vs shuffle, the
+    same trade documented on the PageRank rank join), one partial-agg'd
+    (node, label) count, one per-node argmax window partitioned on the
+    node key. Edges and the fact-derivation join run ONCE
+    (localCheckpoint), exactly as in graph_pagerank_3iter."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + F.lit(_OFFSET)).alias("c"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionByName(
+        e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    ).localCheckpoint()
+    labels = edges.select(F.col("src").alias("node_id")).distinct().select(
+        "node_id", F.col("node_id").alias("lbl")
+    )
+    w = W.partitionBy("node_id").orderBy(F.col("n").desc(), F.col("lbl").asc())
+    for _ in range(2):
+        counts = (
+            edges.join(labels, edges.dst == labels.node_id)
+            .groupBy(edges.src.alias("node_id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node_id", "lbl")
+        )
+    return labels.select("node_id", F.col("lbl").alias("community"))

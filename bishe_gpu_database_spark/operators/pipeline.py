@@ -915,3 +915,67 @@ def pipeline_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
         .limit(20)
     )
+
+
+@register(
+    "pipeline_oversample_balance",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    target AS (SELECT max(n) AS tgt FROM counts),
+    plan AS (
+      SELECT lang, n, tgt,
+             CAST((tgt + n - 1) // n AS BIGINT) AS factor
+      FROM counts, target
+    ),
+    expanded AS (
+      SELECT d.doc_id, d.lang, r.copy_idx
+      FROM documents d
+      JOIN plan p ON d.lang = p.lang,
+      UNNEST(generate_series(1, p.factor)) AS r(copy_idx)
+    )
+    SELECT lang,
+           min(n) AS n_before,
+           count(*) AS n_after,
+           min(factor) AS factor,
+           SUM(doc_id * copy_idx) AS weighted_checksum
+    FROM expanded JOIN plan USING (lang)
+    GROUP BY lang
+    """,
+)
+def pipeline_oversample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing by deterministic oversampling — the
+    minority-class replication step of a training-mixture build: each
+    language's documents replicate ceil(max_class / n) times (every doc
+    the same factor, copy index attached so downstream shuffles can
+    de-correlate replicas), bringing every class to at least the
+    majority's size. The per-class factor is a 5-row broadcast plan; the
+    replication is a narrow map-side ``explode(sequence(1, factor))`` —
+    no shuffle touches the replicated rows until the training pipeline's
+    own global shuffle. The checksum Σ doc_id·copy_idx proves every
+    (doc, copy) pair materialized exactly once. The dual (downsampling)
+    is pipeline_source_mixture's hash-rate gate; temperature-weighted
+    mixing is pipeline_mixture_temperature."""
+    d = widen(t(spark, sf_dir, "documents")).select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    target = counts.agg(F.max("n").alias("tgt"))
+    plan = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        "n",
+        "tgt",
+        F.expr("CAST((tgt + n - 1) DIV n AS BIGINT)").alias("factor"),
+    )
+    expanded = d.join(F.broadcast(plan), "lang").select(
+        "lang",
+        "doc_id",
+        "n",
+        "factor",
+        F.explode(F.expr("sequence(1, factor)")).alias("copy_idx"),
+    )
+    return expanded.groupBy("lang").agg(
+        F.min("n").alias("n_before"),
+        F.count(F.lit(1)).alias("n_after"),
+        F.min("factor").alias("factor"),
+        F.sum(F.col("doc_id") * F.col("copy_idx")).alias("weighted_checksum"),
+    )

@@ -51,7 +51,10 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             # 1-row adaptive rescale divisors (max|dot|, max|w|) broadcast
             # onto the per-row dots / 64-row direction each power step —
             # the fixed-point analogue of the power method's norm scalar.
-            "embedding_pca_power3"}
+            "embedding_pca_power3",
+            # 1-row majority-class target broadcast onto the 5-row
+            # per-class replication plan.
+            "pipeline_oversample_balance"}
 # Iterative drivers plan per-epoch; their inner plans are covered by the
 # single-epoch queries.
 _SKIP = {"aria_drain_batch", "aria_drain_skewed", "aria_drain_final_state"}
