@@ -979,3 +979,89 @@ def pipeline_oversample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("factor").alias("factor"),
         F.sum(F.col("doc_id") * F.col("copy_idx")).alias("weighted_checksum"),
     )
+
+
+@register(
+    "pipeline_dsir_resample",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, source,
+             ('0x' || substr(md5(tk), 1, 12))::BIGINT % 32 AS bucket
+      FROM (SELECT doc_id, lang, source,
+                   unnest(string_split(
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tk
+            FROM documents)
+    ),
+    corpus AS (SELECT bucket, count(*) AS ccnt FROM tok GROUP BY bucket),
+    target AS (SELECT bucket, count(*) AS tcnt FROM tok
+               WHERE source = 'src0' GROUP BY bucket),
+    ratio AS (
+      SELECT c.bucket, COALESCE(t.tcnt, 0) * 1000000 // c.ccnt AS ppm
+      FROM corpus c LEFT JOIN target t ON c.bucket = t.bucket
+    ),
+    scored AS (
+      SELECT tok.doc_id, tok.lang, SUM(ratio.ppm) AS score
+      FROM tok JOIN ratio ON tok.bucket = ratio.bucket
+      GROUP BY tok.doc_id, tok.lang
+    )
+    SELECT lang, doc_id, score FROM (
+      SELECT lang, doc_id, score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= 20
+    """,
+)
+def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS '23): select the
+    general-corpus documents whose hashed-n-gram feature distribution
+    best matches a target domain. Features are 32 hashed unigram buckets
+    (md5 48-bit → %32); the target distribution is the source='src0'
+    slice, the proposal is the whole corpus; each token contributes the
+    integer ppm ratio tcnt(bucket)·10⁶ DIV ccnt(bucket) and a document's
+    importance score is the sum over its token occurrences — the
+    integer-arithmetic analogue of Σ log p_target/p_proposal that keeps
+    the score an exact BIGINT (hash-identical cross-engine, no float
+    log). Resampling keeps the top-20 per language by (score, doc_id).
+    At 100 TB: the bucket stats are a 32-row table broadcast back onto
+    the map-side token stream (zero extra shuffle for scoring — the only
+    shuffles are the tiny stats aggregate and the per-doc score
+    groupBy), and the per-lang top-k is the standard windowed rank;
+    scoring cost is one pass over the corpus regardless of target size,
+    DSIR's defining property vs train-a-classifier selection."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", F.explode(tokens(F.col("text"))).alias("tk"))
+        .withColumn(
+            "bucket",
+            F.pmod(
+                F.conv(F.substring(F.md5("tk"), 1, 12), 16, 10).cast("bigint"),
+                F.lit(32),
+            ),
+        )
+    )
+    corpus = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("ccnt"))
+    target = (
+        tok.filter(F.col("source") == "src0")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tcnt"))
+    )
+    ratio = (
+        corpus.join(target, "bucket", "left")
+        .select(
+            "bucket",
+            F.expr("COALESCE(tcnt, 0) * 1000000 DIV ccnt").alias("ppm"),
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("ppm").alias("score"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id", "score")
+    )

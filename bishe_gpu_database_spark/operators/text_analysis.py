@@ -609,3 +609,111 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", score.alias("score"), (score > 0).alias("keep")
     )
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tk), 1, 12))::BIGINT AS h
+      FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS tk
+            FROM documents WHERE doc_id < 40)
+    )
+    SELECT doc_id,
+           h % 64 AS feature_idx,
+           SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS value
+    FROM tok
+    GROUP BY doc_id, feature_idx
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al. ICML '09):
+    project each document's bag-of-words into a fixed 64-dimensional
+    sparse vector without any vocabulary table — feature index is the
+    token's 48-bit md5 hash mod 64, and a second hash bit supplies the
+    ±1 sign that makes collisions cancel in expectation (the
+    signed-hash-kernel unbiasedness argument). Output is the sparse COO
+    form (doc_id, feature_idx, value) the engine's hashed-linear
+    classifier (``text_hashed_classifier``) consumes. Entirely stateless
+    map-side expression work: no vocabulary broadcast, no dictionary
+    fit — THE property that makes it the 100 TB featurizer (a
+    vocabulary-indexed CountVectorizer needs a corpus-wide distinct +
+    broadcast that grows with data; this needs nothing) — followed by
+    one partial-aggregated groupBy on (doc_id, idx). Restricted to
+    doc_id < 40 only to bound the oracle-compared output; the plan is
+    identical unbounded."""
+    tok = (
+        widen_docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tk"))
+        .select("doc_id", h48(F.col("tk")).alias("h"))
+    )
+    sign = F.when(F.expr("(h DIV 64) % 2 = 0"), F.lit(1)).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", (F.col("h") % 64).alias("feature_idx"), sign.alias("s"))
+        .groupBy("doc_id", "feature_idx")
+        .agg(F.sum("s").alias("value"))
+    )
+
+
+# Dictionary for multi-pattern matching: category-tagged literal tokens.
+_DICT = [
+    ("fast", "perf"),
+    ("slow", "perf"),
+    ("join", "op"),
+    ("scan", "op"),
+    ("filter", "op"),
+    ("agg", "op"),
+    ("spark", "infra"),
+    ("table", "infra"),
+    ("hash", "infra"),
+]
+
+
+@register(
+    "text_multipattern_match",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tk FROM documents
+    ),
+    dict AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"('{p}', '{c}')" for p, c in _DICT)}
+      ) v(pattern, category)
+    )
+    SELECT d.category, d.pattern,
+           count(*) AS n_hits,
+           count(DISTINCT t.doc_id) AS n_docs
+    FROM tok t JOIN dict d ON t.tk = d.pattern
+    GROUP BY d.category, d.pattern
+    """,
+)
+def text_multipattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern dictionary matching: count occurrences and document
+    frequency of every pattern in a category-tagged dictionary across the
+    corpus in ONE pass. Spark-first shape: tokenize map-side, equi-join
+    the token stream against the broadcast dictionary, aggregate — the
+    distributed analogue of Aho–Corasick (one corpus scan regardless of
+    dictionary size), and the scalable alternative to the
+    per-row regex alternation `rlike('p1|p2|…')`, which is O(dict) per
+    row, can't report per-pattern counts, and rebuilds the automaton in
+    every task. At 100 TB: the dictionary (thousands of entries — PII
+    terms, blocklists, eval-contamination markers) broadcasts in KB–MB,
+    the token explode never materializes (pipelined into the join probe),
+    and n_hits/n_docs partial-aggregate map-side. Multi-word patterns
+    compose by matching on the engine's existing shingle stream
+    (``shingles_of``) instead of unigram tokens — same join, longer
+    keys."""
+    tok = widen_docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tk")
+    )
+    dict_df = spark.createDataFrame(_DICT, "pattern string, category string")
+    return (
+        tok.join(F.broadcast(dict_df), tok.tk == dict_df.pattern)
+        .groupBy("category", "pattern")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )

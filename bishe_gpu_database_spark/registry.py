@@ -80,6 +80,7 @@ def _ensure_loaded() -> None:
     import bishe_gpu_database_spark.operators.geo  # noqa: F401
     import bishe_gpu_database_spark.operators.cdc  # noqa: F401
     import bishe_gpu_database_spark.operators.sketches  # noqa: F401
+    import bishe_gpu_database_spark.operators.linkage  # noqa: F401
     import bishe_gpu_database_spark.aria.queries  # noqa: F401
     import bishe_gpu_database_spark.streaming.batch_twins  # noqa: F401
     import bishe_gpu_database_spark.sources.formats  # noqa: F401
