@@ -628,14 +628,15 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature hashing (the "hashing trick", Weinberger et al. ICML '09):
-    project each document's bag-of-words into a fixed 64-dimensional
-    sparse vector without any vocabulary table — feature index is the
-    token's 48-bit md5 hash mod 64, and a second hash bit supplies the
-    ±1 sign that makes collisions cancel in expectation (the
-    signed-hash-kernel unbiasedness argument). Output is the sparse COO
-    form (doc_id, feature_idx, value) the engine's hashed-linear
-    classifier (``text_hashed_classifier``) consumes. Entirely stateless
+    """SIGNED feature hashing (the hash-kernel of Weinberger et al.
+    ICML '09) — the unbiased companion to ``text_hashing_features``:
+    that query is plain HashingTF (non-negative term-frequency counts,
+    collisions ADD and bias inner products upward); this one draws a ±1
+    sign from a second hash bit so colliding tokens cancel in
+    expectation, making hashed inner products unbiased estimates of the
+    true bag-of-words kernel — the variant you feed to linear models.
+    Feature index is the token's 48-bit md5 hash mod 64; output is the
+    sparse COO form (doc_id, feature_idx, value). Entirely stateless
     map-side expression work: no vocabulary broadcast, no dictionary
     fit — THE property that makes it the 100 TB featurizer (a
     vocabulary-indexed CountVectorizer needs a corpus-wide distinct +

@@ -894,3 +894,75 @@ def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "col_name string, n_rows bigint, n_nulls bigint, min_s string, max_s string"
     )
+
+
+@register(
+    "catalog_join_cardinality",
+    oracle="""
+    WITH ho AS (
+      SELECT o_custkey % 64 AS b, count(*) AS cnt,
+             count(DISTINCT o_custkey) AS ndv
+      FROM orders GROUP BY b
+    ),
+    hc AS (
+      SELECT c_custkey % 64 AS b, count(*) AS cnt,
+             count(DISTINCT c_custkey) AS ndv
+      FROM customer GROUP BY b
+    ),
+    est AS (
+      SELECT CAST(SUM(ho.cnt * hc.cnt // greatest(ho.ndv, hc.ndv)) AS BIGINT)
+             AS est_rows
+      FROM ho JOIN hc ON ho.b = hc.b
+    ),
+    act AS (
+      SELECT count(*) AS actual_rows
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT est_rows, actual_rows,
+           est_rows * 1000000 // actual_rows AS est_over_actual_ppm
+    FROM est, act
+    """,
+)
+def catalog_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based equi-join cardinality estimation — the System-R /
+    Selinger formula the cost-based optimizer runs on the
+    ``catalog_analyze_stats`` numbers before choosing a join strategy:
+    bucket both key columns into a 64-bin coarse histogram, estimate each
+    bucket's join contribution as cnt_a·cnt_b DIV max(ndv_a, ndv_b)
+    (containment + uniformity-within-bucket assumptions), sum, and
+    compare against the TRUE join count as an exact ppm ratio. The
+    histograms are one aggregate pass per table over key-modulo ints (at
+    100 TB this is what ANALYZE materializes once and every subsequent
+    plan reuses for free — the estimate itself costs 64 rows of
+    arithmetic, vs actually running the join); the true-count branch here
+    exists only to make the estimator's error oracle-checkable. All
+    integer arithmetic (DIV), so the ppm hashes bit-for-bit. Broadcast
+    vs shuffle decisions, join reordering, and AQE's initial partition
+    sizing all consume exactly this estimate."""
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    ho = o.groupBy((F.col("o_custkey") % 64).alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt_o"), F.countDistinct("o_custkey").alias("ndv_o")
+    )
+    hc = c.groupBy((F.col("c_custkey") % 64).alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt_c"), F.countDistinct("c_custkey").alias("ndv_c")
+    )
+    est = (
+        ho.join(hc, "b")
+        .select(
+            F.expr("cnt_o * cnt_c DIV greatest(ndv_o, ndv_c)").alias("contrib")
+        )
+        .agg(F.sum("contrib").cast("long").alias("est_rows"))
+    )
+    act = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return (
+        est.crossJoin(F.broadcast(act))
+        .select(
+            "est_rows",
+            "actual_rows",
+            F.expr("est_rows * 1000000 DIV actual_rows").alias("est_over_actual_ppm"),
+        )
+    )
