@@ -1065,3 +1065,100 @@ def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id", "score")
     )
+
+
+@register(
+    "pipeline_curriculum_order",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, {_SQL_NTOK} AS n_tok FROM documents
+    ),
+    phased AS (
+      SELECT lang, doc_id, n_tok,
+             ntile(4) OVER (PARTITION BY lang
+                            ORDER BY n_tok, doc_id) AS phase
+      FROM d
+    )
+    SELECT lang, phase,
+           count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS phase_tokens,
+           CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+           MIN(doc_id) AS first_doc
+    FROM phased
+    GROUP BY lang, phase
+    """,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (Bengio et al. ICML '09 applied to corpus
+    scheduling): assign every document to one of 4 training phases by
+    per-language difficulty quartile — difficulty here is the BPE-ish
+    token count, the usual short→long curriculum — with a deterministic
+    (n_tok, doc_id) tie-break so phase assignment is reshuffle-stable.
+    ntile(4) over (lang) keeps the ranking window PARTITIONED (never a
+    single global sort); per-phase token budgets and boundaries come out
+    of the same pass. At 100 TB the per-lang window is the one shuffle,
+    and phases then feed ``pipeline_pack_sequences`` per phase; a fully
+    global curriculum would instead reuse the range-partition rank of
+    ``agg_ntile_scalable`` (identical arithmetic, no single-partition
+    bottleneck)."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    )
+    w = Window.partitionBy("lang").orderBy("n_tok", "doc_id")
+    phased = d.select("doc_id", "lang", n_tok.alias("n_tok")).withColumn(
+        "phase", F.ntile(4).over(w)
+    )
+    return phased.groupBy("lang", "phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("phase_tokens"),
+        F.min("n_tok").cast("long").alias("min_tok"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
+    "pipeline_group_kfold",
+    oracle="""
+    WITH g AS (
+      SELECT source,
+             ('0x' || substr(md5(source), 1, 12))::BIGINT % 5 AS fold
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT g.fold, count(*) AS n_docs,
+           count(DISTINCT d.source) AS n_groups,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN g ON d.source = g.source
+    GROUP BY g.fold
+    """,
+)
+def pipeline_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP k-fold assignment for leakage-safe cross-validation: the
+    fold is a pure hash of the GROUP key (source), never the row, so
+    every document from one source — where near-duplicates and shared
+    boilerplate live — lands in the same fold and can never leak across
+    a train/eval boundary (the failure mode of row-wise splits that
+    ``pipeline_decontaminate`` mops up after the fact; this prevents it
+    structurally). Membership is a deterministic function of the key:
+    stable under reshuffles, repartitions, and incremental ingest, and
+    computable map-side with ZERO extra shuffle in any downstream query
+    (the fold column is an expression, not a join — the join here only
+    makes the per-fold audit oracle-checkable). The fold-balance
+    counts this emits are the check that hash-balanced groups also
+    balanced the ROWS; badly skewed group sizes at 100 TB would show up
+    here and argue for stratified group assignment instead."""
+    d = t(spark, sf_dir, "documents")
+    fold = F.pmod(
+        F.conv(F.substring(F.md5("source"), 1, 12), 16, 10).cast("bigint"), F.lit(5)
+    )
+    return (
+        d.select("source", "n_chars", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_groups"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
