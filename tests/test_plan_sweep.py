@@ -54,7 +54,16 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             "embedding_pca_power3",
             # 1-row majority-class target broadcast onto the 5-row
             # per-class replication plan.
-            "pipeline_oversample_balance"}
+            "pipeline_oversample_balance",
+            # Bounded query/anchor/eval batch broadcast × corpus stream —
+            # the same shape as ann_cosine_topk (hard negatives, LOO kNN
+            # eval, and dimension-truncation recall all score a ≤32-row
+            # broadcast batch against the streaming corpus).
+            "embedding_hard_negatives", "embedding_knn_classify",
+            "embedding_matryoshka_recall",
+            # 1-row exact-join-count scalar broadcast onto the 1-row
+            # histogram estimate for the ppm comparison.
+            "catalog_join_cardinality"}
 # Iterative drivers plan per-epoch; their inner plans are covered by the
 # single-epoch queries.
 _SKIP = {"aria_drain_batch", "aria_drain_skewed", "aria_drain_final_state"}
