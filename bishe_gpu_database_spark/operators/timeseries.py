@@ -970,9 +970,20 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/database/ycsb/TransctionManager.cuh:115-185) is exactly a
     concurrency counter over [start, commit) intervals."""
     e = t(spark, sf_dir, "events").select("event_type", F.unix_micros("ts").alias("tsu"))
-    pts = e.select("event_type", F.col("tsu").alias("t"), F.lit(1).alias("delta")).unionByName(
-        e.select("event_type", (F.col("tsu") + F.lit(300_000_000)).alias("t"), F.lit(-1).alias("delta"))
-    )
+    # ONE scan: each interval emits its ±1 endpoints via a map-side
+    # explode instead of a union of two reads of the fact table.
+    pts = e.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("tsu").alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.col("tsu") + F.lit(300_000_000)).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("p"),
+    ).select("event_type", F.col("p.t").alias("t"), F.col("p.delta").alias("delta"))
     wrun = (
         Window.partitionBy("event_type")
         .orderBy("t", "delta")
