@@ -124,3 +124,48 @@ def test_multipattern_counts_match_manual_scan(spark):
         ).collect()[0]
         assert (manual["h"], manual["d"]) == (n_hits, n_docs)
         assert n_docs <= n_hits
+
+
+def test_hard_negatives_labels_differ_and_ranked(spark):
+    """Every mined negative must carry a different label than its anchor,
+    ranks are 1..5 per anchor, and cosines are non-increasing in rank."""
+    from bishe_gpu_database_spark.operators.similarity import embedding_hard_negatives
+
+    rows = embedding_hard_negatives(spark, SF_SMALL).collect()
+    per_anchor = {}
+    for r in rows:
+        assert r["anchor_label"] != r["neg_label"]
+        per_anchor.setdefault(r["anchor_id"], []).append((r["rank"], r["cosine"]))
+    for anchor, rs in per_anchor.items():
+        rs.sort()
+        assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
+        cosines = [c for _, c in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_knn_confusion_accounts_every_eval_vector(spark):
+    """Confusion-matrix counts must sum to the eval-batch size and every
+    prediction carries 1..5 votes."""
+    from bishe_gpu_database_spark.operators.similarity import embedding_knn_classify
+    from bishe_gpu_database_spark.operators.relational import t
+
+    rows = embedding_knn_classify(spark, SF_SMALL).collect()
+    n_eval = t(spark, SF_SMALL, "embeddings").filter(F.col("vec_id") < 32).count()
+    assert sum(r["n_vectors"] for r in rows) == n_eval
+    for r in rows:
+        # total_votes aggregates the winner's votes: 1..5 per vector
+        assert r["n_vectors"] <= r["total_votes"] <= 5 * r["n_vectors"]
+
+
+def test_matryoshka_recall_bounds(spark):
+    """Truncated-recall overlap is 0..10 per query and ppm is exactly
+    n_overlap/10 in ppm."""
+    from bishe_gpu_database_spark.operators.similarity import (
+        embedding_matryoshka_recall,
+    )
+
+    rows = embedding_matryoshka_recall(spark, SF_SMALL).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= 10
+        assert r["recall_ppm"] == r["n_overlap"] * 1000000 // 10
