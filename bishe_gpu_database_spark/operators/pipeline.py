@@ -1024,12 +1024,14 @@ def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-arithmetic analogue of Σ log p_target/p_proposal that keeps
     the score an exact BIGINT (hash-identical cross-engine, no float
     log). Resampling keeps the top-20 per language by (score, doc_id).
-    At 100 TB: the bucket stats are a 32-row table broadcast back onto
-    the map-side token stream (zero extra shuffle for scoring — the only
-    shuffles are the tiny stats aggregate and the per-doc score
-    groupBy), and the per-lang top-k is the standard windowed rank;
-    scoring cost is one pass over the corpus regardless of target size,
-    DSIR's defining property vs train-a-classifier selection."""
+    At 100 TB: exactly TWO corpus passes — one fused stats aggregate
+    (corpus and target bucket counts share the pass via a conditional
+    count) and one scoring pass where the 32-row stats table broadcasts
+    back onto the map-side token stream (zero extra shuffle; the only
+    exchanges are the tiny stats aggregate and the per-doc score
+    groupBy) — and the per-lang top-k is the standard windowed rank;
+    cost is independent of target size, DSIR's defining property vs
+    train-a-classifier selection."""
     tok = (
         t(spark, sf_dir, "documents")
         .select("doc_id", "lang", "source", F.explode(tokens(F.col("text"))).alias("tk"))
@@ -1041,18 +1043,16 @@ def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    corpus = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("ccnt"))
-    target = (
-        tok.filter(F.col("source") == "src0")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tcnt"))
-    )
+    # ONE fused stats aggregate: corpus and target bucket counts come out
+    # of the same pass (conditional count), so the whole query is exactly
+    # two corpus scans — stats, then scoring — not three.
     ratio = (
-        corpus.join(target, "bucket", "left")
-        .select(
-            "bucket",
-            F.expr("COALESCE(tcnt, 0) * 1000000 DIV ccnt").alias("ppm"),
+        tok.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("ccnt"),
+            F.count(F.when(F.col("source") == "src0", 1)).alias("tcnt"),
         )
+        .select("bucket", F.expr("tcnt * 1000000 DIV ccnt").alias("ppm"))
     )
     scored = (
         tok.join(F.broadcast(ratio), "bucket")
