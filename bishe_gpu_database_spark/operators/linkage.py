@@ -63,54 +63,56 @@ _W_SIGN_A, _W_SIGN_D = 926, -3322     # m=0.95, u=0.5
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood dedup candidates: rank customers inside each
     nation by (acctbal cents, custkey), then emit every pair at most 3
-    sort positions apart whose balances differ by ≤ $50. The window join
-    is an EQUI-join — each row explodes to its 3 probe ranks
-    (sequence(rn+1, rn+3)) and matches on (nation, rank) — so candidate
-    generation is one shuffle with fan-out exactly w-1, never the
-    quadratic block cross product Fellegi–Sunter blocking degrades to on
-    skewed keys. The sort rank is computed per nation (the multi-pass SNM
-    key), keeping the window partitioned-parallel; a single global pass
-    would use the range-repartition rank of ``agg_ntile_scalable``
-    (identical arithmetic). At 100 TB: ranking is the usual windowed
-    shuffle, the probe explode is map-side, and the candidate count is
-    N·(w-1) rows regardless of duplicate density — the property that made
-    SNM the standard pre-LSH blocking scheme. The ≤$50 gap verify runs on
-    already-adjacent rows, so widening w trades recall for exactly linear
-    extra cost."""
-    ranked = (
-        t(spark, sf_dir, "customer")
-        .select(
-            F.col("c_nationkey").alias("nation"),
-            F.col("c_custkey").alias("k"),
-            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
-            F.col("c_mktsegment").alias("seg"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("nation").orderBy("cents", "k")
-            ),
-        )
+    sort positions apart whose balances differ by ≤ $50. ONE window pass
+    does everything: each row reads its 3 successors with lead(k) over
+    the same (nation, cents, custkey) sort and emits the pairs map-side
+    via an explode — no self-join, no second derivation of the ranked
+    table, and candidate count exactly N·(w-1) regardless of duplicate
+    density (the property that made SNM the standard pre-LSH blocking
+    scheme; a key-skewed block cross product has no such bound). The sort
+    runs per nation (the multi-pass SNM key), keeping the window
+    partitioned-parallel; a single global pass would use the
+    range-repartition rank of ``agg_ntile_scalable`` (identical
+    arithmetic). At 100 TB this is one shuffle on the blocking key plus
+    a map-side explode; the ≤$50 gap verify runs on already-adjacent
+    rows, so widening w trades recall for exactly linear extra cost."""
+    ranked = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
     )
-    probes = ranked.select(
+    w = W.partitionBy("nation").orderBy("cents", "k")
+    with_leads = ranked.select(
         "nation",
         F.col("k").alias("u"),
-        F.col("cents").alias("u_cents"),
-        F.col("seg").alias("u_seg"),
-        F.col("rn").alias("u_rn"),
-        F.explode(F.sequence(F.col("rn") + 1, F.col("rn") + 3)).alias("rn"),
+        "cents",
+        "seg",
+        F.array(
+            *[
+                F.struct(
+                    F.lead("k", d).over(w).alias("v"),
+                    F.lead("cents", d).over(w).alias("v_cents"),
+                    F.lead("seg", d).over(w).alias("v_seg"),
+                    F.lit(d).cast("bigint").alias("window_dist"),
+                )
+                for d in (1, 2, 3)
+            ]
+        ).alias("succ"),
     )
+    pair = F.explode("succ").alias("p")
     return (
-        probes.join(ranked, ["nation", "rn"])
-        .withColumn("bal_gap_cents", F.col("cents") - F.col("u_cents"))
+        with_leads.select("nation", "u", "cents", "seg", pair)
+        .filter(F.col("p.v").isNotNull())
+        .withColumn("bal_gap_cents", F.col("p.v_cents") - F.col("cents"))
         .filter(F.col("bal_gap_cents") <= 5000)
         .select(
             "nation",
             "u",
-            F.col("k").alias("v"),
+            F.col("p.v").alias("v"),
             "bal_gap_cents",
-            (F.col("rn") - F.col("u_rn")).cast("bigint").alias("window_dist"),
-            (F.col("u_seg") == F.col("seg")).alias("same_segment"),
+            F.col("p.window_dist").alias("window_dist"),
+            (F.col("seg") == F.col("p.v_seg")).alias("same_segment"),
         )
     )
 
