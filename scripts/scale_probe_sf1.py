@@ -50,6 +50,11 @@ PROBES = [
     "quality_table_checksum",    # full-scan commutative fold
     "pipeline_e2e_corpus",       # composed corpus build
     "timeseries_cusum_changepoint",  # daily series windows over fact scan
+    # r3 additions: the new op families whose driving table scales 10x.
+    "join_asof",                 # single-scan union+window as-of
+    "pipeline_dsir_resample",    # two-pass importance scoring
+    "text_multipattern_match",   # token stream x broadcast dictionary
+    "embedding_hard_negatives",  # broadcast anchor batch x 10x corpus
 ]
 
 SHIFTS = {
