@@ -1033,7 +1033,7 @@ def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is independent of target size, DSIR's defining property vs
     train-a-classifier selection."""
     tok = (
-        t(spark, sf_dir, "documents")
+        widen(t(spark, sf_dir, "documents"))
         .select("doc_id", "lang", "source", F.explode(tokens(F.col("text"))).alias("tk"))
         .withColumn(
             "bucket",

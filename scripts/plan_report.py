@@ -43,9 +43,19 @@ HEADLINE = [
     "timeseries_cusum_changepoint",
     "embedding_pca_power3",
     "graph_label_communities",
+    "dedup_sorted_neighborhood",
+    "pipeline_dsir_resample",
+    "text_multipattern_match",
+    "embedding_hard_negatives",
+    "catalog_join_cardinality",
 ]
 
 NOTES = {
+    "dedup_sorted_neighborhood": "ONE Window (lead 1..3) + map-side explode — no self-join of the ranked table, candidates bounded N·(w−1)",
+    "pipeline_dsir_resample": "one fused conditional stats aggregate; the 32-row ratio table returns as a BroadcastHashJoin onto the token stream — exactly two corpus passes",
+    "text_multipattern_match": "token explode pipelines into a BroadcastHashJoin probe against the dictionary; counts partial-aggregate map-side",
+    "embedding_hard_negatives": "bounded anchor batch broadcasts (BNLJ is the algorithm); label-inequality prunes before the cosine fold; corpus streams once",
+    "catalog_join_cardinality": "both histograms are partial-agg'd scans; the estimate is 64 rows of arithmetic — the true-count branch exists only for the ppm oracle",
     "geo_neighbor_pairs": "distance join planned as an EQUI hash/SMJ join on (cx, cy) cell keys — no BroadcastNestedLoop, no cartesian; 3x3 probe explosion is a constant-factor map-side fan-out",
     "dedup_editdist_fastss": "candidate generation is an equi-join on the deletion-variant string; levenshtein verify runs post-join on candidates only",
     "timeseries_cusum_changepoint": "one fact shuffle to the daily series; all windows over the dimension-sized (type, day) table; DECIMAL(38,0) sums",
