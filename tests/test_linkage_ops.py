@@ -169,3 +169,19 @@ def test_matryoshka_recall_bounds(spark):
     for r in rows:
         assert 0 <= r["n_overlap"] <= 10
         assert r["recall_ppm"] == r["n_overlap"] * 1000000 // 10
+
+
+def test_semdedup_accounting(spark):
+    """Cell sizes must partition the corpus, keeps+drops reconcile, and
+    the keeper count is at least one per non-empty cell (the lowest
+    vec_id always survives)."""
+    from bishe_gpu_database_spark.operators.similarity import dedup_semdedup
+
+    rows = dedup_semdedup(spark, SF_SMALL).collect()
+    n_corpus = t(spark, SF_SMALL, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == n_corpus
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_vectors"]
+        assert r["n_kept"] >= 1
+        if r["n_dropped"] > 0:
+            assert r["max_cosine"] is not None and r["max_cosine"] >= 0.40

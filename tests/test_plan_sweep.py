@@ -23,6 +23,9 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             # IVF-PQ composes both codebook cross-joins (constant-size
             # broadcast sides: coarse centroids + PQ codebook).
             "ann_ivfpq_topk",
+            # SemDeDup reuses the IVF 1-row broadcast-centroid-array fold
+            # for cell assignment; the pairwise step is a cid equi-join.
+            "dedup_semdedup",
             # 1-row corpus-statistic scalar (N docs / total tokens /
             # median split / half totals) broadcast onto the aggregate —
             # O(n) with a 1-row build side.
