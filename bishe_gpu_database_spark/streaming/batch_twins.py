@@ -319,3 +319,28 @@ def stream_runtime_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bishe_gpu_database_spark.streaming.streams import run_dedup_runtime
 
     return run_dedup_runtime(spark, sf_dir)
+
+
+@register(
+    "stream_runtime_interval",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+           c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.ts
+    """,
+)
+def stream_runtime_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual stream-stream interval-join RUNTIME, oracle-checked
+    (companion to the ``stream_interval_join`` batch twin): inner-join
+    emission is immediate-on-match, so availableNow over the replayed
+    fixture emits exactly the batch join's rows and a plain SQL oracle
+    hash-gates the runtime end-to-end — state stores, watermark
+    bookkeeping, and all. Completes the registered runtime family
+    (tumbling / session / sliding / dedup / interval join)."""
+    from bishe_gpu_database_spark.streaming.streams import run_interval_join_runtime
+
+    return run_interval_join_runtime(spark, sf_dir)

@@ -371,3 +371,53 @@ def run_dedup_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select("user_id", "event_type")
+
+
+def run_interval_join_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the REAL stream-stream time-interval join runtime: replay
+    events as a file stream, split into a clicks stream and a purchases
+    stream (both watermarked — Spark requires watermarks on BOTH sides
+    to bound the join state), inner-join on user + [p_ts−30m, p_ts],
+    drain with availableNow into a memory sink. INNER join matches emit
+    as soon as both rows exist (no watermark-close wait, unlike outer
+    emission), so the emitted set is exactly the batch join — a plain
+    SQL oracle gates the runtime itself. State story at scale: each
+    side's buffer is bounded by the watermark horizon (1 h of events per
+    user key), the reason interval conditions — not unbounded equality
+    joins — are THE production stream-stream join."""
+    import os
+
+    name = "stream_rt_ssjoin_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    stream = events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("cu"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), "event_id")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.cu)
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        F.col("event_id").alias("purchase_id"), "user_id", "p_ts", "click_ts"
+    )
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
