@@ -92,7 +92,9 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 5-minute inactivity gap — the batch
     formulation (lag → new-session flag → running sum) of Spark's
     ``session_window``. Ties broken by event_id; one shuffle on user_id."""
-    e = t(spark, sf_dir, "events")
+    # Explicit 3-column projection; Catalyst's ColumnPruning reaches the
+    # same ReadSchema through the Window, this just states the intent.
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     marked = e.withColumn(
