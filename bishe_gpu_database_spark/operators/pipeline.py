@@ -1162,3 +1162,64 @@ def pipeline_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+@register(
+    "pipeline_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tk
+      FROM documents
+    ),
+    vocab AS (SELECT tk, count(*) AS cnt FROM tok GROUP BY tk),
+    tot AS (SELECT sum(cnt) AS total FROM vocab),
+    ranked AS (
+      SELECT tk, cnt,
+             row_number() OVER (ORDER BY cnt DESC, tk) AS rank,
+             sum(cnt) OVER (ORDER BY cnt DESC, tk
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM vocab
+    )
+    SELECT rank, tk AS token, cnt,
+           CAST(cum * 1000000 // tot.total AS BIGINT) AS coverage_ppm
+    FROM ranked, tot
+    WHERE rank <= 20
+    """,
+)
+def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the measurement that sizes a
+    tokenizer's vocab before training it: rank tokens by corpus
+    frequency and report the cumulative share of all token occurrences
+    covered by the top-k (exact integer ppm), for k ≤ 20. Where the
+    curve flattens is where additional vocab entries stop paying for
+    their embedding rows; the same curve read against a FIXED vocab is
+    the OOV budget (1 − coverage). The heavy work is one map-side
+    tokenize + one vocab aggregate; the ranking window then runs over
+    the VOCAB table — thousands of rows at any corpus size, so the
+    unpartitioned window is metadata-sized (a truly giant vocab would
+    use ``agg_ntile_scalable``'s range-partition rank). Pairs with
+    ``pipeline_bpe_pair_counts`` (which tokens to merge) and
+    ``text_oov_rate`` (the cost of the chosen cutoff)."""
+    tok = widen(t(spark, sf_dir, "documents")).select(
+        F.explode(tokens(F.col("text"))).alias("tk")
+    )
+    vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
+    wr = Window.orderBy(F.col("cnt").desc(), "tk")
+    ranked = vocab.select(
+        "tk",
+        "cnt",
+        F.row_number().over(wr).alias("rank"),
+        F.sum("cnt").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    return (
+        ranked.filter(F.col("rank") <= 20)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            F.col("tk").alias("token"),
+            "cnt",
+            F.expr("CAST(cum * 1000000 DIV total AS BIGINT)").alias("coverage_ppm"),
+        )
+    )

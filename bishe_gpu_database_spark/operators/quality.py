@@ -839,3 +839,50 @@ def quality_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_rows", "n_imputed", "med_cents", "sum_after_impute"
         )
     )
+
+
+@register(
+    "governance_l_diversity",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             count(*) AS class_size,
+             count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) // 200000)
+               AS l_distinct
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT nation, segment, class_size, l_distinct,
+           (l_distinct >= 3) AS satisfies_l3
+    FROM cls
+    """,
+)
+def governance_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. '07) — the governance
+    gate k-anonymity (``quality_k_anonymity``) cannot provide: a
+    quasi-identifier class can be large (k-anonymous) yet expose its
+    members if the SENSITIVE attribute is homogeneous inside it. Per
+    (nation, segment) class this counts distinct sensitive values
+    (account-balance $2000 band) and flags classes below l=3 — the
+    homogeneity-attack check run before any pseudonymized release. One
+    hash aggregate over the quasi-identifier key (count + distinct-count
+    fuse into the same shuffle); at 100 TB this is exactly the
+    k-anonymity pass with one more aggregate expression, so auditing
+    both properties costs one scan total."""
+    c = t(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(
+            F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 200000")
+        ).alias("l_distinct"),
+    )
+    return cls.select(
+        "nation",
+        "segment",
+        "class_size",
+        "l_distinct",
+        (F.col("l_distinct") >= 3).alias("satisfies_l3"),
+    )

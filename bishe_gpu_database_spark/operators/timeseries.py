@@ -1366,3 +1366,93 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_abs_d").cast("double").alias("s_abs"),
         "drift_sign",
     )
+
+
+@register(
+    "events_conversion_latency",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+      FROM events WHERE event_type IN ('signup', 'purchase')
+      GROUP BY user_id
+    ),
+    lat AS (
+      SELECT user_id, epoch_us(p_ts) - epoch_us(s_ts) AS lat_us
+      FROM f WHERE s_ts IS NOT NULL AND p_ts IS NOT NULL AND p_ts >= s_ts
+    ),
+    ranked AS (
+      SELECT lat_us,
+             row_number() OVER (ORDER BY lat_us, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM lat
+    )
+    SELECT
+      CAST(max(n) AS BIGINT) AS n_converted,
+      CAST(min(lat_us) AS BIGINT) AS min_us,
+      CAST(max(CASE WHEN 2 * rn >= n AND 2 * (rn - 1) < n
+                    THEN lat_us END) AS BIGINT) AS median_us,
+      CAST(max(CASE WHEN 10 * rn >= 9 * n AND 10 * (rn - 1) < 9 * n
+                    THEN lat_us END) AS BIGINT) AS p90_us,
+      CAST(max(lat_us) AS BIGINT) AS max_us
+    FROM ranked
+    """,
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion-latency distribution: per user the µs
+    gap between FIRST signup and FIRST purchase (users whose first
+    purchase precedes their first signup are excluded as
+    pre-registration buyers), summarized as exact min / median / p90 /
+    max via PORTABLE rank
+    inequalities (the k-th order statistic as 'smallest value whose rank
+    crosses q·n' — no engine percentile convention, so the hash gate
+    holds bit-for-bit). This is the funnel TIMING counterpart of
+    ``events_funnel`` (which counts who converts; this measures how
+    fast). Plan: one conditional min-aggregate per user on the user_id
+    shuffle (map-side combinable), then the order statistics over the
+    CONVERTED-USERS table; its global rank window is demo-sized here —
+    at 100 TB swap in ``agg_ntile_scalable``'s range-partition rank or
+    the pre-aggregated value-domain walk of ``agg_weighted_median``,
+    both already in the engine."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p_ts"),
+    )
+    lat = (
+        f.filter(
+            F.col("s_ts").isNotNull()
+            & F.col("p_ts").isNotNull()
+            & (F.col("p_ts") >= F.col("s_ts"))
+        )
+        .select(
+            "user_id",
+            (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("lat_us"),
+        )
+    )
+    wr = Window.orderBy("lat_us", "user_id")
+    ranked = lat.select(
+        "lat_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min("lat_us").cast("long").alias("min_us"),
+        F.max(
+            F.when((2 * F.col("rn") >= F.col("n")) & (2 * (F.col("rn") - 1) < F.col("n")), F.col("lat_us"))
+        ).cast("long").alias("median_us"),
+        F.max(
+            F.when(
+                (10 * F.col("rn") >= 9 * F.col("n"))
+                & (10 * (F.col("rn") - 1) < 9 * F.col("n")),
+                F.col("lat_us"),
+            )
+        ).cast("long").alias("p90_us"),
+        F.max("lat_us").cast("long").alias("max_us"),
+    )

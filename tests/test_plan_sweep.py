@@ -66,7 +66,10 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             "embedding_matryoshka_recall",
             # 1-row exact-join-count scalar broadcast onto the 1-row
             # histogram estimate for the ppm comparison.
-            "catalog_join_cardinality"}
+            "catalog_join_cardinality",
+            # 1-row total-token-count scalar broadcast onto the ≤20-row
+            # coverage curve.
+            "pipeline_vocab_coverage"}
 # Iterative drivers plan per-epoch; their inner plans are covered by the
 # single-epoch queries.
 _SKIP = {"aria_drain_batch", "aria_drain_skewed", "aria_drain_final_state"}
