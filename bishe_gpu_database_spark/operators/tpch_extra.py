@@ -930,3 +930,76 @@ def mart_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     END AS BIGINT)"
         ).alias("growth_ppm"),
     )
+
+
+@register(
+    "mart_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS k,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS rec_days,
+             count(*) AS freq,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT k, cents,
+             ntile(5) OVER (ORDER BY rec_days DESC, k) AS r,
+             ntile(5) OVER (ORDER BY freq, k) AS f,
+             ntile(5) OVER (ORDER BY cents, k) AS m
+      FROM cust
+    )
+    SELECT r, f, m,
+           count(*) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def mart_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the canonical marketing mart: per customer
+    Recency (days since last order, relative to the corpus max date),
+    Frequency (order count) and Monetary (exact lifetime cents), each
+    quintiled with ntile(5) and a deterministic custkey tie-break
+    (score 5 = most recent / most frequent / highest spend), then
+    rolled up to (r, f, m) cells with customer counts and exact revenue.
+    One fact shuffle builds the per-customer table; everything after
+    runs on the DIMENSION-sized customer aggregate, so the three global
+    ntile windows are metadata-scale (a billion-customer mart swaps in
+    ``agg_ntile_scalable``'s range-partition rank — identical boundary
+    arithmetic, already in the engine). The 'champions' cell is
+    (5,5,5), 'at-risk big spenders' are (1,·,5) — the cells a retention
+    campaign actually targets."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    mx = o.agg(F.max("o_orderdate").alias("mx"))
+    cust = (
+        o.groupBy("k")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "k",
+            F.datediff("mx", "last_order").alias("rec_days"),
+            "freq",
+            "cents",
+        )
+    )
+    scored = cust.select(
+        "k",
+        "cents",
+        F.ntile(5).over(W.orderBy(F.col("rec_days").desc(), "k")).alias("r"),
+        F.ntile(5).over(W.orderBy("freq", "k")).alias("f"),
+        F.ntile(5).over(W.orderBy("cents", "k")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("segment_cents"),
+    )

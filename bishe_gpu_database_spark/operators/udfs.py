@@ -386,3 +386,56 @@ def udf_apply_in_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").applyInArrow(
         stats, "label int, n_vecs bigint, sum_milli_first bigint, first_vec bigint"
     )
+
+
+@pandas_udf(LongType())
+def _iter_weighted_len(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Iterator-form scalar pandas UDF body: the expensive one-time init
+    (stand-in for loading a model/tokenizer onto the worker) runs ONCE
+    per Python worker, then every Arrow batch reuses it. Deterministic
+    integer scoring so the oracle hash-matches."""
+    # one-time per-worker init — this is the line a real pipeline spends
+    # seconds on (torch.load / tokenizer file); batches then stream.
+    weights = {c: (i * 2 + 1) for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")}
+    for texts in batches:
+        yield texts.map(
+            lambda s: sum(weights.get(ch, 0) for ch in s.lower())
+        ).astype("int64")
+
+
+@register(
+    "udf_pandas_iter_model_score",
+    oracle=f"""
+    WITH letters AS (
+      SELECT i, chr(CAST(96 + i AS INTEGER)) AS ch, (i - 1) * 2 + 1 AS w
+      FROM generate_series(1, 26) t(i)
+    ),
+    expanded AS (
+      SELECT d.doc_id, l.w
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS ch
+            FROM documents WHERE doc_id < 200) d
+      JOIN letters l USING (ch)
+    )
+    SELECT doc_id, CAST(COALESCE(SUM(w), 0) AS BIGINT) AS model_score
+    FROM expanded GROUP BY doc_id
+    """,
+)
+def udf_pandas_iter_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (``Iterator[pd.Series] ->
+    Iterator[pd.Series]``) — the fifth and final Python-extension tier,
+    and THE shape for batch ML inference on Spark: expensive per-worker
+    initialization (model load, tokenizer build) happens once per Python
+    worker process, outside the batch loop, then Arrow batches stream
+    through the resident model. A plain scalar pandas UDF re-enters
+    Python per batch with no init hook — at 100 TB with a multi-GB model
+    the iterator form is the difference between loading the model once
+    per executor and once per task. The 'model' here is a deterministic
+    per-letter integer weight table so the score is integer-exact and
+    the DuckDB oracle (explicit letter-weight join) hash-gates the
+    plumbing: Arrow batch boundaries, worker reuse, and init-once
+    semantics leave no trace in the result, which is exactly the
+    contract being verified."""
+    d = widen(t(spark, sf_dir, "documents")).filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id", _iter_weighted_len(F.col("text")).alias("model_score")
+    )

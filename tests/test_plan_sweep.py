@@ -69,7 +69,10 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             "catalog_join_cardinality",
             # 1-row total-token-count scalar broadcast onto the ≤20-row
             # coverage curve.
-            "pipeline_vocab_coverage"}
+            "pipeline_vocab_coverage",
+            # 1-row corpus-max-date scalar broadcast onto the customer
+            # aggregate for recency.
+            "mart_rfm_segments"}
 # Iterative drivers plan per-epoch; their inner plans are covered by the
 # single-epoch queries.
 _SKIP = {"aria_drain_batch", "aria_drain_skewed", "aria_drain_final_state"}
