@@ -346,3 +346,32 @@ def stream_runtime_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bishe_gpu_database_spark.streaming.streams import run_interval_join_runtime
 
     return run_interval_join_runtime(spark, sf_dir)
+
+
+@register(
+    "stream_runtime_chained",
+    oracle="""
+    WITH mx AS (SELECT max(ts) - INTERVAL 2 HOUR AS cutoff FROM events)
+    SELECT time_bucket(INTERVAL 1 HOUR, p.ts) AS hour,
+           count(*) AS n_attributed
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.ts, mx
+    WHERE time_bucket(INTERVAL 1 HOUR, p.ts) < mx.cutoff
+    GROUP BY 1
+    """,
+)
+def stream_runtime_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 chained-stateful RUNTIME (interval join → downstream
+    tumbling aggregate, two state stores in one query), oracle-gated on
+    the watermark-final window set: every hour bucket older than
+    (max event time − 2 h) must be emitted with the exact batch count.
+    Completes the registered streaming-runtime family with the
+    multi-stateful pipeline shape."""
+    from bishe_gpu_database_spark.streaming.streams import (
+        run_chained_stateful_runtime,
+    )
+
+    return run_chained_stateful_runtime(spark, sf_dir)

@@ -421,3 +421,68 @@ def run_interval_join_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_chained_stateful_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the Spark 4 CHAINED-stateful runtime: a stream-stream
+    interval join (state store #1) feeding a downstream tumbling window
+    aggregate (state store #2) in the SAME streaming query — the
+    multi-stateful pipeline pre-3.4 Spark rejected outright. Inner-join
+    rows are watermark-final when emitted, so the downstream hourly
+    counts are exact; emission of the LAST few windows depends on how
+    far the final no-data batch advances the propagated watermark, so
+    the deterministic contract — and the oracle gate — covers windows
+    strictly older than (max event time − 2 h): join horizon (30 m) +
+    watermark delay (10 m) + window (1 h), rounded up. Those windows
+    MUST be emitted with exact counts; later ones are filtered out on
+    both sides."""
+    import os
+
+    name = "stream_rt_chained_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    stream = events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("cu"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), "event_id")
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.cu)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    hourly = (
+        joined.groupBy(F.window("p_ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .select(F.col("window.start").alias("hour"), "n_attributed")
+    )
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        hourly.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from bishe_gpu_database_spark.operators.relational import events_ts_to_micros, t
+
+    cutoff = (
+        t(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("cutoff"))
+    )
+    emitted = spark.table(name)
+    return (
+        emitted.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("hour") < F.col("cutoff"))
+        .select("hour", "n_attributed")
+    )

@@ -72,7 +72,10 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             "pipeline_vocab_coverage",
             # 1-row corpus-max-date scalar broadcast onto the customer
             # aggregate for recency.
-            "mart_rfm_segments"}
+            "mart_rfm_segments",
+            # 1-row watermark-cutoff scalar broadcast onto the emitted
+            # window set (post-drain memory-sink read).
+            "stream_runtime_chained"}
 # Iterative drivers plan per-epoch; their inner plans are covered by the
 # single-epoch queries.
 _SKIP = {"aria_drain_batch", "aria_drain_skewed", "aria_drain_final_state"}
