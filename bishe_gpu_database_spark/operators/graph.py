@@ -421,3 +421,58 @@ def graph_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node_id", "lbl")
         )
     return labels.select("node_id", F.col("lbl").alias("community"))
+
+
+@register(
+    "graph_bipartite_projection",
+    oracle="""
+    WITH cs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2, count(*) AS n_shared_customers
+      FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT s1, s2, n_shared_customers, rn AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY n_shared_customers DESC,
+                                       s1, s2) AS rn
+          FROM pairs)
+    WHERE rn <= 20
+    """,
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection — the co-occurrence graph build behind
+    item-item recommendation and collaboration networks: project the
+    customer↔supplier bipartite graph onto suppliers, edge weight = how
+    many customers the pair shares, top-20 heaviest edges. The pairing
+    self-join is keyed on the CUSTOMER (the pivot node), so fan-out per
+    customer is C(deg, 2) — bounded by per-customer degree, never
+    corpus²; at 100 TB the standard guard caps or samples hub pivots
+    (a customer connected to everything creates quadratic pairs and,
+    in recommendation practice, carries no signal — same reasoning as
+    ``graph_triangle_count``'s degree ordering). One distinct shuffle
+    builds the incidence list, one pivot-key self-join + partial-agg'd
+    count, and the global top-20 is a TakeOrdered, not a sort."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = cs.alias("a"), cs.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_shared_customers"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("n_shared_customers").desc(), "s1", "s2")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("s1", "s2", "n_shared_customers", "rank")
+    )

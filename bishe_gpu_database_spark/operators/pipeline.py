@@ -1223,3 +1223,69 @@ def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(cum * 1000000 DIV total AS BIGINT)").alias("coverage_ppm"),
         )
     )
+
+
+@register(
+    "pipeline_shard_manifest",
+    oracle="""
+    WITH d AS (
+      SELECT ('0x' || substr(md5('shard_' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % 8 AS shard_id,
+             n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 12))::BIGINT
+               AS digest
+      FROM documents
+    )
+    SELECT shard_id,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           bit_xor(digest) AS xor48,
+           CAST(SUM(CAST(digest AS HUGEINT)) % 9007199254740997 AS BIGINT)
+             AS sum_mod
+    FROM d GROUP BY shard_id
+    """,
+)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest — the delivery contract between a corpus build and
+    the training dataloader: deterministic hash-sharding (md5(doc_id) %
+    8, reshuffle- and ingest-stable like every membership function in
+    this engine) plus a per-shard content fingerprint (order-independent
+    XOR + modular-sum folds of per-document digests over id AND text, the
+    ``quality_table_checksum`` pattern). A dataloader validates each
+    shard it reads against this manifest row — detecting truncated,
+    re-ordered, or silently-corrupted shards without re-reading the
+    corpus twice; a re-build that changes nothing produces the identical
+    manifest (the corpus-card reproducibility check). One map-side
+    digest projection and one 8-group aggregate; at 100 TB the shard
+    count scales with the corpus and the manifest stays
+    rows = shards."""
+    d = t(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("shard_"), F.col("doc_id").cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(8),
+    )
+    digest = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.select(shard.alias("shard_id"), "n_chars", digest.alias("digest"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.expr("bit_xor(digest)").alias("xor48"),
+            F.expr(
+                "CAST(sum(CAST(digest AS DECIMAL(38,0))) % 9007199254740997 AS BIGINT)"
+            ).alias("sum_mod"),
+        )
+    )
