@@ -51,6 +51,10 @@ HEADLINE = [
     "geo_neighbor_pairs",
     "dedup_editdist_fastss",
     "timeseries_cusum_changepoint",
+    # late-r3 families: probabilistic record linkage and cluster-scoped
+    # semantic dedup over the embedding table.
+    "linkage_fellegi_sunter",
+    "dedup_semdedup",
 ]
 
 
