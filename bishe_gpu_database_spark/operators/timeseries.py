@@ -1456,3 +1456,53 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("p90_us"),
         F.max("lat_us").cast("long").alias("max_us"),
     )
+
+
+@register(
+    "timeseries_downsample_m4",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS bucket,
+             epoch_us(ts) AS tsu,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type, bucket,
+           count(*) AS n_points,
+           CAST(min(cents) AS BIGINT) AS v_min,
+           CAST(max(cents) AS BIGINT) AS v_max,
+           CAST(min_by(cents, tsu) AS BIGINT) AS v_first,
+           CAST(max_by(cents, tsu) AS BIGINT) AS v_last
+    FROM pts
+    GROUP BY event_type, bucket
+    """,
+)
+def timeseries_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB '14): reduce each series to
+    the 4 values per time bucket — min, max, first, last — that are
+    PROVABLY sufficient to render the exact same line at one bucket per
+    pixel (error-free visualization downsampling; naive every-k-th
+    sampling misses spikes, averaging flattens them). One map-combined
+    hash aggregate per (series, hour-bucket): min/max are plain partial
+    aggregates, first/last are ``min_by``/``max_by`` over the in-bucket
+    timestamp — no window, no sort, no self-join, so a 100 TB tick table
+    downsamples in a single pass to #series × #pixels rows. The
+    timestamp tie-break inside min_by/max_by follows the engines' shared
+    first-encountered semantics; event timestamps here are unique per
+    type (fixture property the determinism sweep re-certifies), so the
+    output is total-order-independent. Values ride exact integer cents
+    (the ``timeseries_twap`` discipline)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 3600000000").alias("bucket"),
+        F.unix_micros("ts").alias("tsu"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return e.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("cents").alias("v_min"),
+        F.max("cents").alias("v_max"),
+        F.expr("min_by(cents, tsu)").alias("v_first"),
+        F.expr("max_by(cents, tsu)").alias("v_last"),
+    )
