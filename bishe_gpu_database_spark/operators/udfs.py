@@ -410,14 +410,16 @@ def _iter_weighted_len(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
       SELECT i, chr(CAST(96 + i AS INTEGER)) AS ch, (i - 1) * 2 + 1 AS w
       FROM generate_series(1, 26) t(i)
     ),
-    expanded AS (
-      SELECT d.doc_id, l.w
+    per_doc AS (
+      SELECT d.doc_id, SUM(l.w) AS s
       FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS ch
             FROM documents WHERE doc_id < 200) d
       JOIN letters l USING (ch)
+      GROUP BY d.doc_id
     )
-    SELECT doc_id, CAST(COALESCE(SUM(w), 0) AS BIGINT) AS model_score
-    FROM expanded GROUP BY doc_id
+    SELECT docs.doc_id, CAST(COALESCE(p.s, 0) AS BIGINT) AS model_score
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 200) docs
+    LEFT JOIN per_doc p USING (doc_id)
     """,
 )
 def udf_pandas_iter_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:

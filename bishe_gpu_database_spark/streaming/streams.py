@@ -474,7 +474,7 @@ def run_chained_stateful_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    from bishe_gpu_database_spark.operators.relational import events_ts_to_micros, t
+    from bishe_gpu_database_spark.operators.relational import t
 
     cutoff = (
         t(spark, sf_dir, "events")

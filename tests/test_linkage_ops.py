@@ -64,20 +64,56 @@ def test_fellegi_sunter_lattice_is_complete_and_consistent(spark):
 
 
 def test_dsir_prefers_target_like_documents(spark):
-    """The resampled top-k must score target-domain documents at or above
-    the corpus median: docs from the target source (src0) carry bucket
-    ratios that by construction include their own contribution."""
+    """Two substantive DSIR properties (r3 ADVICE strengthened this test):
+    (a) per-language selections are genuinely ordered by descending score
+    (no vacuous tie escape — ties must still be non-increasing), and
+    (b) target-likeness: the mean PER-TOKEN importance ratio of
+    source='src0' (target) documents exceeds that of non-target docs —
+    src0 docs' buckets include their own contribution to the target
+    counts, so the length-normalized ratio must separate. Raw score sums
+    are length-dominated (src0's raw median is below the corpus median
+    at sf0.01), so the normalized form is the correct assertion."""
+    import duckdb
+
     picked = pipeline_dsir_resample(spark, SF_SMALL)
     rows = picked.collect()
-    # top-20 per language, deterministic
     per_lang = {}
     for r in rows:
         per_lang.setdefault(r["lang"], []).append(r)
     for lang, rs in per_lang.items():
         assert len(rs) <= 20
         scores = [r["score"] for r in rs]
-        assert scores == sorted(scores, reverse=True) or len(set(scores)) < len(scores)
+        assert scores == sorted(scores, reverse=True)
         assert all(s >= 0 for s in scores)
+    # (b) independent corpus-level check of the importance-ratio signal,
+    # computed from the raw parquet with DuckDB (not the query under test).
+    con = duckdb.connect()
+    mt, mo = con.execute(
+        f"""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 ('0x' || substr(md5(tk), 1, 12))::BIGINT % 32 AS bucket
+          FROM (SELECT doc_id, source,
+                       unnest(string_split(trim(regexp_replace(lower(text),
+                         '\\s+', ' ', 'g')), ' ')) AS tk
+                FROM '{SF_SMALL}/documents.parquet')
+        ),
+        corpus AS (SELECT bucket, count(*) AS ccnt FROM tok GROUP BY bucket),
+        target AS (SELECT bucket, count(*) AS tcnt FROM tok
+                   WHERE source = 'src0' GROUP BY bucket),
+        ratio AS (SELECT c.bucket, COALESCE(t.tcnt, 0) * 1000000 // c.ccnt AS ppm
+                  FROM corpus c LEFT JOIN target t USING (bucket)),
+        scored AS (
+          SELECT tok.doc_id, any_value(tok.source) AS source,
+                 SUM(ratio.ppm) AS score, count(*) AS ntok
+          FROM tok JOIN ratio USING (bucket) GROUP BY tok.doc_id
+        )
+        SELECT avg(CASE WHEN source = 'src0' THEN score / ntok END),
+               avg(CASE WHEN source <> 'src0' THEN score / ntok END)
+        FROM scored
+        """
+    ).fetchone()
+    assert mt is not None and mo is not None and mt > mo
     # determinism: a second run returns the identical selection
     again = {(r["lang"], r["doc_id"], r["score"]) for r in picked.collect()}
     assert {(r["lang"], r["doc_id"], r["score"]) for r in rows} == again
