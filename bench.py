@@ -87,24 +87,47 @@ def main() -> None:
         except Exception as e:  # warmup must never fail the bench
             print(f"# warmup {name} failed: {e}", file=sys.stderr, flush=True)
 
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        # noop sink: full evaluation of every output column — count()
+        # would let Catalyst prune map-only projections entirely.
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # Noise gauge (r3 verdict item 3): the same fixed probe query timed at
+    # bench start / middle / end. If the box is quiet the three minima
+    # agree; a large spread means the environment moved mid-bench and
+    # round-over-round deltas on sub-second queries are not attributable
+    # to code. Probe = q1 (scan+agg, no join skew, sub-second).
+    probe_name = "q1_pricing_summary"
+    probes: list[float] = []
+
+    def probe() -> None:
+        probes.append(round(min(run_once(probe_name) for _ in range(3)), 3))
+
+    probe()
     per_query: dict[str, float] = {}
+    per_query_p50: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        # Best of 5: single-run numbers on a shared box carry multi-second
+    for qi, name in enumerate(HEADLINE):
+        if qi == len(HEADLINE) // 2:
+            probe()
+        # Best of 7: single-run numbers on a shared box carry multi-second
         # hypervisor-steal/GC noise (observed spread 0.85s-5.3s for the
-        # same sub-second query); the minimum is the query's actual cost.
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # noop sink: full evaluation of every output column — count()
-            # would let Catalyst prune map-only projections entirely.
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 3)
-        total += best
-        print(f"# {name}: {best:.3f}s", file=sys.stderr, flush=True)
+        # same sub-second query); the minimum is the query's actual cost,
+        # and the median (p50) is reported alongside so a min that got
+        # lucky is visible too.
+        times = sorted(run_once(name) for _ in range(7))
+        per_query[name] = round(times[0], 3)
+        per_query_p50[name] = round(times[len(times) // 2], 3)
+        total += times[0]
+        print(
+            f"# {name}: min {times[0]:.3f}s p50 {times[len(times) // 2]:.3f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+    probe()
 
     # The reference's OWN headline measurement (epoch-loop wall time over
     # 150 txns, ≤30 ops, 40% writes, drained to empty — BASELINE.md row 2),
@@ -160,6 +183,16 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "queries_p50": per_query_p50,
+                "noise_probe": {
+                    "query": probe_name,
+                    "start": probes[0],
+                    "middle": probes[1],
+                    "end": probes[2],
+                },
+                "noise_spread": round(
+                    (max(probes) - min(probes)) / max(min(probes), 1e-9), 3
+                ),
                 "aria": aria,
                 "n_registered_queries": len(REGISTRY),
                 "sf": float(sf) if sf else None,

@@ -328,6 +328,13 @@ def _drain_loop(
                 "n_txns": n_txns,
                 "n_committed": n_txns - n_aborted,
                 "n_aborted": n_aborted,
+                # The drain SCHEDULE — per-epoch (original tid → verdict),
+                # the thing Aria determinizes; hash-gated by
+                # aria_drain_schedule against an unrolled SQL oracle.
+                # Pending tids with NO flag row (every op targeted a
+                # missing key) trivially commit — recorded explicitly so
+                # the schedule covers the whole in-flight set.
+                "verdicts": sorted(({t: True for t in cur} | verd).items()),
             }
         )
         if n_aborted == 0:

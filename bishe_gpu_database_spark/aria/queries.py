@@ -277,6 +277,88 @@ def aria_drain_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final_kv
 
 
+def _drain_schedule_oracle(
+    n_epochs: int = 24,
+    *,
+    n_txns: int = 150,
+    max_ops: int = 30,
+    n_keys: int = 2000,
+    write_pct: int = 40,
+    seed: str = "ops0",
+) -> str:
+    """ANSI-SQL oracle for the full drain SCHEDULE: the generated workload
+    (portable md5 arithmetic identical to aria.workload.gen_ops) drained
+    epoch-by-epoch as an UNROLLED loop — dense tid re-numbering is
+    order-preserving, so every epoch's verdicts are a pure function of the
+    set of still-pending ORIGINAL tids and the loop unrolls into plain
+    CTEs. Epochs past quiescence contribute zero rows, so the unroll
+    depth only needs to exceed the actual drain length (observed 9; a
+    too-short unroll fails the row-count gate loudly, never silently)."""
+    def h(tag: str, args: str) -> str:
+        return f"('0x' || substr(md5('{seed}|{tag}|' || {args}), 1, 12))::BIGINT"
+
+    tid_seq = "tid || '|' || seq"
+    # AS MATERIALIZED is load-bearing: o{e} is referenced twice per level
+    # and p{e} chains on v{e-1}, so inlined CTEs would double the
+    # expression tree per epoch — 2^24 copies of ops by the last level.
+    # Materialization keeps each level O(|ops|).
+    parts = [
+        f"WITH txns AS (SELECT r AS tid FROM range(1, {n_txns + 1}) t(r)),",
+        f"cnts AS (SELECT tid, {h('cnt', 'tid')} % {max_ops + 1} AS nops FROM txns),",
+        "ops AS MATERIALIZED (",
+        "  SELECT tid, seq,",
+        f"         {h('key', tid_seq)} % {n_keys} + 1 AS k,",
+        f"         ({h('wr', tid_seq)} % 100) < {write_pct} AS is_update",
+        "  FROM (SELECT tid, unnest(range(0, nops)) AS seq FROM cnts)",
+        "),",
+        "p1 AS MATERIALIZED (SELECT DISTINCT tid FROM ops),",
+    ]
+    for e in range(1, n_epochs + 1):
+        parts += [
+            f"o{e} AS MATERIALIZED (SELECT o.* FROM ops o JOIN p{e} USING (tid)),",
+            f"r{e} AS (SELECT k, min(tid) AS rts,",
+            "             min(CASE WHEN is_update THEN tid END) AS wts",
+            f"        FROM o{e} GROUP BY k),",
+            f"f{e} AS (SELECT o.tid,",
+            "  max(CASE WHEN r.wts IS NOT NULL AND r.wts < o.tid THEN 1 ELSE 0 END) = 1 AS raw,",
+            "  max(CASE WHEN o.is_update AND r.rts < o.tid THEN 1 ELSE 0 END) = 1 AS war,",
+            "  max(CASE WHEN o.is_update AND r.wts IS NOT NULL AND r.wts < o.tid THEN 1 ELSE 0 END) = 1 AS waw",
+            f"  FROM o{e} o JOIN r{e} r ON o.k = r.k GROUP BY o.tid),",
+            f"v{e} AS MATERIALIZED (SELECT {e} AS epoch, tid,",
+            f"         NOT (waw OR (raw AND war)) AS committed FROM f{e}),",
+            f"p{e + 1} AS MATERIALIZED (SELECT tid FROM v{e} WHERE NOT committed),",
+        ]
+    union = " UNION ALL ".join(f"SELECT * FROM v{e}" for e in range(1, n_epochs + 1))
+    parts.append(
+        "sched AS (" + union + ")\n"
+        "SELECT CAST(epoch AS INTEGER) AS epoch, CAST(tid AS INTEGER) AS tid,"
+        " committed FROM sched"
+    )
+    return "\n".join(parts)
+
+
+@register("aria_drain_schedule", oracle=_drain_schedule_oracle())
+def aria_drain_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drain SCHEDULE hash-gated bit-for-bit (r3 verdict item 4): the
+    per-epoch (epoch, original tid, commit/abort verdict) table of the
+    reference-shaped default drain (150 txns, ≤30 ops, 2000 keys, 40%
+    writes, reorder policy — the exact aria_drain_batch workload). The
+    schedule — WHICH epoch each transaction lands in — is the thing Aria
+    determinizes (ref: src/database/ycsb/TransctionManager.cuh:165-185);
+    until r4 it was only pytest-checked against the serial Python oracle.
+    The SQL oracle reconstructs the generated workload portably (md5
+    draws) and unrolls the epoch loop as CTEs — sound because dense tid
+    re-numbering is order-preserving, so verdicts are a pure function of
+    the pending ORIGINAL-tid set. Workload generation is sf-independent
+    by design (the reference's generator takes no data input), so this
+    gate is constant across scale factors."""
+    kv = gen_kv(spark, n_keys=2000)
+    ops = gen_ops(spark, n_txns=150, max_ops=30, n_keys=2000, write_pct=40)
+    _, stats = run_batch(kv, ops, reorder=True)
+    rows = [(s["epoch"], int(tid), bool(c)) for s in stats for tid, c in s["verdicts"]]
+    return spark.createDataFrame(rows, "epoch int, tid int, committed boolean")
+
+
 @register("aria_drain_skewed")  # iterative multi-epoch loop → rows-only check
 def aria_drain_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain under a power-law hot-key distribution — the YCSB-zipfian

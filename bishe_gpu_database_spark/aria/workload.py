@@ -76,8 +76,18 @@ def gen_ops(
         F.col("id").alias("tid")
     )
     op_count = _h48(F.lit(seed), F.lit("cnt"), F.col("tid")) % (max_ops + 1)
-    ops = (
-        txns.withColumn("seq", F.explode(F.sequence(F.lit(0), op_count.cast("int") - 1)))
+    # The reference draws ops/txn U(0, max_ops) — zero-op transactions are
+    # legal and trivially commit (ref: src/database/ycsb/
+    # Transction_y.h:17-21). Spark's sequence(0, -1) infers step -1 and
+    # yields [0, -1] (two phantom ops!), so the empty case must be
+    # explicit: sequence under a WHEN, explode drops the empty array.
+    ops = txns.withColumn(
+        "seq",
+        F.explode(
+            F.when(
+                op_count > 0, F.sequence(F.lit(0), op_count.cast("int") - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ),
     )
     h = _h48(F.lit(seed), F.lit("key"), F.col("tid"), F.col("seq"))
     if skew:

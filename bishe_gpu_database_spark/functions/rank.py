@@ -1,0 +1,116 @@
+"""Scale-safe GLOBAL rank and prefix sums: partition-offset row_number.
+
+A global ``row_number()/ntile()/sum() OVER (ORDER BY ...)`` plans
+``Exchange SinglePartition`` + Sort — the entire input funnels through ONE
+task, the canonical 100 TB scale-killer (the r3 verdict found three of
+them; this helper is the shared fix, and the plan sweep now red-flags the
+pattern). The scalable formulation is the one ``agg_ntile_scalable``
+pioneered:
+
+1. ``repartitionByRange`` on the sort key — Spark's distributed sort
+   machinery (range boundaries from a driver-side sample);
+2. ``row_number`` / running aggregates WITHIN each range partition
+   (embarrassingly parallel);
+3. add per-partition offsets: a #partitions-row aggregate, collected to
+   the driver (the same ~32-row footprint Spark's own range sampler
+   ships) and broadcast back as a literal lookup.
+
+Rank and prefix sums depend only on the TOTAL ORDER of the key columns,
+not on where the sampled range boundaries land, so results are
+deterministic and hash-gateable as long as the caller supplies a tie-free
+key (every caller appends a unique id column). ``localCheckpoint`` pins
+the sampled boundaries so the offsets and the local ranks observe the
+SAME partitioning (exchange reuse is not guaranteed under
+``spark.sql.exchange.reuse=false``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order: list[Column],
+    *,
+    rank_col: str = "rk",
+    total_col: str | None = None,
+    running: dict[str, str] | None = None,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Append a 1-based global ``rank_col`` (row_number over the total
+    order given by ``order``) WITHOUT a single-partition exchange; plus,
+    optionally, the grand total row count (``total_col``) and exact
+    global RUNNING SUMS (``running``: {input column → output column},
+    inclusive of the current row — the distributed prefix-sum).
+
+    ``order`` must define a TOTAL order (include a unique tie-break
+    column); each element may carry ``.asc()``/``.desc()``. All other
+    columns of ``df`` are preserved.
+    """
+    running = running or {}
+    keyed = df.repartitionByRange(num_partitions, *order)
+    # Pins the sampled (nondeterministic) range boundaries so every
+    # consumer below sees one partitioning.
+    parts = keyed.withColumn("_gr_pid", F.spark_partition_id()).localCheckpoint()
+    # #partitions rows on the driver — the same order of magnitude the
+    # range sampler itself already collects; NOT a single-partition window.
+    aggs = [F.count(F.lit(1)).alias("_cnt")] + [
+        F.sum(src).alias(f"_sum_{src}") for src in running
+    ]
+    cnts = {
+        r["_gr_pid"]: r for r in parts.groupBy("_gr_pid").agg(*aggs).collect()
+    }
+    total = sum(r["_cnt"] for r in cnts.values())
+    # cumulative EXCLUSIVE offsets per partition, in pid order
+    offsets: dict[int, tuple] = {}
+    acc_cnt = 0
+    acc_sums = {src: 0 for src in running}
+    for pid in sorted(cnts):
+        offsets[pid] = (acc_cnt, dict(acc_sums))
+        acc_cnt += cnts[pid]["_cnt"]
+        for src in running:
+            acc_sums[src] += cnts[pid][f"_sum_{src}"] or 0
+
+    def lookup(values: dict[int, int]) -> Column:
+        if not values:
+            return F.lit(0)
+        pairs = [F.lit(x) for pid in sorted(values) for x in (pid, values[pid])]
+        return F.element_at(F.create_map(*pairs), F.col("_gr_pid"))
+
+    w = W.partitionBy("_gr_pid").orderBy(*order)
+    out = parts.withColumn(
+        rank_col,
+        (F.row_number().over(w) + lookup({p: o[0] for p, o in offsets.items()})).cast(
+            "bigint"
+        ),
+    )
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    for src, dst in running.items():
+        out = out.withColumn(
+            dst,
+            F.sum(src).over(wrun)
+            + lookup({p: o[1][src] for p, o in offsets.items()}),
+        )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(total).cast("bigint"))
+    return out.drop("_gr_pid")
+
+
+def ntile_from_rank(rank_col: str, total_col: str, k: int) -> Column:
+    """Exact SQL ``ntile(k)`` re-derived from a global (rank, n) pair:
+    base = n div k buckets of equal size, the first n mod k buckets one
+    row larger. Pure integer arithmetic; the WHEN guard keeps the
+    base = 0 (n < k) branch division-free."""
+    rk, n = rank_col, total_col
+    return F.expr(
+        f"""
+        CASE WHEN {rk} <= ({n} % {k}) * ({n} DIV {k} + 1)
+             THEN CAST(({rk} - 1) DIV ({n} DIV {k} + 1) + 1 AS INT)
+             ELSE CAST(({n} % {k})
+                       + (({rk} - ({n} % {k}) * ({n} DIV {k} + 1)) - 1)
+                         DIV ({n} DIV {k}) + 1 AS INT)
+        END
+        """
+    )

@@ -68,15 +68,23 @@ def compact_changelog(changelog: DataFrame) -> DataFrame:
 def apply_changelog(snapshot: DataFrame, latest: DataFrame) -> DataFrame:
     """MERGE a compacted changelog into a (k, bal_cents) snapshot with a
     full-outer join on the key: untouched rows are kept, delete keys
-    vanish, known keys update, unknown keys insert."""
-    merged = snapshot.alias("s").join(latest.alias("l"), "k", "full_outer")
+    vanish, known keys update, unknown keys insert. Snapshot presence is
+    tracked with an explicit marker column, NOT ``bal_cents IS NULL`` —
+    a snapshot key carrying a legitimately NULL balance must classify as
+    'updated', not 'inserted' (r4 audit; the oracle tests ``s.k IS
+    NULL``, i.e. row presence)."""
+    merged = (
+        snapshot.withColumn("_in_snap", F.lit(True))
+        .alias("s")
+        .join(latest.alias("l"), "k", "full_outer")
+    )
     return merged.filter(F.coalesce(F.col("l.op"), F.lit("U")) != "D").select(
         "k",
         F.when(F.col("l.op").isNull(), F.col("s.bal_cents"))
         .otherwise(F.col("l.new_bal_cents"))
         .alias("bal_cents"),
         F.when(F.col("l.op").isNull(), F.lit("kept"))
-        .when(F.col("s.bal_cents").isNull(), F.lit("inserted"))
+        .when(F.col("s._in_snap").isNull(), F.lit("inserted"))
         .otherwise(F.lit("updated"))
         .alias("action"),
     )

@@ -748,15 +748,32 @@ def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global-order window (single partition — fine at fixture scale; at
-    100 TB a global ntile would be re-expressed via approx quantiles)."""
+    """Global ntile(4) + percent_rank WITHOUT the single-partition window
+    (r3 verdict item 1): rank comes from the partition-offset global rank
+    (``functions.rank.global_rank`` — range repartition, per-partition
+    row_number, driver-broadcast offsets), then ntile and percent_rank
+    are re-derived from (rank, n) with their exact SQL definitions:
+    percent_rank = (rk−1)/(n−1); ntile buckets differ by ≤1 row with the
+    first n mod k buckets one row larger. Customer is dimension-sized
+    today but fact-sized at TPC-H SF10k — this plan has no
+    ``Exchange SinglePartition`` anywhere."""
+    from bishe_gpu_database_spark.functions.rank import global_rank, ntile_from_rank
+
     c = t(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    ranked = global_rank(
+        c.select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        rank_col="_rk",
+        total_col="_n",
+    )
+    pct = F.when(F.col("_n") > 1, (F.col("_rk") - 1) / (F.col("_n") - 1)).otherwise(
+        F.lit(0.0)
+    )
+    return ranked.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        ntile_from_rank("_rk", "_n", 4).alias("quartile"),
+        pct.cast("double").alias("pct_rank"),
     )
 
 

@@ -64,8 +64,14 @@ def _sql_list(words: list[str]) -> str:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality signals: normalized length, token count, mean token length,
-    punctuation ratio, stopword ratio — the standard pre-training filters."""
-    d = t(spark, sf_dir, "documents")
+    punctuation ratio, stopword ratio — the standard pre-training filters.
+    ``widen()`` lifts the scan to full parallelism: a small parquet file
+    bin-packs into 1-2 tasks (openCostInBytes), serializing the per-doc
+    regex work — the r3 scale probe's worst ratio (2.99× for 10× data)
+    was exactly this, not regex cost. At 100 TB the scan already has
+    thousands of splits and widen() is a no-op. (widen_docs also prunes
+    to (doc_id, text) so the repartition never carries unused columns.)"""
+    d = widen_docs(spark, sf_dir)
     norm = norm_text(F.col("text"))
     toks = tokens(F.col("text"))
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])

@@ -640,40 +640,20 @@ def agg_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     back). Rank depends only on the (cents, event_id) total order, not on
     where sampling placed the range boundaries, so the result is
     deterministic and hash-matches the oracle's row_number formulation."""
+    from bishe_gpu_database_spark.functions.rank import global_rank
+
     e = t(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-    keyed = e.select(cents.alias("cents"), "event_id").repartitionByRange(
-        32, "cents", "event_id"
-    )
-    # localCheckpoint pins the (sampled, nondeterministic) range boundaries:
-    # both consumers below — the per-pid offsets and the per-pid local
-    # ranks — must observe the SAME partitioning, and relying on Spark's
-    # exchange reuse for that would silently break under
-    # spark.sql.exchange.reuse=false or a subtree-canonicalization change.
-    parts = keyed.withColumn("pid", F.spark_partition_id()).localCheckpoint()
-    # ~32 rows: cumulative offset + grand total, computed in one tiny agg.
-    offsets = (
-        parts.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "pid",
-            (
-                F.sum("cnt").over(
-                    Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-                )
-            ).alias("offset"),
-            F.sum("cnt").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("n"),
-        )
-        .fillna({"offset": 0})
-    )
-    w = Window.partitionBy("pid").orderBy("cents", "event_id")
-    ranked = parts.withColumn("local_rnk", F.row_number().over(w)).join(
-        F.broadcast(offsets), "pid"
+    ranked = global_rank(
+        e.select(cents.alias("cents"), "event_id"),
+        [F.col("cents").asc(), F.col("event_id").asc()],
+        rank_col="rnk",
+        total_col="n",
     )
     return (
         ranked.select(
             "cents",
-            F.expr("CAST((local_rnk + offset - 1) * 10 DIV n AS INT)").alias("decile"),
+            F.expr("CAST((rnk - 1) * 10 DIV n AS INT)").alias("decile"),
         )
         .groupBy("decile")
         .agg(
@@ -1411,10 +1391,11 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``events_funnel`` (which counts who converts; this measures how
     fast). Plan: one conditional min-aggregate per user on the user_id
     shuffle (map-side combinable), then the order statistics over the
-    CONVERTED-USERS table; its global rank window is demo-sized here —
-    at 100 TB swap in ``agg_ntile_scalable``'s range-partition rank or
-    the pre-aggregated value-domain walk of ``agg_weighted_median``,
-    both already in the engine."""
+    CONVERTED-USERS table via the partition-offset global rank
+    (``functions.rank.global_rank`` — r3 verdict item 1: the converted
+    set is user-cardinality, billions at the design point, so a global
+    rank window would funnel it through one task; the range-partitioned
+    rank + broadcast total keeps every stage parallel)."""
     e = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("signup", "purchase")
     )
@@ -1433,13 +1414,13 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("lat_us"),
         )
     )
-    wr = Window.orderBy("lat_us", "user_id")
-    ranked = lat.select(
-        "lat_us",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("n"),
+    from bishe_gpu_database_spark.functions.rank import global_rank
+
+    ranked = global_rank(
+        lat,
+        [F.col("lat_us").asc(), F.col("user_id").asc()],
+        rank_col="rn",
+        total_col="n",
     )
     return ranked.agg(
         F.max("n").cast("long").alias("n_converted"),
@@ -1472,8 +1453,8 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_points,
            CAST(min(cents) AS BIGINT) AS v_min,
            CAST(max(cents) AS BIGINT) AS v_max,
-           CAST(min_by(cents, tsu) AS BIGINT) AS v_first,
-           CAST(max_by(cents, tsu) AS BIGINT) AS v_last
+           CAST(min_by(cents, tsu::HUGEINT * 1000000 + cents) AS BIGINT) AS v_first,
+           CAST(max_by(cents, tsu::HUGEINT * 1000000 + cents) AS BIGINT) AS v_last
     FROM pts
     GROUP BY event_type, bucket
     """,
@@ -1488,21 +1469,23 @@ def timeseries_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, first/last are ``min_by``/``max_by`` over the in-bucket
     timestamp — no window, no sort, no self-join, so a 100 TB tick table
     downsamples in a single pass to #series × #pixels rows. The
-    timestamp tie-break inside min_by/max_by follows the engines' shared
-    first-encountered semantics; event timestamps here are unique per
-    type (fixture property the determinism sweep re-certifies), so the
-    output is total-order-independent. Values ride exact integer cents
-    (the ``timeseries_twap`` discipline)."""
+    min_by/max_by order key is the COMPOSITE (tsu, cents) packed into one
+    wide integer (HUGEINT / DECIMAL(38,0) — tsu·10⁶ + cents, cents ∈
+    [0, 10⁶) by fixture range), so duplicate timestamps break ties
+    deterministically by value instead of leaning on engine-arbitrary
+    first-encountered semantics (r3 ADVICE). Values ride exact integer
+    cents (the ``timeseries_twap`` discipline)."""
     e = t(spark, sf_dir, "events").select(
         "event_type",
         F.expr("unix_micros(ts) DIV 3600000000").alias("bucket"),
         F.unix_micros("ts").alias("tsu"),
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
+    ordk = "CAST(tsu AS DECIMAL(38,0)) * 1000000 + cents"
     return e.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.min("cents").alias("v_min"),
         F.max("cents").alias("v_max"),
-        F.expr("min_by(cents, tsu)").alias("v_first"),
-        F.expr("max_by(cents, tsu)").alias("v_last"),
+        F.expr(f"min_by(cents, {ordk})").alias("v_first"),
+        F.expr(f"max_by(cents, {ordk})").alias("v_last"),
     )

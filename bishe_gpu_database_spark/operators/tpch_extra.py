@@ -964,13 +964,13 @@ def mart_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintiled with ntile(5) and a deterministic custkey tie-break
     (score 5 = most recent / most frequent / highest spend), then
     rolled up to (r, f, m) cells with customer counts and exact revenue.
-    One fact shuffle builds the per-customer table; everything after
-    runs on the DIMENSION-sized customer aggregate, so the three global
-    ntile windows are metadata-scale (a billion-customer mart swaps in
-    ``agg_ntile_scalable``'s range-partition rank — identical boundary
-    arithmetic, already in the engine). The 'champions' cell is
-    (5,5,5), 'at-risk big spenders' are (1,·,5) — the cells a retention
-    campaign actually targets."""
+    One fact shuffle builds the per-customer table; each quintile then
+    comes from the partition-offset global rank + exact ntile arithmetic
+    (``functions.rank``: range repartition per axis, per-partition
+    row_number, broadcast offsets — r4: no single-partition window even
+    at billion-customer scale). The 'champions' cell is (5,5,5),
+    'at-risk big spenders' are (1,·,5) — the cells a retention campaign
+    actually targets."""
     o = t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k"),
         "o_orderdate",
@@ -992,12 +992,20 @@ def mart_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
-    scored = cust.select(
-        "k",
+    from bishe_gpu_database_spark.functions.rank import global_rank, ntile_from_rank
+
+    scored = cust
+    for rank_name, order in (
+        ("_rk_r", [F.col("rec_days").desc(), F.col("k").asc()]),
+        ("_rk_f", [F.col("freq").asc(), F.col("k").asc()]),
+        ("_rk_m", [F.col("cents").asc(), F.col("k").asc()]),
+    ):
+        scored = global_rank(scored, order, rank_col=rank_name, total_col="_n")
+    scored = scored.select(
         "cents",
-        F.ntile(5).over(W.orderBy(F.col("rec_days").desc(), "k")).alias("r"),
-        F.ntile(5).over(W.orderBy("freq", "k")).alias("f"),
-        F.ntile(5).over(W.orderBy("cents", "k")).alias("m"),
+        ntile_from_rank("_rk_r", "_n", 5).alias("r"),
+        ntile_from_rank("_rk_f", "_n", 5).alias("f"),
+        ntile_from_rank("_rk_m", "_n", 5).alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -65,17 +65,32 @@ def drain(
     insert_missing: bool = False,
     max_epochs: int = 64,
 ):
-    """Run epochs until no transaction remains; returns (kv, stats)."""
+    """Run epochs until no transaction remains; returns (kv, stats).
+    Each epoch's stats carry the per-transaction SCHEDULE as
+    ``verdicts``: sorted (ORIGINAL tid, committed) pairs — the oracle
+    renumbers densely like the reference, but records verdicts on the
+    original ids so the engine's schedule (which analyzes on originals;
+    order-preserving renumbering makes them equivalent) compares 1:1."""
     stats = []
+    orig = {tid: tid for tid in {o.tid for o in ops}}
     for ep in range(1, max_epochs + 1):
         tids = sorted({o.tid for o in ops})
         if not tids:
             break
         kv, committed, aborted = epoch(kv, ops, reorder=reorder, insert_missing=insert_missing)
         stats.append(
-            {"epoch": ep, "n_txns": len(tids), "n_committed": len(committed), "n_aborted": len(aborted)}
+            {
+                "epoch": ep,
+                "n_txns": len(tids),
+                "n_committed": len(committed),
+                "n_aborted": len(aborted),
+                "verdicts": sorted(
+                    (orig[tid], tid not in set(aborted)) for tid in tids
+                ),
+            }
         )
         renum = {old: i + 1 for i, old in enumerate(sorted(aborted))}
+        orig = {renum[old]: orig[old] for old in renum}
         ops = [
             Op(renum[o.tid], o.seq, o.k, o.is_update, o.new_value)
             for o in ops
