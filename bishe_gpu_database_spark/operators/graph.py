@@ -102,7 +102,15 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.select(
         F.col("src").alias("node_id"), F.lit(_UNIT).cast("long").alias("pr")
     )
-    for _ in range(_ITERS):
+    # r4 sf1 measurements (best-of-4, fresh session, hash-identical): the
+    # iteration loop is ~2.9s and the alternatives — materializing
+    # edges⋈degrees once (VERDICT r3 item 5), a single-scan explode over
+    # the half-edge set, and this fold — all land within the box's noise
+    # band of the current plan. The fold is kept because it is strictly
+    # less work (iteration 1's ranks are the constant _UNIT, so its
+    # broadcast build + join fold into the projection); the other two
+    # variants are documented negatives.
+    for it in range(_ITERS):
         # ranks are node-cardinality (orders of magnitude below the edge
         # count) but sit behind joins Catalyst can't size — broadcast the
         # rank table explicitly so the edge table never shuffles; each
@@ -112,12 +120,19 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a per-iteration driver barrier for no shuffle saved (measured
         # +8% wall). At 100 TB node counts can exceed broadcast range;
         # then drop the hint and pre-partition edges by src.
-        msgs = (
-            ewd.join(F.broadcast(ranks), ewd.src == ranks.node_id)
-            .select("dst", F.expr("pr div outdeg").alias("contrib"))
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("contrib"))
-        )
+        if it == 0:
+            msgs = (
+                ewd.select("dst", F.expr(f"{_UNIT} div outdeg").alias("contrib"))
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("contrib"))
+            )
+        else:
+            msgs = (
+                ewd.join(F.broadcast(ranks), ewd.src == ranks.node_id)
+                .select("dst", F.expr("pr div outdeg").alias("contrib"))
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("contrib"))
+            )
         ranks = (
             ranks.join(msgs, ranks.node_id == msgs.dst, "left")
             .select(

@@ -1,6 +1,6 @@
 """sf1 scale probe (VERDICT r2 item 5): synthesize a 10x blowup of the
 sf0.1 fixture in scratch, run the probe queries at sf0.1 and sf1, and
-write SCALE_r3.json with per-query times + the 10x-data cost ratio.
+write SCALE_r4.json with per-query times + the 10x-data cost ratio.
 
 Synthesis keeps each query's workload CHARACTER, not just its byte count:
   - fact tables (lineitem, orders, events, documents, embeddings) are 10
@@ -158,7 +158,7 @@ def main() -> None:
         "note": "ratio <= ~10 means at-worst-linear scaling in data; "
         "well below 10 while fixed per-job overhead still dominates.",
     }
-    with open("/root/repo/SCALE_r3.json", "w") as f:
+    with open("/root/repo/SCALE_r4.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"worst_ratio_10x": worst}), flush=True)
 
