@@ -7,10 +7,11 @@ them; this helper is the shared fix, and the plan sweep now red-flags the
 pattern). The scalable formulation is the one ``agg_ntile_scalable``
 pioneered:
 
-1. ``repartitionByRange`` on the sort key — Spark's distributed sort
-   machinery (range boundaries from a driver-side sample);
-2. ``row_number`` / running aggregates WITHIN each range partition
-   (embarrassingly parallel);
+1. ``repartitionByRange`` + ``sortWithinPartitions`` on the sort key —
+   Spark's distributed sort machinery (range boundaries from a
+   driver-side sample);
+2. (pid, local rank) decoded from ``monotonically_increasing_id()`` —
+   zero extra operators: no Window node, no second sort, no re-exchange;
 3. add per-partition offsets: a #partitions-row aggregate, collected to
    the driver (the same ~32-row footprint Spark's own range sampler
    ships) and broadcast back as a literal lookup.
@@ -50,52 +51,70 @@ def global_rank(
     columns of ``df`` are preserved.
     """
     running = running or {}
-    keyed = df.repartitionByRange(num_partitions, *order)
-    # Pins the sampled (nondeterministic) range boundaries so every
-    # consumer below sees one partitioning.
-    parts = keyed.withColumn("_gr_pid", F.spark_partition_id()).localCheckpoint()
+    # Range-partition on the sort key, sort INSIDE each partition, then
+    # read (pid, local row index) straight out of
+    # monotonically_increasing_id() — documented layout: partition id in
+    # the upper 31 bits, a 0-based per-partition counter in the lower 33
+    # (caps at 2^33 ≈ 8.6e9 rows per partition — three orders of
+    # magnitude above a sane partition). This makes the WHOLE rank one
+    # range shuffle: no Window, no per-partition sort node, and no
+    # re-exchange after the checkpoint (a Window.partitionBy(pid) would
+    # hash-shuffle the full input a second time, because the checkpointed
+    # RDD does not advertise its partitioning to Catalyst).
+    keyed = df.repartitionByRange(num_partitions, *order).sortWithinPartitions(*order)
+    # The checkpoint pins BOTH nondeterminisms — the sampled range
+    # boundaries and the id assignment — so the offsets job and every
+    # downstream read observe one frozen layout.
+    parts = keyed.withColumn("_gr_mid", F.monotonically_increasing_id()).localCheckpoint()
+    pid = F.shiftright(F.col("_gr_mid"), 33).cast("int")
+    local_rk = F.col("_gr_mid") % F.lit(1 << 33).cast("bigint")  # 0-based
     # #partitions rows on the driver — the same order of magnitude the
     # range sampler itself already collects; NOT a single-partition window.
     aggs = [F.count(F.lit(1)).alias("_cnt")] + [
         F.sum(src).alias(f"_sum_{src}") for src in running
     ]
     cnts = {
-        r["_gr_pid"]: r for r in parts.groupBy("_gr_pid").agg(*aggs).collect()
+        r["_pid"]: r
+        for r in parts.select(pid.alias("_pid"), *running).groupBy("_pid").agg(*aggs).collect()
     }
     total = sum(r["_cnt"] for r in cnts.values())
     # cumulative EXCLUSIVE offsets per partition, in pid order
     offsets: dict[int, tuple] = {}
     acc_cnt = 0
     acc_sums = {src: 0 for src in running}
-    for pid in sorted(cnts):
-        offsets[pid] = (acc_cnt, dict(acc_sums))
-        acc_cnt += cnts[pid]["_cnt"]
+    for p in sorted(cnts):
+        offsets[p] = (acc_cnt, dict(acc_sums))
+        acc_cnt += cnts[p]["_cnt"]
         for src in running:
-            acc_sums[src] += cnts[pid][f"_sum_{src}"] or 0
+            acc_sums[src] += cnts[p][f"_sum_{src}"] or 0
 
     def lookup(values: dict[int, int]) -> Column:
         if not values:
             return F.lit(0)
-        pairs = [F.lit(x) for pid in sorted(values) for x in (pid, values[pid])]
-        return F.element_at(F.create_map(*pairs), F.col("_gr_pid"))
+        pairs = [F.lit(x) for p in sorted(values) for x in (p, values[p])]
+        return F.element_at(F.create_map(*pairs), pid)
 
-    w = W.partitionBy("_gr_pid").orderBy(*order)
     out = parts.withColumn(
         rank_col,
-        (F.row_number().over(w) + lookup({p: o[0] for p, o in offsets.items()})).cast(
-            "bigint"
-        ),
+        (local_rk + 1 + lookup({p: o[0] for p, o in offsets.items()})).cast("bigint"),
     )
-    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    for src, dst in running.items():
-        out = out.withColumn(
-            dst,
-            F.sum(src).over(wrun)
-            + lookup({p: o[1][src] for p, o in offsets.items()}),
-        )
+    if running:
+        # Exact running sums still need the in-partition prefix (a window
+        # PARTITIONED by pid — parallel, but it does re-exchange the
+        # checkpointed rows by pid since the RDD's layout is opaque to
+        # Catalyst). Callers use this on already-aggregated inputs
+        # (vocab tables), where that exchange is metadata-sized.
+        w = W.partitionBy(pid).orderBy("_gr_mid")
+        wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        for src, dst in running.items():
+            out = out.withColumn(
+                dst,
+                F.sum(src).over(wrun)
+                + lookup({p: o[1][src] for p, o in offsets.items()}),
+            )
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(total).cast("bigint"))
-    return out.drop("_gr_pid")
+    return out.drop("_gr_mid")
 
 
 def ntile_from_rank(rank_col: str, total_col: str, k: int) -> Column:

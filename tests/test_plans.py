@@ -124,3 +124,23 @@ def test_fastss_variant_join_is_equi(spark):
     assert_no_cartesian(df)
     assert "BroadcastNestedLoop" not in plan, plan
     assert "variant" in plan
+
+
+def test_global_rank_queries_have_no_window_and_no_single_partition_sort(spark):
+    """The r4 partition-offset rank rewrites: the distributed sort runs
+    inside the pinned checkpoint (range repartition + in-partition sort),
+    and (pid, local rank) decode from monotonically_increasing_id — so
+    the FINAL plan must contain NO Window node at all and no Sort/Window
+    over a single-partition exchange (the positive twin of the sweep's
+    red flag, locking the mechanism itself)."""
+    from bishe_gpu_database_spark.operators.pipeline import pipeline_balanced_shards
+    from bishe_gpu_database_spark.operators.tpch_extra import mart_rfm_segments
+    from bishe_gpu_database_spark.plans import (
+        simple_plan,
+        single_partition_sort_offenders,
+    )
+
+    for fn in (R.window_ntile_cumedist, pipeline_balanced_shards, mart_rfm_segments):
+        plan = simple_plan(fn(spark, SF_SMALL))
+        assert "Window" not in plan, plan
+        assert single_partition_sort_offenders(plan) == [], plan
