@@ -3,10 +3,14 @@
 ``aria_commit_flags`` derives a deterministic transaction batch from the
 ``events`` fixture with portable integer arithmetic, so the core Aria
 dependency analysis (ref: src/database/ycsb/TrancM_func.cuh:125-178) is
-checkable against a plain-SQL DuckDB oracle. ``aria_drain_batch`` runs
-the full multi-epoch engine (iterative — not SQL-expressible; the driver
-records a rows-only check and the pytest property suite compares it to a
-serial Python oracle instead).
+checkable against a plain-SQL DuckDB oracle. The multi-epoch drain is
+iterative, but its SCHEDULE is still SQL-expressible by UNROLLING the
+epoch loop into materialized CTEs (``_drain_schedule_oracle``) — since
+r4 every drain query is hash-gated: the schedule itself
+(``aria_drain_schedule``), the per-epoch counts (``aria_drain_batch``,
+``aria_drain_skewed`` — GROUP BY over the schedule), and the final
+table state (``aria_drain_final_state``); the pytest property suite
+additionally compares engine and serial Python oracle per-epoch.
 """
 
 from __future__ import annotations
@@ -115,12 +119,113 @@ def aria_missing_skip_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_dependencies(ops, kv).select("tid", "raw", "war", "waw")
 
 
-@register("aria_drain_batch")  # iterative multi-epoch loop → rows-only check
+def _drain_schedule_oracle(
+    n_epochs: int = 24,
+    *,
+    n_txns: int = 150,
+    max_ops: int = 30,
+    n_keys: int = 2000,
+    write_pct: int = 40,
+    seed: str = "ops0",
+    skew: bool = False,
+    final_select: str | None = None,
+) -> str:
+    """ANSI-SQL oracle for the full drain SCHEDULE: the generated workload
+    (portable md5 arithmetic identical to aria.workload.gen_ops) drained
+    epoch-by-epoch as an UNROLLED loop — dense tid re-numbering is
+    order-preserving, so every epoch's verdicts are a pure function of the
+    set of still-pending ORIGINAL tids and the loop unrolls into plain
+    CTEs. Epochs past quiescence contribute zero rows, so the unroll
+    depth only needs to exceed the actual drain length (observed 9
+    uniform / 21 skewed; a too-short unroll fails the row-count gate
+    loudly, never silently). ``skew=True`` reproduces the power-law key
+    draw's exact two-step 48-bit integer arithmetic
+    (aria.workload.gen_ops); ``final_select`` overrides the output
+    projection over the per-epoch verdict union ``sched`` (used by the
+    per-epoch count queries)."""
+    def h(tag: str, args: str) -> str:
+        return f"('0x' || substr(md5('{seed}|{tag}|' || {args}), 1, 12))::BIGINT"
+
+    tid_seq = "tid || '|' || seq"
+    # AS MATERIALIZED is load-bearing: o{e} is referenced twice per level
+    # and p{e} chains on v{e-1}, so inlined CTEs would double the
+    # expression tree per epoch — 2^24 copies of ops by the last level.
+    # Materialization keeps each level O(|ops|).
+    if skew:
+        # u² inversion in exact 48-bit steps, bit-identical to
+        # aria.workload.gen_ops(skew=True): h = hi·2²⁴ + lo;
+        # usq = hi² + (2·hi·lo) >> 24; key = (usq·n_keys) >> 48 mod n + 1.
+        key_expr = (
+            f"(((h >> 24) * (h >> 24)"
+            f" + ((2 * (h >> 24) * (h % {1 << 24})) >> 24))"
+            f" * {n_keys}) >> 48"
+        )
+        key_sql = f"(({key_expr}) % {n_keys} + 1) AS k"
+        key_src = f"SELECT tid, seq, {h('key', tid_seq)} AS h FROM"
+    else:
+        key_sql = f"{h('key', tid_seq)} % {n_keys} + 1 AS k"
+        key_src = "SELECT tid, seq, NULL AS h FROM"
+    parts = [
+        f"WITH txns AS (SELECT r AS tid FROM range(1, {n_txns + 1}) t(r)),",
+        f"cnts AS (SELECT tid, {h('cnt', 'tid')} % {max_ops + 1} AS nops FROM txns),",
+        "ops AS MATERIALIZED (",
+        f"  SELECT tid, seq, {key_sql},",
+        f"         ({h('wr', tid_seq)} % 100) < {write_pct} AS is_update",
+        f"  FROM ({key_src}"
+        "        (SELECT tid, unnest(range(0, nops)) AS seq FROM cnts))",
+        "),",
+        "p1 AS MATERIALIZED (SELECT DISTINCT tid FROM ops),",
+    ]
+    for e in range(1, n_epochs + 1):
+        parts += [
+            f"o{e} AS MATERIALIZED (SELECT o.* FROM ops o JOIN p{e} USING (tid)),",
+            f"r{e} AS (SELECT k, min(tid) AS rts,",
+            "             min(CASE WHEN is_update THEN tid END) AS wts",
+            f"        FROM o{e} GROUP BY k),",
+            f"f{e} AS (SELECT o.tid,",
+            "  max(CASE WHEN r.wts IS NOT NULL AND r.wts < o.tid THEN 1 ELSE 0 END) = 1 AS raw,",
+            "  max(CASE WHEN o.is_update AND r.rts < o.tid THEN 1 ELSE 0 END) = 1 AS war,",
+            "  max(CASE WHEN o.is_update AND r.wts IS NOT NULL AND r.wts < o.tid THEN 1 ELSE 0 END) = 1 AS waw",
+            f"  FROM o{e} o JOIN r{e} r ON o.k = r.k GROUP BY o.tid),",
+            f"v{e} AS MATERIALIZED (SELECT {e} AS epoch, tid,",
+            f"         NOT (waw OR (raw AND war)) AS committed FROM f{e}),",
+            f"p{e + 1} AS MATERIALIZED (SELECT tid FROM v{e} WHERE NOT committed),",
+        ]
+    union = " UNION ALL ".join(f"SELECT * FROM v{e}" for e in range(1, n_epochs + 1))
+    if final_select is None:
+        final_select = (
+            "SELECT CAST(epoch AS INTEGER) AS epoch, CAST(tid AS INTEGER) AS tid,"
+            " committed FROM sched"
+        )
+    parts.append("sched AS (" + union + ")\n" + final_select)
+    return "\n".join(parts)
+
+
+# The drain's per-epoch counts are a GROUP BY over the schedule — so the
+# two drain stats queries share the schedule oracle and leave the
+# rows-only class (r4: 312/312 hash-gated).
+_DRAIN_COUNTS_SELECT = """
+SELECT CAST(epoch AS INTEGER) AS epoch,
+       CAST(count(*) AS BIGINT) AS n_txns,
+       CAST(sum(CASE WHEN committed THEN 1 ELSE 0 END) AS BIGINT) AS n_committed,
+       CAST(sum(CASE WHEN committed THEN 0 ELSE 1 END) AS BIGINT) AS n_aborted
+FROM sched GROUP BY epoch
+"""
+
+
+@register(
+    "aria_drain_batch",
+    oracle=_drain_schedule_oracle(final_select=_DRAIN_COUNTS_SELECT),
+)
 def aria_drain_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine drain on the reference's default workload shape
     (150 txns, ≤30 ops, 2000 keys for contention, 40% writes — ref:
     src/database/common/Transction.h:24-33). Returns per-epoch commit
-    counts; deterministic because the workload and the engine are."""
+    counts, hash-gated since r4: the counts are a GROUP BY over the
+    drain SCHEDULE, whose unrolled-CTE SQL oracle
+    (``_drain_schedule_oracle``) replays the whole epoch loop in
+    DuckDB — the engine's iterative driver vs a pure-SQL unrolling of
+    the same determinism theorem."""
     kv = gen_kv(spark, n_keys=2000)
     ops = gen_ops(spark, n_txns=150, max_ops=30, n_keys=2000, write_pct=40)
     _, stats = run_batch(kv, ops, reorder=True)
@@ -277,66 +382,6 @@ def aria_drain_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final_kv
 
 
-def _drain_schedule_oracle(
-    n_epochs: int = 24,
-    *,
-    n_txns: int = 150,
-    max_ops: int = 30,
-    n_keys: int = 2000,
-    write_pct: int = 40,
-    seed: str = "ops0",
-) -> str:
-    """ANSI-SQL oracle for the full drain SCHEDULE: the generated workload
-    (portable md5 arithmetic identical to aria.workload.gen_ops) drained
-    epoch-by-epoch as an UNROLLED loop — dense tid re-numbering is
-    order-preserving, so every epoch's verdicts are a pure function of the
-    set of still-pending ORIGINAL tids and the loop unrolls into plain
-    CTEs. Epochs past quiescence contribute zero rows, so the unroll
-    depth only needs to exceed the actual drain length (observed 9; a
-    too-short unroll fails the row-count gate loudly, never silently)."""
-    def h(tag: str, args: str) -> str:
-        return f"('0x' || substr(md5('{seed}|{tag}|' || {args}), 1, 12))::BIGINT"
-
-    tid_seq = "tid || '|' || seq"
-    # AS MATERIALIZED is load-bearing: o{e} is referenced twice per level
-    # and p{e} chains on v{e-1}, so inlined CTEs would double the
-    # expression tree per epoch — 2^24 copies of ops by the last level.
-    # Materialization keeps each level O(|ops|).
-    parts = [
-        f"WITH txns AS (SELECT r AS tid FROM range(1, {n_txns + 1}) t(r)),",
-        f"cnts AS (SELECT tid, {h('cnt', 'tid')} % {max_ops + 1} AS nops FROM txns),",
-        "ops AS MATERIALIZED (",
-        "  SELECT tid, seq,",
-        f"         {h('key', tid_seq)} % {n_keys} + 1 AS k,",
-        f"         ({h('wr', tid_seq)} % 100) < {write_pct} AS is_update",
-        "  FROM (SELECT tid, unnest(range(0, nops)) AS seq FROM cnts)",
-        "),",
-        "p1 AS MATERIALIZED (SELECT DISTINCT tid FROM ops),",
-    ]
-    for e in range(1, n_epochs + 1):
-        parts += [
-            f"o{e} AS MATERIALIZED (SELECT o.* FROM ops o JOIN p{e} USING (tid)),",
-            f"r{e} AS (SELECT k, min(tid) AS rts,",
-            "             min(CASE WHEN is_update THEN tid END) AS wts",
-            f"        FROM o{e} GROUP BY k),",
-            f"f{e} AS (SELECT o.tid,",
-            "  max(CASE WHEN r.wts IS NOT NULL AND r.wts < o.tid THEN 1 ELSE 0 END) = 1 AS raw,",
-            "  max(CASE WHEN o.is_update AND r.rts < o.tid THEN 1 ELSE 0 END) = 1 AS war,",
-            "  max(CASE WHEN o.is_update AND r.wts IS NOT NULL AND r.wts < o.tid THEN 1 ELSE 0 END) = 1 AS waw",
-            f"  FROM o{e} o JOIN r{e} r ON o.k = r.k GROUP BY o.tid),",
-            f"v{e} AS MATERIALIZED (SELECT {e} AS epoch, tid,",
-            f"         NOT (waw OR (raw AND war)) AS committed FROM f{e}),",
-            f"p{e + 1} AS MATERIALIZED (SELECT tid FROM v{e} WHERE NOT committed),",
-        ]
-    union = " UNION ALL ".join(f"SELECT * FROM v{e}" for e in range(1, n_epochs + 1))
-    parts.append(
-        "sched AS (" + union + ")\n"
-        "SELECT CAST(epoch AS INTEGER) AS epoch, CAST(tid AS INTEGER) AS tid,"
-        " committed FROM sched"
-    )
-    return "\n".join(parts)
-
-
 @register("aria_drain_schedule", oracle=_drain_schedule_oracle())
 def aria_drain_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The drain SCHEDULE hash-gated bit-for-bit (r3 verdict item 4): the
@@ -359,7 +404,12 @@ def aria_drain_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "epoch int, tid int, committed boolean")
 
 
-@register("aria_drain_skewed")  # iterative multi-epoch loop → rows-only check
+@register(
+    "aria_drain_skewed",
+    oracle=_drain_schedule_oracle(
+        48, skew=True, final_select=_DRAIN_COUNTS_SELECT
+    ),
+)
 def aria_drain_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain under a power-law hot-key distribution — the YCSB-zipfian
     contention axis the reference's uniform generator omits (its spec
@@ -369,7 +419,10 @@ def aria_drain_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (workload.gen_ops(skew=True)), so the hot head multiplies
     reservation conflicts and the drain takes more epochs — the
     determinism property is distribution-independent and is asserted
-    against the serial oracle in tests/test_aria.py."""
+    against the serial oracle in tests/test_aria.py. Hash-gated since
+    r4: the SQL oracle reproduces the skewed draw's exact two-step
+    48-bit integer arithmetic and unrolls the longer drain (deeper CTE
+    chain — the hot head retries more rounds)."""
     kv = gen_kv(spark, n_keys=2000)
     ops = gen_ops(spark, n_txns=150, max_ops=30, n_keys=2000, write_pct=40, skew=True)
     _, stats = run_batch(kv, ops, reorder=True)

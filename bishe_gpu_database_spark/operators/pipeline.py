@@ -322,11 +322,10 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = d.select(
         "source",
         F.size(toks).alias("n_tokens"),
+        # positive char class ≡ the oracle's len - len(strip(negated))
+        # identity, ~9x faster in Spark's regex engine (see text_quality)
         (
-            (
-                F.length("text")
-                - F.length(F.regexp_replace(norm, "[^a-z0-9 ]", ""))
-            ).cast("double")
+            F.length(F.regexp_replace(norm, "[a-z0-9 ]", "")).cast("double")
             / F.length("text")
         ).alias("punct_ratio"),
         (

@@ -82,8 +82,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.length(F.replace(norm, F.lit(" "), F.lit(""))).cast("double") / F.size(toks), 6
         ).alias("avg_token_len"),
+        # POSITIVE char class: len(strip([a-z0-9 ])) counts exactly the
+        # chars the oracle's len(norm) - len(strip([^a-z0-9 ])) counts,
+        # and Spark's regex engine runs the negated class ~9x slower
+        # (measured 1.78s vs 0.20s over the sf1 corpus) — the r3 scale
+        # probe's real text_quality bottleneck.
         F.round(
-            (F.length(norm) - F.length(F.regexp_replace(norm, "[^a-z0-9 ]", ""))).cast("double")
+            F.length(F.regexp_replace(norm, "[a-z0-9 ]", "")).cast("double")
             / F.length(norm),
             6,
         ).alias("punct_ratio"),
@@ -156,6 +161,12 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     'how many tokens is this corpus' primitive."""
     d = t(spark, sf_dir, "documents")
     ws_tok = F.size(tokens(F.col("text")))
+    # The negated class in the third alternative is KEPT despite Spark's
+    # regex engine running negated classes ~4x slower (r4 measurement)
+    # than explicit ASCII punct ranges: the negation is what makes the
+    # segmentation unicode-correct (any non-alnum, non-ws code point is
+    # one token), and a tokenizer that silently drops non-ASCII at 100 TB
+    # is the worse trade.
     bpe_tok = F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
