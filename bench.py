@@ -55,6 +55,9 @@ HEADLINE = [
     # semantic dedup over the embedding table.
     "linkage_fellegi_sunter",
     "dedup_semdedup",
+    # r4 family: the zero-window partition-offset global rank (three
+    # independent rank axes + exact ntile re-derivation in one query).
+    "mart_rfm_segments",
 ]
 
 
