@@ -38,7 +38,7 @@ def global_rank(
     rank_col: str = "rk",
     total_col: str | None = None,
     running: dict[str, str] | None = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Append a 1-based global ``rank_col`` (row_number over the total
     order given by ``order``) WITHOUT a single-partition exchange; plus,
@@ -51,6 +51,13 @@ def global_rank(
     columns of ``df`` are preserved.
     """
     running = running or {}
+    if num_partitions is None:
+        # One range partition per core by default — the offsets map stays
+        # #cores-sized on the driver, and ranks are total-order-determined
+        # so the partition count never affects results (only parallelism).
+        num_partitions = max(
+            32, df.sparkSession.sparkContext.defaultParallelism
+        )
     # Range-partition on the sort key, sort INSIDE each partition, then
     # read (pid, local row index) straight out of
     # monotonically_increasing_id() — documented layout: partition id in
