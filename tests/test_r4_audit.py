@@ -125,3 +125,24 @@ def test_m4_composite_tiebreak_is_value_deterministic(spark):
         .collect()
     )
     assert (r["v_first"], r["v_last"]) == (3, 7)
+
+
+def test_drain_schedule_oracle_shallow_unroll_fails_loudly(spark):
+    """The unroll-depth guard: an oracle unrolled SHALLOWER than the
+    actual drain must produce FEWER rows (epochs past the unroll vanish),
+    so the parity row-count gate catches a too-short unroll — it can
+    never silently agree. Also pins the engine's drain length (9 epochs
+    on the default workload) so an unnoticed drain-length change shows up
+    here before it shows up as an oracle truncation."""
+    import duckdb
+
+    from bishe_gpu_database_spark.aria.queries import _drain_schedule_oracle
+    from bishe_gpu_database_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    engine_rows = REGISTRY["aria_drain_schedule"].fn(spark, "unused").collect()
+    n_epochs = max(r["epoch"] for r in engine_rows)
+    assert n_epochs == 9
+    shallow = duckdb.connect().execute(_drain_schedule_oracle(4)).fetchall()
+    full = duckdb.connect().execute(_drain_schedule_oracle()).fetchall()
+    assert len(shallow) < len(engine_rows) == len(full)
