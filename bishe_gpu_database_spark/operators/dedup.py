@@ -129,6 +129,15 @@ def _doc_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     xs = toks.select(
         "doc_id", F.transform(shingles_of(F.col("toks")), lambda s: h48(s)).alias("xs")
     )
+    # POLICY: documents with zero shingles (fewer than n tokens — empty,
+    # whitespace-only, or near-empty text) are excluded from minhash.
+    # Without this, every such doc carries the IDENTICAL init-array
+    # signature, so all of them band-join into one phantom all-pairs
+    # clique — at corpus scale, millions of empty docs become a quadratic
+    # candidate bomb and a giant fake duplicate cluster. The oracle's
+    # unnest drops them naturally; the engine must match (found by the
+    # r4 perturbed-fixture sweep, scripts/perturbed_parity.py).
+    xs = xs.filter(F.size("xs") > 0)
     return xs.select("doc_id", minhash_sigs_of(F.col("xs"), _N_HASHES).alias("sigs"))
 
 
@@ -760,6 +769,7 @@ def dedup_span_level(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_transform({_SQL_SHINGLES}, s -> {_SQL_H48.format(x='s')}),
                  x -> ((2 * i + 1) * x + 1000003 * i) % {MINHASH_PRIME}))) AS sigs
       FROM documents
+      WHERE len({_SQL_SHINGLES}) > 0
     ),
     bands AS (
       SELECT doc_id, b AS band_id,

@@ -111,9 +111,12 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     SELECT doc_id,
            CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INT) AS width,
            CAST(octet_length(CAST(text AS BLOB)) % 480 + 1 AS INT) AS height,
-           round(CAST(list_sum(list_transform(generate_series(1, least(octet_length(CAST(text AS BLOB)), 64)),
-                 i -> ord(substr(text, i, 1)))) AS DOUBLE)
-                 / least(octet_length(CAST(text AS BLOB)), 64), 6) AS mean_px
+           CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 0.0
+                ELSE round(CAST(list_sum(list_transform(
+                       generate_series(1, least(octet_length(CAST(text AS BLOB)), 64)),
+                       i -> ord(substr(text, i, 1)))) AS DOUBLE)
+                     / least(octet_length(CAST(text AS BLOB)), 64), 6)
+           END AS mean_px
     FROM documents
     """,
 )

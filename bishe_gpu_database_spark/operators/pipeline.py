@@ -289,9 +289,11 @@ def pipeline_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sig AS (
       SELECT source,
              len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tokens,
-             CAST(length(text)
-                  - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
-               AS DOUBLE) / length(text) AS punct_ratio,
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(text)
+                    - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+                 AS DOUBLE) / length(text)
+             END AS punct_ratio,
              CAST(len(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS DOUBLE)
                / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS uniq_ratio
       FROM documents
@@ -323,10 +325,14 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(toks).alias("n_tokens"),
         # positive char class ≡ the oracle's len - len(strip(negated))
-        # identity, ~9x faster in Spark's regex engine (see text_quality)
-        (
+        # identity, ~9x faster in Spark's regex engine (see text_quality);
+        # the guard keeps an empty document NULL (→ rejected by the gate's
+        # ternary logic identically in both engines) instead of an ANSI
+        # DIVIDE_BY_ZERO job failure (r4 perturbed sweep).
+        F.when(
+            F.length("text") > 0,
             F.length(F.regexp_replace(norm, "[a-z0-9 ]", "")).cast("double")
-            / F.length("text")
+            / F.length("text"),
         ).alias("punct_ratio"),
         (
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks)

@@ -38,11 +38,32 @@ def _cosine(a, b) -> F.Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+# Oracle-side twin of the zero-norm exclusion below.
+_SQL_NONZERO = f"{_SQL_DOT.format(a='embedding', b='embedding')} > 0"
+# filtered-scan form for aliased/cross-join oracle scans
+_SQL_EMB_NZ = f"(SELECT * FROM embeddings WHERE {_SQL_NONZERO})"
+
+
+def emb_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan for DIRECTION-based (cosine) operators: zero-norm
+    vectors are excluded by POLICY — cosine is undefined for them, and
+    under ANSI mode a single zero vector turns the whole query into a
+    DIVIDE_BY_ZERO job failure (found by the r4 perturbed-fixture sweep,
+    scripts/perturbed_parity.py). Magnitude/position operators (norms,
+    int8 quantization, PQ, centroids, PCA) keep the full table — zero is
+    meaningful data there. Every cosine oracle carries the same
+    ``_SQL_NONZERO`` predicate so both engines see one corpus."""
+    e = widen(t(spark, sf_dir, "embeddings"))
+    return e.filter(_dot(F.col("embedding"), F.col("embedding")) > 0)
+
+
 @register(
     "ann_cosine_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-    c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < 5 AND {_SQL_NONZERO}),
+    c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings
+          WHERE {_SQL_NONZERO}),
     sims AS (
       SELECT q.query_id, c.cand_id,
              {_SQL_DOT.format(a='q.qe', b='c.ce')}
@@ -63,7 +84,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts (tiny), so the corpus streams through once with no shuffle
     until the per-query top-k — at 100 TB this exact plan works for a
     bounded query batch; unbounded N×N goes through ann_lsh_buckets."""
-    e = widen(t(spark, sf_dir, "embeddings"))
+    e = emb_unit(spark, sf_dir)  # zero-norm vectors excluded (policy)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -153,7 +174,8 @@ _N_PROBE = 2
     "ann_ivf_topk",
     oracle=f"""
     WITH cent AS (
-      SELECT vec_id AS cid, embedding AS we FROM embeddings WHERE vec_id < {_N_CELLS}
+      SELECT vec_id AS cid, embedding AS we FROM embeddings
+      WHERE vec_id < {_N_CELLS} AND {_SQL_NONZERO}
     ),
     asn AS (
       SELECT vec_id, cid, ce, row_number() OVER (
@@ -163,7 +185,7 @@ _N_PROBE = 2
                {_SQL_DOT.format(a='e.embedding', b='c.we')}
                / (sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})
                   * sqrt({_SQL_DOT.format(a='c.we', b='c.we')})) AS cos
-        FROM embeddings e CROSS JOIN cent c)
+        FROM {_SQL_EMB_NZ} e CROSS JOIN cent c)
     ),
     cells AS (SELECT vec_id, cid, ce FROM asn WHERE crn = 1),
     probes AS (
@@ -198,7 +220,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed order as the oracle, so assignments are bit-identical."""
     from pyspark.sql import Window as W
 
-    e = widen(t(spark, sf_dir, "embeddings"))
+    e = emb_unit(spark, sf_dir)  # zero-norm vectors excluded (policy)
     cent_row = (
         e.filter(F.col("vec_id") < _N_CELLS)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("we"))
@@ -284,7 +306,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
              / (sqrt({_SQL_DOT.format(a='a.embedding', b='a.embedding')})
                 * sqrt({_SQL_DOT.format(a='b.embedding', b='b.embedding')})) AS cos
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      FROM {_SQL_EMB_NZ} a JOIN {_SQL_EMB_NZ} b ON a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, round(cos, 6) AS cosine
     FROM pairs WHERE cos >= 0.6
@@ -294,7 +316,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.6). Brute-force N²/2 at
     fixture scale; the documented scale path is ann_lsh_buckets first,
     then this exact check only within buckets."""
-    e = widen(t(spark, sf_dir, "embeddings"))
+    e = emb_unit(spark, sf_dir)  # zero-norm vectors excluded (policy)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
@@ -586,7 +608,7 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH cent AS (
       SELECT vec_id AS ivf_cid, embedding AS we
-      FROM embeddings WHERE vec_id < {_N_CELLS}
+      FROM embeddings WHERE vec_id < {_N_CELLS} AND {_SQL_NONZERO}
     ),
     asn AS (
       SELECT vec_id, ivf_cid, row_number() OVER (
@@ -596,7 +618,7 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_SQL_DOT.format(a='e.embedding', b='c.we')}
                / (sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})
                   * sqrt({_SQL_DOT.format(a='c.we', b='c.we')})) AS cos
-        FROM embeddings e CROSS JOIN cent c)
+        FROM {_SQL_EMB_NZ} e CROSS JOIN cent c)
     ),
     cells  AS (SELECT vec_id, ivf_cid FROM asn WHERE crn = 1),
     probes AS (SELECT vec_id AS query_id, ivf_cid FROM asn
@@ -604,7 +626,7 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     pqcent AS (
       SELECT m, vec_id AS cid, embedding AS cfull
       FROM embeddings, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(m)
-      WHERE vec_id < {_PQ_K}
+      WHERE vec_id < {_PQ_K} AND {_SQL_NONZERO}
     ),
     dists AS (
       SELECT e.vec_id, c.m, c.cid,
@@ -613,7 +635,7 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - CAST(c.cfull[c.m*{_PQ_SUB}+i] AS DOUBLE))
                     * (CAST(e.embedding[c.m*{_PQ_SUB}+i] AS DOUBLE)
                        - CAST(c.cfull[c.m*{_PQ_SUB}+i] AS DOUBLE)))) AS d2
-      FROM embeddings e CROSS JOIN pqcent c
+      FROM {_SQL_EMB_NZ} e CROSS JOIN pqcent c
     ),
     codes AS (
       SELECT vec_id, m, cid
@@ -663,7 +685,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_pq_topk, so ranks hash bit-identically cross-engine."""
     from pyspark.sql import Window as W
 
-    e = widen(t(spark, sf_dir, "embeddings"))
+    e = emb_unit(spark, sf_dir)  # zero-norm vectors excluded (policy)
     # --- IVF coarse assignment (cells + probe lists) ---
     cent = e.filter(F.col("vec_id") < _N_CELLS).select(
         F.col("vec_id").alias("ivf_cid"), F.col("embedding").alias("we")
@@ -745,13 +767,14 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rag_retrieve_topk",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-               FROM embeddings WHERE vec_id IN (11, 222, 333)),
+               FROM embeddings WHERE vec_id IN (11, 222, 333)
+                 AND {_SQL_NONZERO}),
     sims AS (
       SELECT q.query_id, c.vec_id AS doc_id,
              {_SQL_DOT.format(a='q.qe', b='c.embedding')}
              / (sqrt({_SQL_DOT.format(a='q.qe', b='q.qe')})
                 * sqrt({_SQL_DOT.format(a='c.embedding', b='c.embedding')})) AS cos
-      FROM q CROSS JOIN embeddings c
+      FROM q CROSS JOIN {_SQL_EMB_NZ} c
       WHERE q.query_id <> c.vec_id
     ),
     hits AS (
@@ -780,7 +803,7 @@ def rag_retrieve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ann_ivfpq_topk's index unchanged."""
     from pyspark.sql import Window as W
 
-    e = widen(t(spark, sf_dir, "embeddings"))
+    e = emb_unit(spark, sf_dir)  # zero-norm vectors excluded (policy)
     d = t(spark, sf_dir, "documents")
     q = e.filter(F.col("vec_id").isin(11, 222, 333)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -810,8 +833,10 @@ def rag_retrieve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_range_search",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-    c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < 5 AND {_SQL_NONZERO}),
+    c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings
+          WHERE {_SQL_NONZERO}),
     sims AS (
       SELECT q.query_id, c.cand_id,
              {_SQL_DOT.format(a='q.qe', b='c.ce')}
@@ -835,7 +860,7 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     any scale, and the natural first stage before an exact re-rank.
     τ is applied to the 6-dp-rounded value so the cut line is identical
     cross-engine."""
-    e = widen(t(spark, sf_dir, "embeddings"))
+    e = emb_unit(spark, sf_dir)  # zero-norm vectors excluded (policy)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -855,8 +880,10 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_eval_recall",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-    c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < 5 AND {_SQL_NONZERO}),
+    c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings
+          WHERE {_SQL_NONZERO}),
     exact_sims AS (
       SELECT q.query_id, c.cand_id,
              {_SQL_DOT.format(a='q.qe', b='c.ce')}
@@ -872,7 +899,8 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE rn <= 10
     ),
     cent AS (
-      SELECT vec_id AS cid, embedding AS we FROM embeddings WHERE vec_id < {_N_CELLS}
+      SELECT vec_id AS cid, embedding AS we FROM embeddings
+      WHERE vec_id < {_N_CELLS} AND {_SQL_NONZERO}
     ),
     asn AS (
       SELECT vec_id, cid, ce, row_number() OVER (
@@ -882,7 +910,7 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_SQL_DOT.format(a='e.embedding', b='c.we')}
                / (sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})
                   * sqrt({_SQL_DOT.format(a='c.we', b='c.we')})) AS cos
-        FROM embeddings e CROSS JOIN cent c)
+        FROM {_SQL_EMB_NZ} e CROSS JOIN cent c)
     ),
     cells AS (SELECT vec_id, cid, ce FROM asn WHERE crn = 1),
     probes AS (
@@ -1045,9 +1073,10 @@ def embedding_pca_power3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_hard_negatives",
     oracle=f"""
     WITH q AS (SELECT vec_id AS anchor_id, label AS anchor_label,
-                      embedding AS qe FROM embeddings WHERE vec_id < 8),
+                      embedding AS qe FROM embeddings
+               WHERE vec_id < 8 AND {_SQL_NONZERO}),
     c AS (SELECT vec_id AS neg_id, label AS neg_label, embedding AS ce
-          FROM embeddings),
+          FROM embeddings WHERE {_SQL_NONZERO}),
     sims AS (
       SELECT q.anchor_id, q.anchor_label, c.neg_id, c.neg_label,
              {_SQL_DOT.format(a='q.qe', b='c.ce')}
@@ -1077,7 +1106,7 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k) survive to the windowed rank. For unbounded anchor sets the
     candidate generation drops onto ``ann_lsh_buckets``/``ann_ivf_topk``
     and this query's scoring tail is unchanged."""
-    e = widen(t(spark, sf_dir, "embeddings"))
+    e = emb_unit(spark, sf_dir)  # zero-norm vectors excluded (policy)
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
@@ -1120,9 +1149,10 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_knn_classify",
     oracle=f"""
     WITH q AS (SELECT vec_id AS eval_id, label AS true_label,
-                      embedding AS qe FROM embeddings WHERE vec_id < 32),
+                      embedding AS qe FROM embeddings
+               WHERE vec_id < 32 AND {_SQL_NONZERO}),
     c AS (SELECT vec_id AS nbr_id, label AS nbr_label, embedding AS ce
-          FROM embeddings),
+          FROM embeddings WHERE {_SQL_NONZERO}),
     sims AS (
       SELECT q.eval_id, q.true_label, c.nbr_label,
              {_SQL_DOT.format(a='q.qe', b='c.ce')}
@@ -1169,7 +1199,7 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), per-eval top-5 via windowed rank, then two tiny aggregates;
     at 100 TB the neighbor generation swaps to the IVF/LSH candidate
     path with the vote/confusion tail unchanged."""
-    e = widen(t(spark, sf_dir, "embeddings"))
+    e = emb_unit(spark, sf_dir)  # zero-norm vectors excluded (policy)
     q = e.filter(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("eval_id"),
         F.col("label").alias("true_label"),
@@ -1218,8 +1248,9 @@ _SQL_DOT16 = """list_sum(list_transform(generate_series(1, 16),
     "embedding_matryoshka_recall",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-               FROM embeddings WHERE vec_id < 8),
-    c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+               FROM embeddings WHERE vec_id < 8 AND {_SQL_NONZERO}),
+    c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings
+          WHERE {_SQL_NONZERO}),
     sims AS (
       SELECT q.query_id, c.cand_id,
              {_SQL_DOT.format(a='q.qe', b='c.ce')}
@@ -1262,7 +1293,7 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale this runs as the offline eval after every embedding train —
     the same shape as ``ann_eval_recall`` but comparing dimensionality
     tiers instead of index tiers."""
-    e = widen(t(spark, sf_dir, "embeddings"))
+    e = emb_unit(spark, sf_dir)  # zero-norm vectors excluded (policy)
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -1305,9 +1336,11 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_semdedup",
     oracle=f"""
     WITH cent AS (
-      SELECT vec_id AS cid, embedding AS we FROM embeddings WHERE vec_id < 8
+      SELECT vec_id AS cid, embedding AS we FROM embeddings
+      WHERE vec_id < 8 AND {_SQL_NONZERO}
     ),
-    e AS (SELECT vec_id, embedding AS ce FROM embeddings),
+    e AS (SELECT vec_id, embedding AS ce FROM embeddings
+          WHERE {_SQL_NONZERO}),
     dot AS (
       SELECT e.vec_id, c.cid, e.ce,
              {_SQL_DOT.format(a='e.ce', b='c.we')}
@@ -1362,7 +1395,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-encodings that share no shingles."""
     from pyspark.sql import Window as W
 
-    e = widen(t(spark, sf_dir, "embeddings"))
+    e = emb_unit(spark, sf_dir)  # zero-norm vectors excluded (policy)
     cent_row = (
         e.filter(F.col("vec_id") < 8)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("we"))

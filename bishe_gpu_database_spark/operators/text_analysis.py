@@ -53,9 +53,11 @@ def _sql_list(words: list[str]) -> str:
            len({_SQL_TOKENS}) AS n_tokens,
            round(CAST(length(replace({_SQL_NORM}, ' ', '')) AS DOUBLE)
                  / len({_SQL_TOKENS}), 6) AS avg_token_len,
-           round(CAST(length({_SQL_NORM})
-                      - length(regexp_replace({_SQL_NORM}, '[^a-z0-9 ]', '', 'g'))
-                 AS DOUBLE) / length({_SQL_NORM}), 6) AS punct_ratio,
+           CASE WHEN length({_SQL_NORM}) > 0 THEN
+             round(CAST(length({_SQL_NORM})
+                        - length(regexp_replace({_SQL_NORM}, '[^a-z0-9 ]', '', 'g'))
+                   AS DOUBLE) / length({_SQL_NORM}), 6)
+           END AS punct_ratio,
            round(CAST(len(list_filter({_SQL_TOKENS},
                       tk -> list_contains({_sql_list(_STOPWORDS)}, tk))) AS DOUBLE)
                  / len({_SQL_TOKENS}), 6) AS stopword_ratio
@@ -86,11 +88,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # chars the oracle's len(norm) - len(strip([^a-z0-9 ])) counts,
         # and Spark's regex engine runs the negated class ~9x slower
         # (measured 1.78s vs 0.20s over the sf1 corpus) — the r3 scale
-        # probe's real text_quality bottleneck.
-        F.round(
-            F.length(F.regexp_replace(norm, "[a-z0-9 ]", "")).cast("double")
-            / F.length(norm),
-            6,
+        # probe's real text_quality bottleneck. The length guard keeps an
+        # EMPTY/whitespace-only document (norm = '') a NULL ratio instead
+        # of an ANSI DIVIDE_BY_ZERO job failure (r4 perturbed sweep).
+        F.when(
+            F.length(norm) > 0,
+            F.round(
+                F.length(F.regexp_replace(norm, "[a-z0-9 ]", "")).cast("double")
+                / F.length(norm),
+                6,
+            ),
         ).alias("punct_ratio"),
         F.round(
             F.size(F.filter(toks, lambda tk: F.array_contains(stop_arr, tk))).cast("double")

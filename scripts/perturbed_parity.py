@@ -1,0 +1,169 @@
+"""Adversarial-fixture parity sweep (r4): the mechanical form of the
+review lens that keeps finding oracle blind spots by hand.
+
+The driver's fixtures never contain the content edge cases a 100 TB
+corpus contains routinely — empty documents, letter-less documents,
+whitespace-only text, duplicate (series, timestamp) points, zero-value
+events, zero/negative account balances. A query and its oracle can share
+a bug (both silently drop the weird row) or, worse, DIVERGE on it (the
+r3 ``udf_pandas_iter_model_score`` finding: the Spark side emitted a
+letter-less doc with score 0 while the oracle's inner join dropped it).
+
+This sweep materializes a PERTURBED copy of the sf0.001 fixture with
+those rows injected — preserving structural invariants (unique ids,
+consistent n_chars, valid enum values) while breaking only CONTENT
+assumptions — and re-runs every registered query against its DuckDB
+oracle on it. Any hash mismatch is a latent parity break surfaced now
+instead of by the next round's reviewer.
+
+Run: PYTHONPATH=/root/repo python scripts/perturbed_parity.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SRC = "/root/testdata/sf0.001"
+
+
+def build_perturbed(dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for tbl in ("region", "nation", "supplier", "part", "orders", "lineitem"):
+        shutil.copy(os.path.join(SRC, f"{tbl}.parquet"), os.path.join(dst, f"{tbl}.parquet"))
+
+    # documents: content edge cases past the max doc_id. n_chars stays
+    # consistent with the text; lang/source reuse in-domain values.
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{SRC}/documents.parquet'
+          UNION ALL
+          SELECT * FROM (VALUES
+            (900001, '', 'en', 'src0', 0),
+            (900002, '   ', 'en', 'src1', 3),
+            (900003, '123 456 789 !!! ???', 'de', 'src2', 19),
+            (900004, 'x', 'es', 'src0', 1),
+            (900005, 'the the the the the the the the', 'en', 'src1', 31),
+            (900006, '!!!???...,,,;;;:::', 'fr', 'src2', 18)
+          ) t(doc_id, text, lang, source, n_chars)
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    # events: duplicate (event_type, ts) pairs (two new rows sharing one
+    # timestamp with an EXISTING row and with each other), a zero-value
+    # event, and a user whose purchase precedes their signup.
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{SRC}/events.parquet'
+          UNION ALL
+          SELECT * FROM (
+            SELECT 900001 AS event_id, ts, 900001 AS user_id, event_type,
+                   0.0 AS value, props
+            FROM '{SRC}/events.parquet' ORDER BY event_id LIMIT 1
+          )
+          UNION ALL
+          SELECT * FROM (
+            SELECT 900002 AS event_id, ts, 900002 AS user_id, event_type,
+                   123.45 AS value, props
+            FROM '{SRC}/events.parquet' ORDER BY event_id LIMIT 1
+          )
+          UNION ALL
+          SELECT * FROM (
+            SELECT 900003 AS event_id, ts + INTERVAL 1 MINUTE, 900003, 'purchase',
+                   7.0, props
+            FROM '{SRC}/events.parquet' ORDER BY event_id LIMIT 1
+          )
+          UNION ALL
+          SELECT * FROM (
+            SELECT 900004 AS event_id, ts + INTERVAL 2 MINUTE, 900003, 'signup',
+                   0.0, props
+            FROM '{SRC}/events.parquet' ORDER BY event_id LIMIT 1
+          )
+        ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    # customer: zero and negative balances at fresh keys (valid segments).
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{SRC}/customer.parquet'
+          UNION ALL
+          SELECT * FROM (VALUES
+            (900001, 'Customer#900001', 0, 0.00, 'BUILDING'),
+            (900002, 'Customer#900002', 1, -999.99, 'MACHINERY')
+          ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+        ) TO '{dst}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    # embeddings: the zero vector (norm 0 — the cosine edge case) and a
+    # constant vector, dimension-matched to the fixture.
+    (dim,) = con.execute(
+        f"SELECT len(embedding) FROM '{SRC}/embeddings.parquet' LIMIT 1"
+    ).fetchone()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{SRC}/embeddings.parquet'
+          UNION ALL
+          SELECT 900001, CAST([0.0 FOR i IN range({dim})] AS FLOAT[]), 0
+          UNION ALL
+          SELECT 900002, CAST([0.5 FOR i IN range({dim})] AS FLOAT[]), 1
+        ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/PERTURBED_PARITY.json"
+    dst = os.path.join(tempfile.gettempdir(), "bishe_spark_scratch", "sf_perturbed")
+    shutil.rmtree(dst, ignore_errors=True)
+    build_perturbed(dst)
+    print(f"# perturbed fixture at {dst}", flush=True)
+
+    from bishe_gpu_database_spark.registry import REGISTRY, _ensure_loaded
+    from bishe_gpu_database_spark.session import get_spark
+    from tests.conftest import compare_query_to_oracle
+
+    _ensure_loaded()
+    spark = get_spark("perturbed_parity")
+    results, failures = {}, []
+    for name, spec in sorted(REGISTRY.items()):
+        try:
+            if spec.oracle is None:
+                n = spec.fn(spark, dst).count()
+                ok, msg = True, f"rows-only ({n})"
+            else:
+                ok, msg = compare_query_to_oracle(spark, dst, name, spec.fn, spec.oracle)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXC {type(e).__name__}: {str(e)[:200]}"
+        results[name] = {"ok": ok, "detail": None if ok else msg}
+        if not ok:
+            failures.append(name)
+            print(f"FAIL {name}: {msg}", flush=True)
+    summary = {
+        "perturbations": "empty/ws-only/letter-less/single-char/repetitive/"
+        "punct-only docs; dup-(type,ts) + zero-value + purchase-before-"
+        "signup events; zero/negative balances; zero + constant vectors",
+        "n_queries": len(results),
+        "n_pass": len(results) - len(failures),
+        "failures": {n: results[n]["detail"] for n in failures},
+    }
+    with open(out_path, "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps({k: v for k, v in summary.items() if k != "failures"}), flush=True)
+    print(f"failures: {failures}", flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
