@@ -126,18 +126,22 @@ def _doc_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition, running the minhash twice, once single-threaded.)"""
     d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    # POLICY: documents with zero shingles (fewer than the 5-token
+    # shingle width — empty, whitespace-only, or near-empty text) are
+    # excluded from minhash. Without this, every such doc carries the
+    # IDENTICAL init-array signature, so all of them band-join into one
+    # phantom all-pairs clique — at corpus scale, millions of empty docs
+    # become a quadratic candidate bomb and a giant fake duplicate
+    # cluster. The oracle's unnest drops them naturally; the engine must
+    # match (found by the r4 perturbed-fixture sweep,
+    # scripts/perturbed_parity.py). The predicate is the CHEAP token
+    # count (zero shingles ⟺ tokens < width) — filtering on size(xs)
+    # would let predicate pushdown inline the whole minhash expression
+    # into the filter and evaluate it twice per row.
+    toks = toks.filter(F.size("toks") >= 5)
     xs = toks.select(
         "doc_id", F.transform(shingles_of(F.col("toks")), lambda s: h48(s)).alias("xs")
     )
-    # POLICY: documents with zero shingles (fewer than n tokens — empty,
-    # whitespace-only, or near-empty text) are excluded from minhash.
-    # Without this, every such doc carries the IDENTICAL init-array
-    # signature, so all of them band-join into one phantom all-pairs
-    # clique — at corpus scale, millions of empty docs become a quadratic
-    # candidate bomb and a giant fake duplicate cluster. The oracle's
-    # unnest drops them naturally; the engine must match (found by the
-    # r4 perturbed-fixture sweep, scripts/perturbed_parity.py).
-    xs = xs.filter(F.size("xs") > 0)
     return xs.select("doc_id", minhash_sigs_of(F.col("xs"), _N_HASHES).alias("sigs"))
 
 

@@ -91,9 +91,13 @@ def test_minhash_sig_is_map_side_only(spark):
     plan = formatted_plan(D.dedup_minhash_signature(spark, SF_SMALL))
     tree = plan.split("== Physical Plan ==")[-1].split("(1) ")[0]
     assert tree.count("Exchange") <= 1, plan
-    # And no Filter below the Exchange: InferFiltersFromGenerate must not
-    # clone the signature expression into a pre-repartition filter.
-    assert "Filter" not in tree, plan
+    # Filters must be the cheap zero-shingle POLICY guard (size(xs) > 0,
+    # r4) only — InferFiltersFromGenerate must not clone the md5/conv
+    # signature expression into a pre-repartition filter (that clone
+    # re-evaluates the whole minhash per element: measured 470s vs 3s).
+    for line in plan.splitlines():
+        if line.strip().startswith("Condition"):
+            assert "md5" not in line and "conv(" not in line, line
 
 
 def test_shuffle_hash_hint_forces_shj(spark):
