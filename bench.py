@@ -175,6 +175,66 @@ def main() -> None:
         aria["bulk_load_200k_sec"] = round(load_s, 3)
         aria["load_rows_per_sec"] = round(n_loaded / load_s)
         print(f"# bulk_load_200k: {load_s:.3f}s ({n_loaded} rows)", file=sys.stderr)
+
+        # r4 verdict item 9: epoch cost ∝ batch, not table. (a) a FULL
+        # 200-txn batch — the reference's batch-capacity bound
+        # (TransctionManager.cuh:15) — must clear at least the 150-txn
+        # throughput; (b) a 3×200-txn STREAMED drain through the
+        # foreachBatch driver (one batch per trigger, state carried
+        # across micro-batches) — the reference's continuous-ingest loop.
+        from bishe_gpu_database_spark.aria.engine import run_batch
+        from bishe_gpu_database_spark.aria.workload import gen_ops
+
+        kv_cap = gen_kv(spark, n_keys=2000)
+        ops200 = gen_ops(
+            spark, n_txns=200, max_ops=30, n_keys=2000, write_pct=40,
+            seed="bench_cap",
+        )
+        run_batch(kv_cap, ops200, reorder=True)  # warm
+        best200 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_batch(kv_cap, ops200, reorder=True)
+            best200 = min(best200, time.perf_counter() - t0)
+        aria["batch200"] = {
+            "drain_200txn_sec": round(best200, 3),
+            "txn_per_sec": round(200 / best200, 1),
+        }
+        print(f"# aria_batch200: {best200:.3f}s", file=sys.stderr)
+
+        import shutil
+        import tempfile
+
+        from bishe_gpu_database_spark.streaming.streams import aria_foreach_batch
+
+        d = tempfile.mkdtemp(prefix="aria_bench_ops_")
+        try:
+            for i in range(3):
+                gen_ops(
+                    spark, n_txns=200, max_ops=30, n_keys=2000, write_pct=40,
+                    seed=f"bench_mb{i}",
+                ).coalesce(1).write.mode("overwrite").parquet(f"{d}/b{i}")
+            ops_schema = ops200.schema
+            ops_stream = (
+                spark.readStream.schema(ops_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            t0 = time.perf_counter()
+            _, mb_log = aria_foreach_batch(spark, kv_cap, ops_stream, reorder=True)
+            mb_s = time.perf_counter() - t0
+            n_txn = 200 * len(mb_log)
+            aria["stream_multibatch"] = {
+                "n_batches": len(mb_log),
+                "drain_sec": round(mb_s, 3),
+                "txn_per_sec": round(n_txn / mb_s, 1) if mb_s else None,
+            }
+            print(
+                f"# aria_stream_multibatch: {mb_s:.3f}s ({len(mb_log)} batches)",
+                file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
     except Exception as e:  # never fail the bench line
         print(f"# aria drain failed: {e}", file=sys.stderr, flush=True)
 

@@ -30,6 +30,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+# monotonically_increasing_id layout: partition id in the upper 31 bits,
+# a 0-based per-partition counter in the lower 33.
+_PID_BITS = 31
+_CTR_BITS = 33
+# Above this partition count the per-partition offsets stop being a
+# create_map literal (plan size O(#partitions)) and become a broadcast
+# equi-join on pid — constant plan size, same result (r4 verdict item 7).
+_MAP_LITERAL_MAX_PARTS = 1024
+
 
 def global_rank(
     df: DataFrame,
@@ -68,13 +77,24 @@ def global_rank(
     # re-exchange after the checkpoint (a Window.partitionBy(pid) would
     # hash-shuffle the full input a second time, because the checkpointed
     # RDD does not advertise its partitioning to Catalyst).
+    if num_partitions >= (1 << _PID_BITS):
+        raise ValueError(
+            f"global_rank: {num_partitions} partitions overflows the "
+            f"{_PID_BITS}-bit partition-id field of monotonically_increasing_id"
+        )
     keyed = df.repartitionByRange(num_partitions, *order).sortWithinPartitions(*order)
     # The checkpoint pins BOTH nondeterminisms — the sampled range
     # boundaries and the id assignment — so the offsets job and every
-    # downstream read observe one frozen layout.
-    parts = keyed.withColumn("_gr_mid", F.monotonically_increasing_id()).localCheckpoint()
-    pid = F.shiftright(F.col("_gr_mid"), 33).cast("int")
-    local_rk = F.col("_gr_mid") % F.lit(1 << 33).cast("bigint")  # 0-based
+    # downstream read observe one frozen layout. eager=False: the offsets
+    # collect below is the first action and materializes it, so merely
+    # CONSTRUCTING the plan (plan-only tooling, .explain) does no work and
+    # no extra job runs (r4 advice).
+    parts = (
+        keyed.withColumn("_gr_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    pid = F.shiftright(F.col("_gr_mid"), _CTR_BITS).cast("int")
+    local_rk = F.col("_gr_mid") % F.lit(1 << _CTR_BITS).cast("bigint")  # 0-based
     # #partitions rows on the driver — the same order of magnitude the
     # range sampler itself already collects; NOT a single-partition window.
     aggs = [F.count(F.lit(1)).alias("_cnt")] + [
@@ -84,6 +104,15 @@ def global_rank(
         r["_pid"]: r
         for r in parts.select(pid.alias("_pid"), *running).groupBy("_pid").agg(*aggs).collect()
     }
+    # Loud id-layout bound check: the lower-33-bit counter caps a single
+    # partition at 2^33 rows (~8.6e9 — three orders of magnitude above a
+    # sane partition, but silence would mean wrong ranks, not an error).
+    for p, r in cnts.items():
+        if r["_cnt"] > (1 << _CTR_BITS):
+            raise ValueError(
+                f"global_rank: partition {p} holds {r['_cnt']} rows, over the "
+                f"2^{_CTR_BITS} per-partition id-counter bound — raise num_partitions"
+            )
     total = sum(r["_cnt"] for r in cnts.values())
     # cumulative EXCLUSIVE offsets per partition, in pid order
     offsets: dict[int, tuple] = {}
@@ -95,33 +124,284 @@ def global_rank(
         for src in running:
             acc_sums[src] += cnts[p][f"_sum_{src}"] or 0
 
-    def lookup(values: dict[int, int]) -> Column:
-        if not values:
-            return F.lit(0)
-        pairs = [F.lit(x) for p in sorted(values) for x in (p, values[p])]
-        return F.element_at(F.create_map(*pairs), pid)
+    if offsets and num_partitions > _MAP_LITERAL_MAX_PARTS:
+        # Broadcast-join offsets: a create_map literal is O(#partitions)
+        # PLAN size — fine at 32, pathological at 100k cluster partitions.
+        # The offsets table is #partitions rows, broadcast, equi-joined on
+        # pid; every pid in the data has an offsets row by construction.
+        run_srcs = list(running)
+        rows = [
+            tuple([int(p), int(o[0])] + [o[1][s] for s in run_srcs])
+            for p, o in sorted(offsets.items())
+        ]
+        names = ["_gr_jpid", "_gr_joff"] + [
+            f"_gr_jroff_{i}" for i in range(len(run_srcs))
+        ]
+        off_df = df.sparkSession.createDataFrame(rows, names)
+        base = parts.join(
+            F.broadcast(off_df), pid.cast("bigint") == F.col("_gr_jpid"), "inner"
+        )
+        cnt_off: Column = F.col("_gr_joff")
+        run_off = {s: F.col(f"_gr_jroff_{i}") for i, s in enumerate(run_srcs)}
+        drop_extra = names
+    else:
 
-    out = parts.withColumn(
-        rank_col,
-        (local_rk + 1 + lookup({p: o[0] for p, o in offsets.items()})).cast("bigint"),
-    )
+        def lookup(values: dict[int, int]) -> Column:
+            if not values:
+                return F.lit(0)
+            pairs = [F.lit(x) for p in sorted(values) for x in (p, values[p])]
+            return F.element_at(F.create_map(*pairs), pid)
+
+        base = parts
+        cnt_off = lookup({p: o[0] for p, o in offsets.items()})
+        run_off = {
+            s: lookup({p: o[1][s] for p, o in offsets.items()}) for s in running
+        }
+        drop_extra = []
+
+    out = base.withColumn(rank_col, (local_rk + 1 + cnt_off).cast("bigint"))
     if running:
         # Exact running sums still need the in-partition prefix (a window
         # PARTITIONED by pid — parallel, but it does re-exchange the
         # checkpointed rows by pid since the RDD's layout is opaque to
         # Catalyst). Callers use this on already-aggregated inputs
-        # (vocab tables), where that exchange is metadata-sized.
-        w = W.partitionBy(pid).orderBy("_gr_mid")
+        # (vocab tables), where that exchange is metadata-sized. The pid
+        # is materialized under the _gr_pidw marker name so the
+        # data-aware plan sweep can see this window's cardinality is
+        # ∝ num_partitions by construction (plans.CLUSTER_SCALED_MARKER).
+        out = out.withColumn("_gr_pidw", pid)
+        w = W.partitionBy("_gr_pidw").orderBy("_gr_mid")
         wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
         for src, dst in running.items():
-            out = out.withColumn(
-                dst,
-                F.sum(src).over(wrun)
-                + lookup({p: o[1][src] for p, o in offsets.items()}),
-            )
+            out = out.withColumn(dst, F.sum(src).over(wrun) + run_off[src])
+        out = out.drop("_gr_pidw")
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(total).cast("bigint"))
-    return out.drop("_gr_mid")
+    return out.drop("_gr_mid", *drop_extra)
+
+
+def grouped_rank(
+    df: DataFrame,
+    group: list[str],
+    order: list[Column],
+    *,
+    rank_col: str = "rk",
+    count_col: str | None = None,
+    running: dict[str, str] | None = None,
+    totals: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a 1-based PER-GROUP ``rank_col`` (``row_number() OVER
+    (PARTITION BY group ORDER BY order)``) whose parallelism scales with
+    the DATA, not with the group-key cardinality; optionally the per-group
+    row count (``count_col``), exact per-group RUNNING SUMS (``running``:
+    {input column → output column}, inclusive), and per-group GRAND
+    TOTALS (``totals``: same mapping shape — the whole-partition
+    ``sum() OVER (PARTITION BY group)``, no extra pass: it rides the
+    same cell aggregate).
+
+    Why not ``Window.partitionBy(group)``: Spark hash-partitions the
+    window by the group key, so a 5-value key caps the whole query at 5
+    tasks forever — the grouped version of the single-partition sort
+    disease (r4 verdict: 7 fact-sized queries shipped this shape). Here
+    the fact is RANGE-partitioned on ``(group…, order…)``, so one group
+    spans MANY partitions and parallelism tracks ``num_partitions``:
+
+    1. ``repartitionByRange(group…, order…)`` + ``sortWithinPartitions``
+       — groups are contiguous runs across the partition sequence;
+    2. (pid, local row index) decoded from ``monotonically_increasing_id``
+       exactly as :func:`global_rank`;
+    3. a per-(pid, group) CELL aggregate — ≤ #groups + #partitions − 1
+       rows by contiguity — carries each cell's row count, its first
+       local index, and (for ``running``) its sums; tiny windows ON THE
+       CELL TABLE produce per-group exclusive cross-partition offsets;
+    4. the cell table broadcast-joins back on (pid, group); the in-group
+       rank is ``local − cell_first_local + cell_offset + 1`` — pure
+       arithmetic, no Window over the fact for ranks/counts.
+
+    ``running`` additionally needs the in-partition in-group prefix — a
+    Window PARTITIONED by (pid, group), whose cardinality is ≥
+    #partitions, so it stays fully parallel (it does re-exchange the fact
+    once: the checkpointed layout is opaque to Catalyst).
+
+    ``order`` must be a TOTAL order within each group (append a unique
+    tie-break column). Group columns must be simple column NAMES; NULL
+    group keys are handled (null-safe join). Results are deterministic:
+    rank depends only on the total (group, order) order, never on where
+    the sampled range boundaries land. The broadcast side is
+    #groups + #partitions rows — for group keys of extreme cardinality
+    (≥ tens of millions) prefer a plain ``Window.partitionBy``, which is
+    already parallel there.
+    """
+    running = running or {}
+    totals = totals or {}
+    sum_srcs = sorted(set(running) | set(totals))
+    if num_partitions is None:
+        num_partitions = max(
+            32, df.sparkSession.sparkContext.defaultParallelism
+        )
+    if num_partitions >= (1 << _PID_BITS):
+        raise ValueError(
+            f"grouped_rank: {num_partitions} partitions overflows the "
+            f"{_PID_BITS}-bit partition-id field of monotonically_increasing_id"
+        )
+    keys = [F.col(g) for g in group] + list(order)
+    keyed = df.repartitionByRange(num_partitions, *keys).sortWithinPartitions(*keys)
+    # eager=False: the first consumer (the broadcast cell subtree of the
+    # final query) materializes and pins the sampled boundaries + id
+    # assignment; every other subtree reads the same frozen blocks.
+    parts = (
+        keyed.withColumn("_gr_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    pid = F.shiftright(F.col("_gr_mid"), _CTR_BITS).cast("int")
+    local_rk = F.col("_gr_mid") % F.lit(1 << _CTR_BITS).cast("bigint")  # 0-based
+    # Per-(pid, group) cells: range contiguity bounds this at
+    # #groups + #partitions − 1 rows (each partition boundary splits at
+    # most one group).
+    cell_aggs = [
+        F.count(F.lit(1)).alias("_gc_cnt"),
+        F.min("_gc_lrk").alias("_gc_first"),
+        # Loud id-layout bound: rank arithmetic is silent garbage past the
+        # 2^33 per-partition counter; the check rides the tiny cell table.
+        F.assert_true(
+            F.max("_gc_lrk") < F.lit(1 << _CTR_BITS),
+            f"grouped_rank: a partition overflowed the 2^{_CTR_BITS} "
+            "per-partition id-counter bound — raise num_partitions",
+        ).alias("_gc_check"),
+    ] + [F.sum(src).alias(f"_gc_sum_{src}") for src in sum_srcs]
+    cells = (
+        parts.select(pid.alias("_gc_pid"), local_rk.alias("_gc_lrk"), *group, *sum_srcs)
+        .groupBy("_gc_pid", *group)
+        .agg(*cell_aggs)
+        .drop("_gc_check")
+    )
+    # Cross-partition EXCLUSIVE offsets per group — windows over the CELL
+    # table (dimension-sized by construction), ordered by pid, which is
+    # the range order.
+    wg = W.partitionBy(*group).orderBy("_gc_pid")
+    wprev = wg.rowsBetween(W.unboundedPreceding, -1)
+    cells = cells.select(
+        "_gc_pid",
+        *group,
+        "_gc_first",
+        F.coalesce(F.sum("_gc_cnt").over(wprev), F.lit(0)).alias("_gc_off"),
+        F.sum("_gc_cnt").over(W.partitionBy(*group)).alias("_gc_total"),
+        *[
+            F.coalesce(F.sum(f"_gc_sum_{src}").over(wprev), F.lit(0)).alias(
+                f"_gc_roff_{src}"
+            )
+            for src in running
+        ],
+        *[
+            F.sum(f"_gc_sum_{src}").over(W.partitionBy(*group)).alias(
+                f"_gc_tot_{src}"
+            )
+            for src in totals
+        ],
+    )
+    # Null-safe equi-join back on (pid, group); group columns on the cell
+    # side are renamed to avoid ambiguity and dropped after the join.
+    cells = cells.select(
+        "_gc_pid",
+        *[F.col(g).alias(f"_gc_g_{g}") for g in group],
+        *[c for c in cells.columns if c.startswith("_gc_") and c != "_gc_pid"],
+    )
+    cond = pid.eqNullSafe(F.col("_gc_pid"))
+    for g in group:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_gc_g_{g}"))
+    out = parts.join(F.broadcast(cells), cond, "inner").withColumn(
+        rank_col,
+        (local_rk - F.col("_gc_first") + F.col("_gc_off") + 1).cast("bigint"),
+    )
+    if count_col is not None:
+        out = out.withColumn(count_col, F.col("_gc_total").cast("bigint"))
+    if running:
+        # In-partition in-group inclusive prefix: Window over (pid, group)
+        # — ≥ #partitions distinct keys, fully parallel. The pid rides the
+        # _gr_pidw marker name so the data-aware plan sweep recognizes
+        # this window as cluster-scaled (plans.CLUSTER_SCALED_MARKER).
+        out = out.withColumn("_gr_pidw", pid)
+        wrun = (
+            W.partitionBy("_gr_pidw", *group)
+            .orderBy("_gr_mid")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        for src, dst in running.items():
+            out = out.withColumn(
+                dst, F.sum(src).over(wrun) + F.col(f"_gc_roff_{src}")
+            )
+        out = out.drop("_gr_pidw")
+    for src, dst in totals.items():
+        out = out.withColumn(dst, F.col(f"_gc_tot_{src}"))
+    drop = ["_gr_mid", "_gc_pid", "_gc_first", "_gc_off", "_gc_total"]
+    drop += [f"_gc_g_{g}" for g in group]
+    drop += [f"_gc_roff_{src}" for src in running]
+    drop += [f"_gc_tot_{src}" for src in totals]
+    return out.drop(*drop)
+
+
+def grouped_rank_blocks(
+    df: DataFrame,
+    group: list[str],
+    order: list[Column],
+    *,
+    rank_col: str = "rk",
+    block_col: str = "_blk",
+    native_col: str = "_native",
+    block_rows: int = 512,
+    back: int = 0,
+    fwd: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Grouped rank + RANK-BLOCK boundary replication — the shared
+    primitive for BOUNDED ``ROWS BETWEEN`` frames over a low-cardinality
+    group key (r4 verdict: window_median_sliding's trailing frame,
+    dedup_sorted_neighborhood's lead() lookahead). A window PARTITIONED
+    by the bare group caps parallelism at the key cardinality; instead:
+
+    1. :func:`grouped_rank` assigns each row its exact per-group rank;
+    2. each group's rank sequence is cut into ``block_rows``-row blocks
+       (``block_col`` = (rank−1) DIV block_rows);
+    3. the last ``back`` rows of every block are REPLICATED into the
+       next block, and the first ``fwd`` rows into the previous block —
+       so any frame reaching ≤ back rows backward / ≤ fwd rows forward is
+       complete inside one (group, block) partition;
+    4. the caller runs its frame window over
+       ``Window.partitionBy(*group, block_col).orderBy(rank_col)`` and
+       keeps only ``native_col`` rows.
+
+    Ranks are unique per group, so replicas sort deterministically around
+    the natives. Parallelism = Σ_g ⌈|g| / block_rows⌉ — data-scaled.
+    Requires ``back + fwd < block_rows`` (a frame must not span two
+    boundaries)."""
+    if back + fwd >= block_rows:
+        raise ValueError(
+            f"grouped_rank_blocks: back+fwd ({back}+{fwd}) must be < "
+            f"block_rows ({block_rows})"
+        )
+    ranked = grouped_rank(
+        df, group, order, rank_col=rank_col, num_partitions=num_partitions
+    )
+    # integer DIV, not float division: double rounding corrupts block ids
+    # past 2^53 row ranks
+    blk = F.expr(f"CAST(({rank_col} - 1) DIV {block_rows} AS BIGINT)")
+    pos = (F.col(rank_col) - 1) % block_rows
+    targets = F.array(blk)
+    if back > 0:  # last `back` of a block also serve the NEXT block
+        targets = F.when(
+            pos >= block_rows - back, F.array(blk, blk + 1)
+        ).otherwise(targets)
+    if fwd > 0:  # first `fwd` of a block also serve the PREVIOUS block
+        targets = F.when(
+            (pos < fwd) & (blk > 0),
+            F.array_union(targets, F.array(blk - 1)),
+        ).otherwise(targets)
+    out = ranked.select(
+        *ranked.columns,
+        F.explode(targets).alias(block_col),
+    )
+    return out.withColumn(native_col, F.col(block_col) == blk)
 
 
 def ntile_from_rank(rank_col: str, total_col: str, k: int) -> Column:

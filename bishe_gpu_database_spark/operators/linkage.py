@@ -64,30 +64,46 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood dedup candidates: rank customers inside each
     nation by (acctbal cents, custkey), then emit every pair at most 3
     sort positions apart whose balances differ by ≤ $50. ONE window pass
-    does everything: each row reads its 3 successors with lead(k) over
-    the same (nation, cents, custkey) sort and emits the pairs map-side
-    via an explode — no self-join, no second derivation of the ranked
-    table, and candidate count exactly N·(w-1) regardless of duplicate
-    density (the property that made SNM the standard pre-LSH blocking
-    scheme; a key-skewed block cross product has no such bound). The sort
-    runs per nation (the multi-pass SNM key), keeping the window
-    partitioned-parallel; a single global pass would use the
-    range-repartition rank of ``agg_ntile_scalable`` (identical
-    arithmetic). At 100 TB this is one shuffle on the blocking key plus
-    a map-side explode; the ≤$50 gap verify runs on already-adjacent
-    rows, so widening w trades recall for exactly linear extra cost."""
+    does everything: each row reads its 3 successors with lead(k) and
+    emits the pairs map-side via an explode — no self-join, no second
+    derivation of the ranked table, and candidate count exactly N·(w-1)
+    regardless of duplicate density (the property that made SNM the
+    standard pre-LSH blocking scheme; a key-skewed block cross product
+    has no such bound). The per-nation rank and the lead() window ride
+    ``functions.rank.grouped_rank_blocks`` (r5): nation is a ~25-value
+    enum, so a window PARTITIONED by it caps the customer scan at 25
+    tasks forever — the grouped rank + 16-row blocks with a 3-row
+    forward boundary replication keep the lookahead exact while
+    parallelism scales with the data (16 keeps blocks-per-nation > 1
+    even at fixture scale, so the data-aware plan sweep can OBSERVE the
+    scaling; replication overhead is a fixed 3/16, and a wider
+    neighborhood w just raises block_rows with it). At 100 TB this is
+    one range shuffle on (nation, cents, key) plus a map-side explode;
+    the ≤$50 gap verify runs on already-adjacent rows, so widening w
+    trades recall for exactly linear extra cost."""
+    from bishe_gpu_database_spark.functions.rank import grouped_rank_blocks
+
     ranked = t(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nation"),
         F.col("c_custkey").alias("k"),
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
         F.col("c_mktsegment").alias("seg"),
     )
-    w = W.partitionBy("nation").orderBy("cents", "k")
-    with_leads = ranked.select(
+    pts = grouped_rank_blocks(
+        ranked,
+        ["nation"],
+        [F.col("cents").asc(), F.col("k").asc()],
+        rank_col="_rn",
+        block_rows=16,
+        fwd=3,
+    )
+    w = W.partitionBy("nation", "_blk").orderBy("_rn")
+    with_leads = pts.select(
         "nation",
         F.col("k").alias("u"),
         "cents",
         "seg",
+        "_native",
         F.array(
             *[
                 F.struct(
@@ -99,7 +115,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for d in (1, 2, 3)
             ]
         ).alias("succ"),
-    )
+    ).filter(F.col("_native"))
     pair = F.explode("succ").alias("p")
     return (
         with_leads.select("nation", "u", "cents", "seg", pair)

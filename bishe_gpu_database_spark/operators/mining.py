@@ -554,10 +554,14 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     Preference queries are absent from the reference (point lookups
     only, src/cuda/hashTable.cuh:94-110); driver-mandated analytics."""
     p = t(spark, sf_dir, "part")
-    # Stage 1: sound local prune in 64 hash groups. pmod of the key (not
-    # spark_partition_id) so the survivor set — and hence the result —
-    # is layout-independent by construction, not just by soundness.
-    grp = F.pmod(F.col("p_partkey"), F.lit(64)).alias("_g")
+    # Stage 1: sound local prune in cluster-scaled hash groups (r5: was a
+    # fixed 64, which capped stage-1 parallelism at 64 tasks at any
+    # cluster size). pmod of the key (not spark_partition_id) so the
+    # survivor set is layout-independent; the FINAL result is identical
+    # for ANY group count — stage 1 only ever drops provably-dominated
+    # rows and stage 2 computes the exact skyline over the survivors.
+    n_grp = max(64, 8 * spark.sparkContext.defaultParallelism)
+    grp = F.pmod(F.col("p_partkey"), F.lit(n_grp)).alias("_g")
     wloc = (
         W.partitionBy("_g")
         .orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc(), F.col("p_partkey").asc())

@@ -4,10 +4,12 @@ The container has no image/audio codecs, so the *decode* step defaults to
 a clearly-marked deterministic stub — but the Spark-side plumbing is
 real: binary columns, typed metadata structs, Arrow-batched
 ``mapInPandas`` with an explicit output schema, and partition-sized
-batches. ``decode_features(..., codec='auto')`` probes for PIL once per
-Python worker and runs REAL decodes when the codec imports (r4: the
-optional real-codec path); registered queries pin ``codec='stub'`` so
-their oracles hold in any environment.
+batches. Every media op carries the ``codec='stub'|'real'|'auto'``
+switch (r4: decode; r5: resize, frame-sample, audio): 'auto' probes the
+codec once per Python worker and runs REAL kernels when it imports (PIL
+for images; stdlib ``wave`` for WAV audio — runnable even here), falling
+back to the deterministic stub; registered queries pin ``codec='stub'``
+so their oracles hold in any environment.
 
 ``multimodal_binary_meta`` is oracle-checked (byte-level metadata is pure
 SQL); ``multimodal_decode_features`` runs the actual mapInPandas path and
@@ -114,7 +116,8 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
            CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 0.0
                 ELSE round(CAST(list_sum(list_transform(
                        generate_series(1, least(octet_length(CAST(text AS BLOB)), 64)),
-                       i -> ord(substr(text, i, 1)))) AS DOUBLE)
+                       i -> ('0x' || substr(hex(CAST(text AS BLOB)), 2*i - 1, 2))::INT))
+                     AS DOUBLE)
                      / least(octet_length(CAST(text AS BLOB)), 64), 6)
            END AS mean_px
     FROM documents
@@ -123,10 +126,13 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract via Arrow-batched ``mapInPandas`` — the real
     multimodal hot path: binary in, typed features out, batch-at-a-time.
-    (Oracle reproduces the stub's arithmetic; valid because document text
-    here is ASCII, so byte values == code points.) Pins ``codec='stub'``
-    so the hash gate holds in any environment; the same plumbing runs
-    real PIL decodes through ``decode_features(..., codec='auto')``."""
+    (Oracle reproduces the stub's BYTE arithmetic exactly: byte i of the
+    utf-8 payload is read out of hex(BLOB) — r5 fix; the previous
+    ord(substr(text, i)) form silently assumed byte == codepoint and
+    diverged on multibyte text, found by widening the perturbed-fixture
+    sweep to unicode.) Pins ``codec='stub'`` so the hash gate holds in
+    any environment; the same plumbing runs real PIL decodes through
+    ``decode_features(..., codec='auto')``."""
     d = t(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return decode_features(with_payload, codec="stub")
@@ -168,6 +174,59 @@ def _fake_resize(payload: bytes, target_w: int) -> tuple[bytes, int, int]:
     return out, min(w, target_w), max(1, h // stride)
 
 
+def _real_resize(payload: bytes, target_w: int) -> tuple[bytes, int, int]:
+    """Real resize: PIL open → aspect-preserving downscale to target_w →
+    PNG re-encode. Same (bytes, new_w, new_h) contract as the stub; only
+    invoked when PIL imports (r4 verdict item 5: extend the codec='auto'
+    probe beyond decode)."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        w, h = img.size
+        if w > target_w:
+            img = img.resize((target_w, max(1, h * target_w // w)))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue(), img.width, img.height
+
+
+def select_resizer(codec: str):
+    """Resolve the resize callable for ``codec`` ∈ {stub, real, auto} —
+    same per-worker probe discipline as ``select_decoder``."""
+    if codec == "real":
+        return _real_resize
+    if codec == "auto":
+        return _real_resize if _has_pil() else _fake_resize
+    return _fake_resize
+
+
+def resize_payloads(
+    with_payload: DataFrame, *, target_w: int = 64, codec: str = "auto"
+) -> DataFrame:
+    """Library entry point: (doc_id, payload) → (doc_id, new_w, new_bytes)
+    through one Arrow ``mapInPandas`` pass; the codec resolves INSIDE the
+    UDF body so plan shape and batch handling are identical across
+    codecs (mirrors ``decode_features``)."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resize = select_resizer(codec)  # once per worker, before batches
+        for pdf in batches:
+            res = pdf["payload"].map(lambda p: resize(p, target_w))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "new_w": res.map(lambda r: r[1]).astype("int32"),
+                    "new_bytes": res.map(lambda r: len(r[0])).astype("int64"),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        resize_batches, schema="doc_id bigint, new_w int, new_bytes bigint"
+    )
+
+
 @register(
     "multimodal_resize",
     oracle="""
@@ -188,24 +247,12 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batch at a time. The byte-stride stub is deterministic, so the
     output SIZE is oracle-checkable even though the 'image' is fake —
     at scale this is the bandwidth-dominant op, which is why it stays in
-    the same task as the decode (no shuffle between them)."""
+    the same task as the decode (no shuffle between them). Pins
+    ``codec='stub'`` for the oracle; ``resize_payloads(..., codec='auto')``
+    runs real PIL resizes on identical plumbing (r4 verdict item 5)."""
     d = t(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-
-    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            res = pdf["payload"].map(lambda p: _fake_resize(p, 64))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "new_w": res.map(lambda r: r[1]).astype("int32"),
-                    "new_bytes": res.map(lambda r: len(r[0])).astype("int64"),
-                }
-            )
-
-    return with_payload.mapInPandas(
-        resize_batches, schema="doc_id bigint, new_w int, new_bytes bigint"
-    )
+    return resize_payloads(with_payload, target_w=64, codec="stub")
 
 
 @register(
@@ -223,21 +270,67 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling via mapInPandas: one 'video' row fans out to 3
     sampled 'frames' (stub: segment checksums of the payload). The
     one-in/many-out iterator shape is exactly the ffmpeg frame-extraction
-    hot path; fan-out happens inside the executor, before any shuffle."""
+    hot path; fan-out happens inside the executor, before any shuffle.
+    Pins ``codec='stub'``; ``sample_frames(..., codec='auto')`` decodes
+    real (multi-)frame images via PIL seek on identical plumbing
+    (r4 verdict item 5)."""
     d = t(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return sample_frames(with_payload, codec="stub")
 
-    N_FRAMES = 3
+
+def _fake_frames(payload: bytes, n_frames: int) -> list[tuple[int, int]]:
+    """STUB frame sampler: (frame_id, checksum) from byte length — skips
+    payloads shorter than n_frames, like a clip with too few frames."""
+    n = len(payload)
+    if n < n_frames:
+        return []
+    return [(f, (n * (f + 1)) % 97) for f in range(n_frames)]
+
+
+def _real_frames(payload: bytes, n_frames: int) -> list[tuple[int, int]]:
+    """Real frame sampler: PIL open, seek ≤ n_frames frames spread evenly
+    across the clip (multi-frame GIF/TIFF; a static image yields its one
+    frame), checksum = sum of the first 64 grayscale pixels mod 97. Same
+    (frame_id, checksum) contract as the stub."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        total = getattr(img, "n_frames", 1)
+        picks = sorted({min(total - 1, i * total // n_frames) for i in range(n_frames)})
+        out = []
+        for fid in picks:
+            img.seek(fid)
+            px = list(img.convert("L").getdata())[:64]
+            out.append((fid, sum(px) % 97))
+        return out
+
+
+def select_frame_sampler(codec: str):
+    """Resolve the frame sampler for ``codec`` ∈ {stub, real, auto} —
+    same per-worker probe discipline as ``select_decoder``."""
+    if codec == "real":
+        return _real_frames
+    if codec == "auto":
+        return _real_frames if _has_pil() else _fake_frames
+    return _fake_frames
+
+
+def sample_frames(
+    with_payload: DataFrame, *, n_frames: int = 3, codec: str = "auto"
+) -> DataFrame:
+    """Library entry point: (doc_id, payload) → (doc_id, frame_id,
+    frame_checksum) rows, fan-out inside the executor task."""
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sampler = select_frame_sampler(codec)  # once per worker
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)
-                if n < N_FRAMES:
-                    continue  # too short to sample
-                for f in range(N_FRAMES):
-                    rows.append((doc_id, f, (n * (f + 1)) % 97))
+                for fid, csum in sampler(payload, n_frames):
+                    rows.append((doc_id, fid, csum))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_id", "frame_checksum"])
 
     return with_payload.mapInPandas(
@@ -361,21 +454,67 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out to ⌊(n−win)/hop⌋+1 window rows with exact integer start
     timestamps in µs. Like frame_sample, the fan-out happens inside the
     executor task — at 100 TB the windows feed the feature UDF in the
-    SAME task chain, and only fixed-size features ever shuffle."""
+    SAME task chain, and only fixed-size features ever shuffle. Pins
+    ``codec='stub'``; ``audio_windows(..., codec='auto')`` parses REAL
+    WAV headers (stdlib ``wave`` — runnable even in this container) for
+    true sample counts and rates on identical plumbing (r4 verdict
+    item 5)."""
     d = t(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return audio_windows(with_payload, codec="stub")
+
+
+def _fake_audio_meta(payload: bytes) -> tuple[int, int]:
+    """STUB audio probe: one byte ≡ one PCM sample at the stub rate."""
+    return len(payload), _AU_SR
+
+
+def _real_audio_meta(payload: bytes) -> tuple[int, int]:
+    """Real audio probe: parse the RIFF/WAV header with stdlib ``wave``
+    for the true (n_samples, sample_rate). Raises on non-WAV payloads —
+    'real' means the corpus IS audio; 'auto' falls back per payload
+    (mixed-corpus tolerance, documented deviation from the per-worker
+    probe because the codec itself always imports)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        return w.getnframes(), w.getframerate()
+
+
+def _auto_audio_meta(payload: bytes) -> tuple[int, int]:
+    try:
+        return _real_audio_meta(payload)
+    except Exception:
+        return _fake_audio_meta(payload)
+
+
+def select_audio_probe(codec: str):
+    """Resolve the audio metadata probe for ``codec`` ∈ {stub, real, auto}."""
+    if codec == "real":
+        return _real_audio_meta
+    if codec == "auto":
+        return _auto_audio_meta
+    return _fake_audio_meta
+
+
+def audio_windows(with_payload: DataFrame, *, codec: str = "auto") -> DataFrame:
+    """Library entry point: (doc_id, payload) → one row per 25 ms window
+    at a 10 ms hop, with exact integer µs start timestamps derived from
+    the probed sample rate."""
 
     def window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        probe = select_audio_probe(codec)  # once per worker
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)  # stub: one byte per PCM sample
-                if n < _AU_WIN:
+                n, sr = probe(payload)
+                win = _AU_WIN * sr // _AU_SR  # 25 ms at the probed rate
+                hop = _AU_HOP * sr // _AU_SR  # 10 ms hop
+                if n < win or hop == 0:
                     continue
-                for w in range((n - _AU_WIN) // _AU_HOP + 1):
-                    rows.append(
-                        (doc_id, w, w * _AU_HOP * 1_000_000 // _AU_SR, _AU_WIN)
-                    )
+                for w in range((n - win) // hop + 1):
+                    rows.append((doc_id, w, w * hop * 1_000_000 // sr, win))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "win_id", "start_us", "n_win_samples"]
             )

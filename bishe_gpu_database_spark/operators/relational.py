@@ -2190,26 +2190,29 @@ def agg_hist_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds of the price distribution, each defined by the portable
     integer rank inequality rn·10 ≥ i·k over a deterministic
     (value, orderkey, linenumber) total order — no engine-specific
-    percentile convention, values in exact cents. One shuffle on the
-    group key serves the ranking window, and all ten boundaries fuse
-    into a single conditional-min aggregate over the SAME partitioning —
-    the whole statistic is one pass. At 100 TB per-group ranking is the
-    same sort every group-window pays; for a GLOBAL histogram swap in
-    the range-repartition rank of agg_ntile_scalable (identical
-    boundary arithmetic). Statistics collection is absent from the
-    reference (no optimizer exists); driver-mandated profiling."""
+    percentile convention, values in exact cents. The per-flag rank is
+    the GROUPED partition-offset rank (``functions.rank.grouped_rank``,
+    r5): l_returnflag is a 3-value enum, so a window PARTITIONED by it
+    caps the lineitem scan at 3 tasks forever — the grouped rank
+    range-partitions on (flag, cents, orderkey, linenumber) and stays
+    data-parallel, with identical rank/count values; all ten boundaries
+    then fuse into a single conditional-min aggregate. Statistics
+    collection is absent from the reference (no optimizer exists);
+    driver-mandated profiling."""
+    from bishe_gpu_database_spark.functions.rank import grouped_rank
+
     li = t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_orderkey",
         "l_linenumber",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
     )
-    w = W.partitionBy("l_returnflag").orderBy("cents", "l_orderkey", "l_linenumber")
-    ranked = li.select(
-        "l_returnflag",
-        "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("l_returnflag")).alias("k"),
+    ranked = grouped_rank(
+        li,
+        ["l_returnflag"],
+        [F.col("cents").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        rank_col="rn",
+        count_col="k",
     )
     aggs = [F.max("k").alias("n_rows")]
     for i in range(1, 10):
@@ -2235,26 +2238,30 @@ def agg_hist_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-report (contribution share): each customer's fraction of
-    their segment's positive balance total, as a whole-partition window
-    sum with no ORDER BY — one shuffle on the report key and NO sort,
-    the cheapest window shape there is (an unordered frame aggregates
-    the partition once instead of maintaining a running frame). Shares
-    in integer ppm over HUGEINT/DECIMAL cent sums: the partition total
-    easily exceeds what value·10⁶ leaves of int64 at 100 TB, and a
+    their segment's positive balance total. The engine form is a
+    segment-cardinality AGGREGATE broadcast-joined back onto the detail
+    rows (r5) — semantically the unordered whole-partition window sum
+    the oracle runs, but a window PARTITIONED by the 5-value segment key
+    would cap the customer scan at 5 tasks forever (the r4
+    low-cardinality-window disease), while the aggregate is map-side
+    combinable and the join is a broadcast: zero detail-row shuffles.
+    Shares in integer ppm over HUGEINT/DECIMAL cent sums: the segment
+    total easily exceeds what value·10⁶ leaves of int64 at 100 TB, and a
     float share would hash-drift between engines. nullif guards the
-    all-zero partition. The per-key totals join the reference's
+    all-zero segment. The per-key totals join the reference's
     reservation aggregate shape (groupBy k) — this is the windowed
     form that keeps every detail row."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
     cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    tots = (
+        c.groupBy("c_mktsegment")
+        .agg(F.sum(cents.cast("decimal(38,0)")).alias("tot_cents"))
+    )
     staged = c.select(
         "c_custkey",
         "c_mktsegment",
         cents.alias("bal_cents"),
-        F.sum(cents.cast("decimal(38,0)"))
-        .over(W.partitionBy("c_mktsegment"))
-        .alias("tot_cents"),
-    )
+    ).join(F.broadcast(tots), "c_mktsegment")
     return staged.select(
         "c_custkey",
         "c_mktsegment",
@@ -2288,33 +2295,54 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fr
     """,
 )
-def window_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_median_sliding(
+    spark: SparkSession, sf_dir: str, *, block_rows: int = 512
+) -> DataFrame:
     """Exact sliding-window MEDIAN — the rolling robust statistic Spark's
     window aggregates don't offer natively: collect the BOUNDED 5-row
     frame into an array, sort it, and pick the middle (doubled —
     lo+hi middles summed — so even frames stay in exact integer cents
     with no .5 fraction to disagree on). The bounded-frame array trick is
-    O(frame log frame) per row and shuffles nothing extra — it rides the
-    same (event_type, ts) sort every other window op pays; contrast an
-    UNBOUNDED-frame median, which needs the two-pass rank approach of
-    agg_percentile_exact. Rolling medians are the robust denoiser for
-    sensor/metric streams where one spike wrecks a rolling mean."""
+    O(frame log frame) per row; contrast an UNBOUNDED-frame median, which
+    needs the two-pass rank approach of agg_percentile_exact. The frame
+    window is partitioned by (event_type, RANK BLOCK) with 4-row boundary
+    replication, NOT by bare event_type: a 5-value partition key over the
+    fact caps the query at 5 tasks (the r4 low-cardinality-window
+    disease). The per-type rank comes from the grouped partition-offset
+    rank (``functions.rank.grouped_rank``), each type's row sequence is
+    cut into 512-row blocks, and the last 4 rows of every block are
+    replicated into the next block — so each native row's 4-preceding
+    ROWS frame is complete inside its block partition (ranks are unique,
+    replicas sort strictly before natives) and replicas' own frames are
+    filtered out. Parallelism = #rows/512 per type, scaling with the
+    data. Rolling medians are the robust denoiser for sensor/metric
+    streams where one spike wrecks a rolling mean."""
+    from bishe_gpu_database_spark.functions.rank import grouped_rank_blocks
+
     e = t(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-4, 0)
-    )
     c = e.select(
         "event_type",
         "ts",
         "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    fr = c.select(
-        "event_type",
-        "event_id",
-        F.array_sort(F.collect_list("cents").over(w)).alias("win"),
+    pts = grouped_rank_blocks(
+        c,
+        ["event_type"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        rank_col="_rk",
+        block_rows=block_rows,
+        back=4,
+    )
+    w = (
+        W.partitionBy("event_type", "_blk")
+        .orderBy("_rk")
+        .rowsBetween(-4, 0)
+    )
+    fr = (
+        pts.withColumn("win", F.array_sort(F.collect_list("cents").over(w)))
+        .filter(F.col("_native"))
+        .select("event_type", "event_id", "win")
     )
     n = F.size("win")
     return fr.select(

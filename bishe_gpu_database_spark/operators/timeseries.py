@@ -500,25 +500,54 @@ def window_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-hour DISTINCT user count per event — the live
     'active users right now' metric. Spark windows don't accept DISTINCT
     aggregates, so the engine form is size(collect_set(...)) over the
-    time-RANGE frame — same semantics, one shuffle on event_type + one
-    sort, no self-join (a join formulation would be quadratic per
-    entity). State per frame is bounded by distinct keys in the hour, the
-    same horizon bound the streaming twin's watermark would enforce; the
-    oracle uses DuckDB's native windowed count(DISTINCT)."""
+    time-RANGE frame. The window is partitioned by (event_type, HOUR
+    BUCKET) with previous-hour boundary replication, NOT by bare
+    event_type: a 5-value partition key over the fact table caps the
+    whole query at 5 tasks (the r4 low-cardinality-window disease),
+    while (type, hour) cardinality grows with the data. Because the
+    trailing frame is exactly one hour, every frame member of a row in
+    bucket h lives in bucket h or h−1 — so each point is replicated once
+    into the NEXT bucket (map-side explode, 2× rows, no extra scan) and
+    the in-bucket RANGE window sees the complete frame; replicas' own
+    (incomplete) frames are filtered out. State per frame is bounded by
+    distinct keys in the hour, the same horizon bound the streaming
+    twin's watermark would enforce; the oracle uses DuckDB's native
+    windowed count(DISTINCT)."""
     ev = t(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
     # RANGE frame in integer MICROseconds: a seconds cast would truncate
     # sub-second timestamps and admit rows just past the hour boundary.
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    return ev.select(
+    # Bucket = floor division in exact integer arithmetic (pmod keeps it
+    # a floor, not a truncation, for pre-1970 timestamps).
+    tsu = F.unix_micros("ts")
+    hb = ((tsu - F.pmod(tsu, F.lit(hour_us))) / hour_us).cast("bigint")
+    pts = ev.select(
         "event_id",
         "event_type",
-        F.size(F.collect_set("user_id").over(w)).cast("bigint").alias(
-            "n_active_users_1h"
-        ),
+        "user_id",
+        tsu.alias("tsu"),
+        F.explode(
+            F.array(
+                F.struct(hb.alias("hb"), F.lit(True).alias("is_native")),
+                F.struct((hb + 1).alias("hb"), F.lit(False).alias("is_native")),
+            )
+        ).alias("b"),
+    ).select(
+        "event_id", "event_type", "user_id", "tsu",
+        F.col("b.hb").alias("hb"), F.col("b.is_native").alias("is_native"),
+    )
+    w = (
+        Window.partitionBy("event_type", "hb")
+        .orderBy("tsu")
+        .rangeBetween(-hour_us, 0)
+    )
+    return (
+        pts.withColumn(
+            "n_active_users_1h",
+            F.size(F.collect_set("user_id").over(w)).cast("bigint"),
+        )
+        .filter(F.col("is_native"))
+        .select("event_id", "event_type", "n_active_users_1h")
     )
 
 
@@ -942,13 +971,19 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard room-occupancy / max-concurrent-sessions primitive. Rows
     with identical (t, delta) get arbitrary relative order, but the
     multiset of partial sums within such a tie group is fixed, so peak
-    and its earliest timestamp are deterministic cross-engine. At 100 TB
-    the partition key is the dimension you care about (type, tenant,
-    shard); a single global sweep would instead range-repartition on t
-    and prefix-sum per-range offsets (same pattern as agg_ntile_scalable).
+    and its earliest timestamp are deterministic cross-engine. The
+    running sum is the GROUPED partition-offset prefix sum
+    (``functions.rank.grouped_rank``) — a window PARTITIONED by the
+    5-value event_type key would cap the sweep at 5 tasks forever (the
+    r4 low-cardinality-window disease); the grouped form
+    range-partitions the endpoints on (type, t, delta) so parallelism
+    tracks the data, and the per-type peak becomes a tiny aggregate
+    broadcast back instead of a second whole-partition window.
     Reference analogue: the epoch loop's in-flight-txn accounting
     (src/database/ycsb/TransctionManager.cuh:115-185) is exactly a
     concurrency counter over [start, commit) intervals."""
+    from bishe_gpu_database_spark.functions.rank import grouped_rank
+
     e = t(spark, sf_dir, "events").select("event_type", F.unix_micros("ts").alias("tsu"))
     # ONE scan: each interval emits its ±1 endpoints via a map-side
     # explode instead of a union of two reads of the fact table.
@@ -964,18 +999,17 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("event_type", F.col("p.t").alias("t"), F.col("p.delta").alias("delta"))
-    wrun = (
-        Window.partitionBy("event_type")
-        .orderBy("t", "delta")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    run = pts.select(
-        "event_type",
-        "t",
-        F.sum("delta").over(wrun).alias("concur"),
-    ).withColumn("peak", F.max("concur").over(Window.partitionBy("event_type")))
+    run = grouped_rank(
+        pts,
+        ["event_type"],
+        [F.col("t").asc(), F.col("delta").asc()],
+        rank_col="_rk",
+        running={"delta": "concur"},
+    ).select("event_type", "t", "concur")
+    peak = run.groupBy("event_type").agg(F.max("concur").alias("peak"))
     return (
-        run.filter(F.col("concur") == F.col("peak"))
+        run.join(F.broadcast(peak), "event_type")
+        .filter(F.col("concur") == F.col("peak"))
         .groupBy("event_type")
         .agg(
             F.max("concur").cast("bigint").alias("peak_concurrency"),
@@ -1482,10 +1516,27 @@ def timeseries_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
     ordk = "CAST(tsu AS DECIMAL(38,0)) * 1000000 + cents"
-    return e.groupBy("event_type", "bucket").agg(
+    agg = e.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.min("cents").alias("v_min"),
         F.max("cents").alias("v_max"),
         F.expr(f"min_by(cents, {ordk})").alias("v_first"),
         F.expr(f"max_by(cents, {ordk})").alias("v_last"),
+    )
+    # Loud guard on the packing assumption (r4 advice): a cents value
+    # outside [0, 10^6) would corrupt the lexicographic (tsu, cents)
+    # order SILENTLY — the oracle shares the packing, so the hash gate
+    # cannot see it. The check rides the already-computed per-bucket
+    # min/max (a filter, not a droppable projection, so Catalyst cannot
+    # prune it); assert_true is NULL on success → coalesce keeps rows.
+    rng_ok = (F.col("v_min") >= 0) & (F.col("v_max") < 1_000_000)
+    return agg.filter(
+        F.coalesce(
+            F.assert_true(
+                rng_ok,
+                "timeseries_downsample_m4: cents outside [0, 1e6) breaks "
+                "the (tsu, cents) composite packing — widen the pack stride",
+            ).cast("boolean"),
+            F.lit(True),
+        )
     )

@@ -16,7 +16,8 @@ assumptions — and re-runs every registered query against its DuckDB
 oracle on it. Any hash mismatch is a latent parity break surfaced now
 instead of by the next round's reviewer.
 
-Run: PYTHONPATH=/root/repo python scripts/perturbed_parity.py [out.json]
+Run: python scripts/perturbed_parity.py [out.json]
+(fixture dir override: SPARK_GRAFT_PERTURB_SRC=<dir>)
 """
 
 from __future__ import annotations
@@ -29,9 +30,13 @@ import tempfile
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+# Repo root from this file's location; fixture dir from env/argv — the
+# sweep runs on any checkout layout (r4 advice), defaults matching the
+# driver box.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
-SRC = "/root/testdata/sf0.001"
+SRC = os.environ.get("SPARK_GRAFT_PERTURB_SRC", "/root/testdata/sf0.001")
 
 
 def build_perturbed(dst: str) -> None:
@@ -55,6 +60,19 @@ def build_perturbed(dst: str) -> None:
             (900005, 'the the the the the the the the', 'en', 'src1', 31),
             (900006, '!!!???...,,,;;;:::', 'fr', 'src2', 18)
           ) t(doc_id, text, lang, source, n_chars)
+          UNION ALL
+          -- r5 axes: multibyte/unicode text (length-changing case maps:
+          -- U+0130; combining chars; emoji; CJK — byte count != codepoint
+          -- count != token count) and NULL text (a 100 TB crawl has null
+          -- fields). n_chars stays the CODEPOINT length both engines
+          -- compute as length(text); NULL text carries NULL n_chars.
+          SELECT 900007,
+                 'İstanbul ĞÜŞİÖÇ naïve café 🎉🎉 日本語テキスト eté',
+                 'de', 'src1',
+                 length('İstanbul ĞÜŞİÖÇ naïve café 🎉🎉 日本語テキスト eté')
+          UNION ALL
+          SELECT 900008, CAST(NULL AS VARCHAR), 'en', 'src0',
+                 CAST(NULL AS BIGINT)
         ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
         """
     )
@@ -123,46 +141,103 @@ def build_perturbed(dst: str) -> None:
     )
 
 
-def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/PERTURBED_PARITY.json"
-    dst = os.path.join(tempfile.gettempdir(), "bishe_spark_scratch", "sf_perturbed")
-    shutil.rmtree(dst, ignore_errors=True)
-    build_perturbed(dst)
-    print(f"# perturbed fixture at {dst}", flush=True)
+# Fact tables emptied / reduced for the degenerate-cardinality variants;
+# region + nation stay populated (structural enums every engine assumes).
+_FACTS = ("documents", "events", "embeddings", "orders", "lineitem",
+          "customer", "supplier", "part")
+_KEEP = ("region", "nation")
 
-    from bishe_gpu_database_spark.registry import REGISTRY, _ensure_loaded
-    from bishe_gpu_database_spark.session import get_spark
+
+def build_cardinality(dst: str, limit_sql: str) -> None:
+    """A fixture where every FACT table is reduced by ``limit_sql``
+    (``WHERE 1=0`` → empty; ``ORDER BY 1 LIMIT 1`` → single-row): the
+    degenerate-cardinality axes (r4 verdict item 8). Schemas unchanged."""
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for tbl in _KEEP:
+        shutil.copy(os.path.join(SRC, f"{tbl}.parquet"), os.path.join(dst, f"{tbl}.parquet"))
+    for tbl in _FACTS:
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{tbl}.parquet' {limit_sql}) "
+            f"TO '{dst}/{tbl}.parquet' (FORMAT PARQUET)"
+        )
+
+
+def run_variant(spark, fixture_dir: str) -> tuple[dict, list]:
+    from bishe_gpu_database_spark.registry import REGISTRY
     from tests.conftest import compare_query_to_oracle
 
-    _ensure_loaded()
-    spark = get_spark("perturbed_parity")
     results, failures = {}, []
     for name, spec in sorted(REGISTRY.items()):
         try:
             if spec.oracle is None:
-                n = spec.fn(spark, dst).count()
+                n = spec.fn(spark, fixture_dir).count()
                 ok, msg = True, f"rows-only ({n})"
             else:
-                ok, msg = compare_query_to_oracle(spark, dst, name, spec.fn, spec.oracle)
+                ok, msg = compare_query_to_oracle(
+                    spark, fixture_dir, name, spec.fn, spec.oracle
+                )
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXC {type(e).__name__}: {str(e)[:200]}"
         results[name] = {"ok": ok, "detail": None if ok else msg}
         if not ok:
             failures.append(name)
             print(f"FAIL {name}: {msg}", flush=True)
+    return results, failures
+
+
+def main() -> int:
+    out_path = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(_REPO, "PERTURBED_PARITY.json")
+    )
+    scratch = os.path.join(tempfile.gettempdir(), "bishe_spark_scratch")
+    variants = {
+        "perturbed": (build_perturbed, None),
+        "single_row": (build_cardinality, "ORDER BY 1 LIMIT 1"),
+        "empty": (build_cardinality, "WHERE 1=0"),
+    }
+    only = os.environ.get("SPARK_GRAFT_PERTURB_VARIANTS")
+    if only:
+        variants = {k: v for k, v in variants.items() if k in only.split(",")}
+
+    from bishe_gpu_database_spark.registry import _ensure_loaded
+    from bishe_gpu_database_spark.session import get_spark
+
+    _ensure_loaded()
+    spark = get_spark("perturbed_parity")
     summary = {
         "perturbations": "empty/ws-only/letter-less/single-char/repetitive/"
-        "punct-only docs; dup-(type,ts) + zero-value + purchase-before-"
-        "signup events; zero/negative balances; zero + constant vectors",
-        "n_queries": len(results),
-        "n_pass": len(results) - len(failures),
-        "failures": {n: results[n]["detail"] for n in failures},
+        "punct-only/unicode-multibyte/NULL docs; dup-(type,ts) + zero-value"
+        " + purchase-before-signup events; zero/negative balances; zero + "
+        "constant vectors; plus whole-fixture single-row and empty "
+        "fact-table variants (r5)",
+        "variants": {},
     }
+    total_fail = 0
+    for vname, (builder, arg) in variants.items():
+        dst = os.path.join(scratch, f"sf_{vname}")
+        shutil.rmtree(dst, ignore_errors=True)
+        builder(dst) if arg is None else builder(dst, arg)
+        print(f"# {vname} fixture at {dst}", flush=True)
+        results, failures = run_variant(spark, dst)
+        total_fail += len(failures)
+        summary["variants"][vname] = {
+            "n_queries": len(results),
+            "n_pass": len(results) - len(failures),
+            "failures": {n: results[n]["detail"] for n in failures},
+        }
+        print(
+            json.dumps({"variant": vname,
+                        "n_pass": len(results) - len(failures),
+                        "n_queries": len(results)}),
+            flush=True,
+        )
     with open(out_path, "w") as fh:
         json.dump(summary, fh, indent=1)
-    print(json.dumps({k: v for k, v in summary.items() if k != "failures"}), flush=True)
-    print(f"failures: {failures}", flush=True)
-    return 1 if failures else 0
+    print(f"total failures across variants: {total_fail}", flush=True)
+    return 1 if total_fail else 0
 
 
 if __name__ == "__main__":

@@ -1,6 +1,9 @@
 """sf1 scale probe (VERDICT r2 item 5): synthesize a 10x blowup of the
 sf0.1 fixture in scratch, run the probe queries at sf0.1 and sf1, and
-write SCALE_r4.json with per-query times + the 10x-data cost ratio.
+write SCALE_r5.json with per-query times + the 10x-data cost ratio —
+plus (r5) a SKEWED sf1 variant with deterministic hot spots (duplicate
+docs -> hot minhash bands, one shared timestamp, one hot user) probing
+the heavy-shuffle queries the uniform replicas cannot stress.
 
 Synthesis keeps each query's workload CHARACTER, not just its byte count:
   - fact tables (lineitem, orders, events, documents, embeddings) are 10
@@ -30,6 +33,7 @@ from bishe_gpu_database_spark.session import get_spark
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/bishe_spark_scratch/sf1_synth"
+SF1_SKEW = "/tmp/bishe_spark_scratch/sf1_skew"
 REPLICAS = 10
 
 PROBES = [
@@ -123,6 +127,102 @@ def synthesize(spark) -> None:
         pass
 
 
+# Heavy-shuffle probes for the SKEWED variant (r4 verdict item 6): the
+# sf1 replica probe is uniform, so it cannot see the 100 TB failure mode
+# of a HOT shuffle key. sf1_skew plants three deterministic hot spots:
+#   - 10% of documents keep IDENTICAL text across all 10 replicas
+#     (10-way duplicate cliques -> hot minhash band_hash values and real
+#     dup pairs);
+#   - 10% of events collapse onto ONE shared timestamp (equal range
+#     keys are unsplittable -> stresses grouped_rank's range partitioner
+#     and every time-window);
+#   - 20% of events collapse onto ONE hot user (stresses per-user
+#     sessionize/asof windows).
+SKEW_PROBES = [
+    "dedup_minhash_lsh_pairs",
+    "dedup_exact",
+    "join_salted_skew",
+    "pipeline_global_shuffle",
+    "pipeline_winsorize",
+    "pipeline_pack_sequences",
+    "pipeline_curriculum_order",
+    "events_concurrency_sweep",
+    "window_distinct_sliding",
+    "window_median_sliding",
+    "events_sessionize",
+    "agg_ntile_scalable",
+]
+
+
+def synthesize_skewed(spark) -> None:
+    if os.path.exists(os.path.join(SF1_SKEW, "_SYNTH_DONE")):
+        return
+    os.makedirs(SF1_SKEW, exist_ok=True)
+    n_parts = spark.sparkContext.defaultParallelism
+    for tbl in DIMS:
+        df = spark.read.parquet(os.path.join(SF01, f"{tbl}.parquet"))
+        df.write.mode("overwrite").parquet(os.path.join(SF1_SKEW, f"{tbl}.parquet"))
+    from bishe_gpu_database_spark.operators.relational import _raw_scan
+
+    orderkey_stride = (
+        max(
+            _raw_scan(spark, SF01, "lineitem").agg(F.max("l_orderkey")).collect()[0][0],
+            _raw_scan(spark, SF01, "orders").agg(F.max("o_orderkey")).collect()[0][0],
+        )
+        + 1
+    )
+    hot_user = _raw_scan(spark, SF01, "events").agg(F.min("user_id")).collect()[0][0]
+    hot_ts = _raw_scan(spark, SF01, "events").agg(F.min("ts")).collect()[0][0]
+    for tbl, (shift_cols, tag_cols) in SHIFTS.items():
+        df = _raw_scan(spark, SF01, tbl)
+        maxes = {
+            c: orderkey_stride
+            if c in ("l_orderkey", "o_orderkey")
+            else df.agg(F.max(c)).collect()[0][0] + 1
+            for c in shift_cols
+        }
+        parts = []
+        for i in range(REPLICAS):
+            d = df
+            for c in shift_cols:
+                d = d.withColumn(c, F.col(c) + F.lit(i * maxes[c]))
+            for c in tag_cols:
+                # hot spot 1: doc_id % 10 == 0 keeps the ORIGINAL text in
+                # every replica -> 10-way duplicate cliques, hot bands.
+                d = d.withColumn(
+                    c,
+                    F.when(F.col("doc_id") % 10 == 0, F.col(c)).otherwise(
+                        F.concat(F.col(c), F.lit(f" r{i}"))
+                    ),
+                )
+            if tbl == "events":
+                d = d.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i} HOURS"))
+                # hot spot 2: one shared timestamp for 10% of all events
+                # (unsplittable equal range keys).
+                d = d.withColumn(
+                    "ts",
+                    F.when(F.col("event_id") % 10 == 0, F.lit(hot_ts)).otherwise(
+                        F.col("ts")
+                    ),
+                )
+                # hot spot 3: one hot user carrying 20% of all events.
+                d = d.withColumn(
+                    "user_id",
+                    F.when(F.col("event_id") % 5 == 0, F.lit(hot_user)).otherwise(
+                        F.col("user_id")
+                    ),
+                )
+            parts.append(d)
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        out.repartition(n_parts).write.mode("overwrite").parquet(
+            os.path.join(SF1_SKEW, f"{tbl}.parquet")
+        )
+    with open(os.path.join(SF1_SKEW, "_SYNTH_DONE"), "w"):
+        pass
+
+
 def main() -> None:
     _ensure_loaded()
     spark = get_spark("scale_probe_sf1")
@@ -159,17 +259,67 @@ def main() -> None:
     for name, r in results.items():
         r["ratio_10x"] = round(r["sf1"] / r["sf0.1"], 2)
     worst = max(r["ratio_10x"] for r in results.values())
+
+    # Skewed variant: hot band_hash / hot timestamp / hot user at 10x.
+    t2 = time.time()
+    synthesize_skewed(spark)
+    print(f"# skew synthesis: {time.time() - t2:.1f}s", flush=True)
+    skew_results: dict[str, dict] = {}
+    for name in SKEW_PROBES:
+        try:
+            REGISTRY[name].fn(spark, SF1_SKEW).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:  # noqa: BLE001
+            print(f"# warmup {name}@sf1_skew: {e}", flush=True)
+            skew_results[name] = {"error": str(e)[:200]}
+            continue
+        best = float("inf")
+        for _ in range(5):
+            t1 = time.perf_counter()
+            REGISTRY[name].fn(spark, SF1_SKEW).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t1)
+        base = results.get(name, {}).get("sf0.1")
+        if base is None:
+            b = float("inf")
+            for _ in range(5):
+                t1 = time.perf_counter()
+                REGISTRY[name].fn(spark, SF01).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                b = min(b, time.perf_counter() - t1)
+            base = round(b, 3)
+        skew_results[name] = {
+            "sf0.1": base,
+            "sf1_skew": round(best, 3),
+            "ratio_10x_skewed": round(best / base, 2),
+        }
+        print(f"# {name}@sf1_skew: {best:.3f}s (ratio {best / base:.2f}x)", flush=True)
+    skew_worst = max(
+        (r["ratio_10x_skewed"] for r in skew_results.values() if "ratio_10x_skewed" in r),
+        default=None,
+    )
+
     out = {
         "probe": "sf0.1 -> synthetic sf1 (10x key-shifted replicas)",
         "replicas": REPLICAS,
         "queries": results,
         "worst_ratio_10x": worst,
+        "skewed": {
+            "hot_spots": "10% duplicate docs across replicas (hot bands), "
+            "10% of events on ONE timestamp, 20% of events on ONE user",
+            "queries": skew_results,
+            "worst_ratio_10x_skewed": skew_worst,
+        },
         "note": "ratio <= ~10 means at-worst-linear scaling in data; "
         "well below 10 while fixed per-job overhead still dominates.",
     }
-    with open("/root/repo/SCALE_r4.json", "w") as f:
+    with open("/root/repo/SCALE_r5.json", "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({"worst_ratio_10x": worst}), flush=True)
+    print(json.dumps({"worst_ratio_10x": worst,
+                      "worst_ratio_10x_skewed": skew_worst}), flush=True)
 
 
 if __name__ == "__main__":

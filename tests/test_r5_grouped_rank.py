@@ -1,0 +1,132 @@
+"""r5: grouped partition-offset rank/prefix-sum (functions.rank.grouped_rank)
+— the fix for the r4 verdict's low-cardinality-window disease — plus the
+hardened global_rank (broadcast-join offsets above 1k partitions, loud
+id-layout bounds)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bishe_gpu_database_spark.functions.rank import (
+    _MAP_LITERAL_MAX_PARTS,
+    _PID_BITS,
+    global_rank,
+    grouped_rank,
+)
+
+
+def _fixture_df(spark, n=5000, seed=7):
+    rng = random.Random(seed)
+    rows = [
+        (rng.choice(["a", "b", "c", None]), rng.randint(0, 50), i, rng.randint(0, 9))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "g string, v int, id long, x int")
+
+
+def test_grouped_rank_matches_window_semantics(spark):
+    """rank, per-group count, and inclusive running sum must equal the
+    classic Window.partitionBy formulation — including NULL group keys,
+    heavy ties in the order prefix, and several range partitions."""
+    df = _fixture_df(spark)
+    out = grouped_rank(
+        df,
+        ["g"],
+        [F.col("v").asc(), F.col("id").asc()],
+        rank_col="rk",
+        count_col="n",
+        running={"x": "cumx"},
+        num_partitions=16,
+    )
+    got = {(r["g"], r["id"]): (r["rk"], r["n"], r["cumx"]) for r in out.collect()}
+    w = W.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    exp_df = (
+        df.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("g")))
+        .withColumn(
+            "cumx", F.sum("x").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        )
+    )
+    exp = {(r["g"], r["id"]): (r["rk"], r["n"], r["cumx"]) for r in exp_df.collect()}
+    assert got == exp
+
+
+def test_grouped_rank_multi_column_group_and_determinism(spark):
+    df = _fixture_df(spark, n=2000, seed=11).withColumn("h", F.col("x") % 3)
+    args = (df, ["g", "h"], [F.col("v").asc(), F.col("id").asc()])
+    out1 = {
+        (r["g"], r["h"], r["id"]): r["rk"]
+        for r in grouped_rank(*args, rank_col="rk", num_partitions=8).collect()
+    }
+    out2 = {
+        (r["g"], r["h"], r["id"]): r["rk"]
+        for r in grouped_rank(*args, rank_col="rk", num_partitions=64).collect()
+    }
+    w = W.partitionBy("g", "h").orderBy(F.col("v").asc(), F.col("id").asc())
+    exp = {
+        (r["g"], r["h"], r["id"]): r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    # identical across partition counts AND equal to the window oracle
+    assert out1 == exp and out2 == exp
+
+
+def test_grouped_rank_empty_input(spark):
+    df = _fixture_df(spark, n=50).filter("v < -1")
+    out = grouped_rank(df, ["g"], [F.col("id")], rank_col="rk", count_col="n")
+    assert out.count() == 0
+    assert {"rk", "n"} <= set(out.columns)
+
+
+def test_grouped_rank_partition_id_overflow_raises(spark):
+    df = _fixture_df(spark, n=10)
+    with pytest.raises(ValueError, match="partition-id field"):
+        grouped_rank(df, ["g"], [F.col("id")], num_partitions=1 << _PID_BITS)
+    with pytest.raises(ValueError, match="partition-id field"):
+        global_rank(df, [F.col("id")], num_partitions=1 << _PID_BITS)
+
+
+def test_global_rank_broadcast_offsets_path_identical(spark):
+    """Forcing 2k partitions (> _MAP_LITERAL_MAX_PARTS) switches the
+    offsets from a create_map literal to a broadcast join; ranks and
+    running sums must be bit-identical to the literal path (r4 verdict
+    item 7)."""
+    assert 2000 > _MAP_LITERAL_MAX_PARTS
+    df = spark.createDataFrame(
+        [(i % 97, i, i % 5) for i in range(4000)], "v int, id long, x int"
+    )
+    order = [F.col("v").asc(), F.col("id").asc()]
+    big = {
+        r["id"]: (r["rk"], r["cx"])
+        for r in global_rank(
+            df, order, rank_col="rk", running={"x": "cx"}, num_partitions=2000
+        ).collect()
+    }
+    small = {
+        r["id"]: (r["rk"], r["cx"])
+        for r in global_rank(
+            df, order, rank_col="rk", running={"x": "cx"}, num_partitions=32
+        ).collect()
+    }
+    assert big == small and len(big) == 4000
+
+
+def test_median_sliding_block_replication_exact(spark, sf_dir):
+    """window_median_sliding with tiny 8-row blocks forces hundreds of
+    block-boundary replications; results must equal the 4096-row default
+    (whose blocks never split at fixture scale)."""
+    from bishe_gpu_database_spark.operators.relational import window_median_sliding
+
+    tiny = {
+        (r["event_type"], r["event_id"]): (r["n_in_frame"], r["median_2x_cents"])
+        for r in window_median_sliding(spark, sf_dir, block_rows=8).collect()
+    }
+    default = {
+        (r["event_type"], r["event_id"]): (r["n_in_frame"], r["median_2x_cents"])
+        for r in window_median_sliding(spark, sf_dir).collect()
+    }
+    assert tiny == default and len(tiny) > 0
