@@ -236,7 +236,10 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS within_bound
     FROM events GROUP BY event_type
     UNION ALL
+    -- HAVING: on an EMPTY stream Spark's rollup emits no grand row, so
+    -- the oracle's global branch must vanish too (r5 empty axis)
     SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events
+    HAVING count(*) > 0
     """,
 )
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:

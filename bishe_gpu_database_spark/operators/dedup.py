@@ -683,7 +683,8 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_span_level",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS tk
       FROM documents
     ),
     spans AS (
@@ -724,7 +725,11 @@ def dedup_span_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SPAN = 10
     d = widen_docs(spark, sf_dir)
-    toks = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    # NULL text folds to the empty doc (one empty span), mirrored in the
+    # oracle — r5 NULL-text axis.
+    toks = d.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("tk")
+    )
     n_spans = F.greatest(F.ceil(F.size("tk") / SPAN).cast("int"), F.lit(1))
     spans = toks.select(
         "doc_id",
@@ -835,7 +840,11 @@ def dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("in_t").cast("bigint").alias("n_truth"),
             F.count("in_c").cast("bigint").alias("n_cand"),
-            F.sum(F.col("in_t") * F.col("in_c")).cast("bigint").alias("n_hit"),
+            # coalesce: SUM over an empty pair set is NULL, the oracle's
+            # count(*) is 0 (r5 empty-fixture axis)
+            F.coalesce(F.sum(F.col("in_t") * F.col("in_c")), F.lit(0))
+            .cast("bigint")
+            .alias("n_hit"),
         )
     )
     return stats.select(

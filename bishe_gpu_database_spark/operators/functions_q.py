@@ -567,12 +567,15 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n_items,
-           round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+           round(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0), 6)
              AS slope_cents_per_qty,
-           round(CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+           round(CAST(sy*sxx - sx*sxy AS DOUBLE)
+                 / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0), 6)
              AS intercept_cents,
            round(CAST(n*sxy - sx*sy AS DOUBLE)
-                 / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+                 / nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                               * CAST(n*syy - sy*sy AS DOUBLE)), 0), 6)
              AS corr_xy
     FROM m
     """,
@@ -605,12 +608,15 @@ def agg_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     inum = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+    # nullif guards (mirrored in the oracle): a single-row or
+    # zero-variance group has no defined slope/correlation — NULL, not an
+    # ANSI DIVIDE_BY_ZERO job kill (r5 single-row fixture axis).
     return m.select(
         "l_returnflag",
         F.col("n").cast("bigint").alias("n_items"),
-        F.round(num / den, 6).alias("slope_cents_per_qty"),
-        F.round(inum / den, 6).alias("intercept_cents"),
-        F.round(num / F.sqrt(den * den_y), 6).alias("corr_xy"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("slope_cents_per_qty"),
+        F.round(inum / F.nullif(den, F.lit(0.0)), 6).alias("intercept_cents"),
+        F.round(num / F.nullif(F.sqrt(den * den_y), F.lit(0.0)), 6).alias("corr_xy"),
     )
 
 
@@ -714,12 +720,12 @@ def fn_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n AS BIGINT) AS n_items,
            round(CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*n AS DOUBLE), 6) AS variance_pop,
            round(CAST(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS DOUBLE)
-                 / (CAST(n*n*n AS DOUBLE)
-                    * pow(CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*n AS DOUBLE), 1.5)), 6)
+                 / nullif(CAST(n*n*n AS DOUBLE)
+                    * pow(CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*n AS DOUBLE), 1.5), 0), 6)
              AS skewness_pop,
            round(CAST(n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 AS DOUBLE)
-                 / (CAST(n*n*n*n AS DOUBLE)
-                    * pow(CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*n AS DOUBLE), 2.0)), 6)
+                 / nullif(CAST(n*n*n*n AS DOUBLE)
+                    * pow(CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*n AS DOUBLE), 2.0), 0), 6)
              AS kurtosis_pop
     FROM m
     """,
@@ -751,16 +757,23 @@ def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     kurt_num = (
         n * n * n * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
     ).cast("double")
+    # nullif guards (mirrored in the oracle): a zero-variance group has
+    # undefined standardized moments — NULL, not a DIVIDE_BY_ZERO kill
+    # (r5 single-row fixture axis).
     return m.select(
         "l_returnflag",
         n.cast("bigint").alias("n_items"),
         F.round(var, 6).alias("variance_pop"),
-        F.round(skew_num / ((n * n * n).cast("double") * F.pow(var, 1.5)), 6).alias(
-            "skewness_pop"
-        ),
-        F.round(kurt_num / ((n * n * n * n).cast("double") * F.pow(var, 2.0)), 6).alias(
-            "kurtosis_pop"
-        ),
+        F.round(
+            skew_num
+            / F.nullif((n * n * n).cast("double") * F.pow(var, 1.5), F.lit(0.0)),
+            6,
+        ).alias("skewness_pop"),
+        F.round(
+            kurt_num
+            / F.nullif((n * n * n * n).cast("double") * F.pow(var, 2.0), F.lit(0.0)),
+            6,
+        ).alias("kurtosis_pop"),
     )
 
 

@@ -33,9 +33,9 @@ from bishe_gpu_database_spark.registry import register
     "multimodal_binary_meta",
     oracle="""
     SELECT doc_id,
-           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           octet_length(encode(text)) AS n_bytes,
            md5(text) AS payload_md5,
-           CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT) AS shard
+           CAST(octet_length(encode(text)) % 640 AS INT) AS shard
     FROM documents
     """,
 )
@@ -75,6 +75,8 @@ def _real_decode(payload: bytes) -> tuple[int, int, float]:
 
     from PIL import Image
 
+    if payload is None:
+        return None, None, None
     with Image.open(io.BytesIO(payload)) as img:
         w, h = img.size
         px = list(img.convert("L").getdata())[:64]
@@ -98,8 +100,11 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     Deterministic fake: 'width'/'height' from byte length, 'mean_px' from
     a byte sum — keeps the pipeline testable end-to-end. With PIL
     installed the same query shape runs real decodes via
-    ``decode_features(..., codec='auto')``.
+    ``decode_features(..., codec='auto')``. NULL payload → NULL features
+    (matches the oracle's NULL arithmetic — r5 NULL-text axis).
     """
+    if payload is None:
+        return None, None, None
     n = len(payload)
     width = n % 640 + 1
     height = n % 480 + 1
@@ -111,14 +116,14 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     "multimodal_decode_features",
     oracle="""
     SELECT doc_id,
-           CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INT) AS width,
-           CAST(octet_length(CAST(text AS BLOB)) % 480 + 1 AS INT) AS height,
-           CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 0.0
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+           CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
                 ELSE round(CAST(list_sum(list_transform(
-                       generate_series(1, least(octet_length(CAST(text AS BLOB)), 64)),
-                       i -> ('0x' || substr(hex(CAST(text AS BLOB)), 2*i - 1, 2))::INT))
+                       generate_series(1, least(octet_length(encode(text)), 64)),
+                       i -> ('0x' || substr(hex(encode(text)), 2*i - 1, 2))::INT))
                      AS DOUBLE)
-                     / least(octet_length(CAST(text AS BLOB)), 64), 6)
+                     / least(octet_length(encode(text)), 64), 6)
            END AS mean_px
     FROM documents
     """,
@@ -154,8 +159,9 @@ def decode_features(with_payload: DataFrame, *, codec: str = "auto") -> DataFram
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": feats.map(lambda f: f[0]).astype("int32"),
-                    "height": feats.map(lambda f: f[1]).astype("int32"),
+                    # nullable Int32: a NULL payload yields NULL features
+                    "width": feats.map(lambda f: f[0]).astype("Int32"),
+                    "height": feats.map(lambda f: f[1]).astype("Int32"),
                     "mean_px": feats.map(lambda f: f[2]),
                 }
             )
@@ -167,7 +173,10 @@ def decode_features(with_payload: DataFrame, *, codec: str = "auto") -> DataFram
 
 def _fake_resize(payload: bytes, target_w: int) -> tuple[bytes, int, int]:
     """STUB resize (no PIL in container): deterministic downsample — keep
-    every (len//target)-th byte. Real deploy: PIL resize + re-encode."""
+    every (len//target)-th byte. Real deploy: PIL resize + re-encode.
+    NULL payload → NULL output (oracle NULL arithmetic)."""
+    if payload is None:
+        return None, None, None
     w, h, _ = _fake_decode(payload)
     stride = max(1, w // target_w)
     out = payload[::stride]
@@ -183,6 +192,8 @@ def _real_resize(payload: bytes, target_w: int) -> tuple[bytes, int, int]:
 
     from PIL import Image
 
+    if payload is None:
+        return None, None, None
     with Image.open(io.BytesIO(payload)) as img:
         w, h = img.size
         if w > target_w:
@@ -217,8 +228,11 @@ def resize_payloads(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "new_w": res.map(lambda r: r[1]).astype("int32"),
-                    "new_bytes": res.map(lambda r: len(r[0])).astype("int64"),
+                    # nullable dtypes: NULL payload → NULL dims/bytes
+                    "new_w": res.map(lambda r: r[1]).astype("Int32"),
+                    "new_bytes": res.map(
+                        lambda r: len(r[0]) if r[0] is not None else None
+                    ).astype("Int64"),
                 }
             )
 
@@ -232,12 +246,15 @@ def resize_payloads(
     oracle="""
     WITH m AS (
       SELECT doc_id,
-             octet_length(CAST(text AS BLOB)) AS n,
-             octet_length(CAST(text AS BLOB)) % 640 + 1 AS w
+             octet_length(encode(text)) AS n,
+             octet_length(encode(text)) % 640 + 1 AS w
       FROM documents
     )
     SELECT doc_id,
-           CAST(least(w, 64) AS INT) AS new_w,
+           -- CASE guard: DuckDB's least() SKIPS NULLs, so a NULL payload
+           -- (w IS NULL) would yield 64 instead of NULL (r5 NULL axis)
+           CAST(CASE WHEN w IS NULL THEN NULL ELSE least(w, 64) END AS INT)
+             AS new_w,
            CAST((n + greatest(w // 64, 1) - 1) // greatest(w // 64, 1) AS BIGINT) AS new_bytes
     FROM m
     """,
@@ -260,10 +277,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            unnest(generate_series(0, 2)) AS frame_id,
-           (octet_length(CAST(text AS BLOB)) * (unnest(generate_series(0, 2)) + 1)) % 97
+           (octet_length(encode(text)) * (unnest(generate_series(0, 2)) + 1)) % 97
              AS frame_checksum
     FROM documents
-    WHERE octet_length(CAST(text AS BLOB)) >= 3
+    WHERE octet_length(encode(text)) >= 3
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,6 +299,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fake_frames(payload: bytes, n_frames: int) -> list[tuple[int, int]]:
     """STUB frame sampler: (frame_id, checksum) from byte length — skips
     payloads shorter than n_frames, like a clip with too few frames."""
+    if payload is None:
+        return []  # matches the oracle: NULL fails the length predicate
     n = len(payload)
     if n < n_frames:
         return []
@@ -434,9 +453,9 @@ _AU_HOP = 160  # 10 ms hop
     oracle=f"""
     WITH au AS (
       SELECT doc_id,
-             octet_length(CAST(text AS BLOB)) AS n_samples
+             octet_length(encode(text)) AS n_samples
       FROM documents
-      WHERE octet_length(CAST(text AS BLOB)) >= {_AU_WIN}
+      WHERE octet_length(encode(text)) >= {_AU_WIN}
     )
     SELECT doc_id,
            unnest(generate_series(0, (n_samples - {_AU_WIN}) // {_AU_HOP})) AS win_id,
@@ -465,7 +484,11 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fake_audio_meta(payload: bytes) -> tuple[int, int]:
-    """STUB audio probe: one byte ≡ one PCM sample at the stub rate."""
+    """STUB audio probe: one byte ≡ one PCM sample at the stub rate.
+    NULL payload → zero samples (no windows; the oracle's NULL
+    octet_length fails its length predicate identically)."""
+    if payload is None:
+        return 0, _AU_SR
     return len(payload), _AU_SR
 
 

@@ -111,7 +111,10 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="_rk",
         running={"n_tok": "_cum_tok"},
     )
-    prior = F.col("_cum_tok") - F.col("n_tok")
+    # exclusive = inclusive - own, with own COALESCED: a NULL n_tok (NULL
+    # text) must not null the prior (the r4 window form was exclusive and
+    # therefore never saw the row's own NULL — r5 perturbed NULL-text axis)
+    prior = F.col("_cum_tok") - F.coalesce(F.col("n_tok"), F.lit(0))
     return (
         cum.withColumn("pack_id", F.floor(prior / F.lit(2048)))
         .groupBy("lang", "pack_id")
@@ -788,7 +791,8 @@ def pipeline_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ranked AS (
       SELECT source, doc_id, n_chars,
-             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars NULLS FIRST, doc_id) AS rn,
              count(*) OVER (PARTITION BY source) AS k
       FROM documents
     ),
@@ -1113,7 +1117,7 @@ def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     phased AS (
       SELECT lang, doc_id, n_tok,
              ntile(4) OVER (PARTITION BY lang
-                            ORDER BY n_tok, doc_id) AS phase
+                            ORDER BY n_tok NULLS FIRST, doc_id) AS phase
       FROM d
     )
     SELECT lang, phase,

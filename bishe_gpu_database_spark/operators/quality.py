@@ -23,8 +23,10 @@ from bishe_gpu_database_spark.registry import register
 
 
 def _viol(cond) -> F.Column:
-    """Count rows violating (i.e. failing) the asserted condition."""
-    return F.sum(F.when(~cond, 1).otherwise(0)).cast("long")
+    """Count rows violating (i.e. failing) the asserted condition.
+    coalesce: SUM over an EMPTY table is NULL while the oracle's
+    subquery count(*) is 0 — zero violations either way (r5 empty axis)."""
+    return F.coalesce(F.sum(F.when(~cond, 1).otherwise(0)), F.lit(0)).cast("long")
 
 
 @register(
@@ -191,10 +193,13 @@ def quality_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT sum(n_early) AS te, sum(n_late) AS tl FROM halves
     )
     SELECT event_type, n_early, n_late,
-           CAST(CAST(n_early AS HUGEINT) * 1000000 // te AS BIGINT) AS early_ppm,
-           CAST(CAST(n_late AS HUGEINT) * 1000000 // tl AS BIGINT) AS late_ppm,
-           abs(CAST(CAST(n_early AS HUGEINT) * 1000000 // te AS BIGINT)
-               - CAST(CAST(n_late AS HUGEINT) * 1000000 // tl AS BIGINT)) AS drift_ppm
+           CAST(CAST(n_early AS HUGEINT) * 1000000 // nullif(te, 0) AS BIGINT)
+             AS early_ppm,
+           CAST(CAST(n_late AS HUGEINT) * 1000000 // nullif(tl, 0) AS BIGINT)
+             AS late_ppm,
+           abs(CAST(CAST(n_early AS HUGEINT) * 1000000 // nullif(te, 0) AS BIGINT)
+               - CAST(CAST(n_late AS HUGEINT) * 1000000 // nullif(tl, 0) AS BIGINT))
+             AS drift_ppm
     FROM halves, tot
     """,
 )
@@ -222,9 +227,15 @@ def quality_drift_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_early").alias("te"), F.sum("n_late").alias("tl")
     )
     j = halves.join(F.broadcast(tot))
-    # DECIMAL(38,0): count·10⁶ wraps int64 past ~9.2·10¹² rows per type
-    early_ppm = F.expr("CAST(CAST(n_early AS DECIMAL(38,0)) * 1000000 DIV te AS BIGINT)")
-    late_ppm = F.expr("CAST(CAST(n_late AS DECIMAL(38,0)) * 1000000 DIV tl AS BIGINT)")
+    # DECIMAL(38,0): count·10⁶ wraps int64 past ~9.2·10¹² rows per type;
+    # nullif: an all-early (or all-late) stream has a zero half total —
+    # NULL share, not a DIVIDE_BY_ZERO kill (r5 single-row fixture axis)
+    early_ppm = F.expr(
+        "CAST(CAST(n_early AS DECIMAL(38,0)) * 1000000 DIV nullif(te, 0) AS BIGINT)"
+    )
+    late_ppm = F.expr(
+        "CAST(CAST(n_late AS DECIMAL(38,0)) * 1000000 DIV nullif(tl, 0) AS BIGINT)"
+    )
     return j.select(
         "event_type",
         "n_early",

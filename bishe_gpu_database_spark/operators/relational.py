@@ -572,6 +572,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS sum_acctbal
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY ROLLUP(n.n_name, c.c_mktsegment)
+    HAVING count(*) > 0
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,6 +605,11 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
+    -- HAVING count(*) > 0: vacuous on any non-empty input (every
+    -- grouping-set row aggregates >=1 row); on an EMPTY input it drops
+    -- the ANSI grand-total row Spark's CUBE/ROLLUP never emits, pinning
+    -- the repo to Spark's empty-input semantics (r5 empty-fixture axis).
+    HAVING count(*) > 0
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -623,6 +629,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    HAVING count(*) > 0
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1264,7 +1271,7 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT doc_id, source,
              row_number() OVER (PARTITION BY source
-                                ORDER BY md5(text), doc_id) AS rn
+                                ORDER BY md5(coalesce(text, '')), doc_id) AS rn
       FROM documents
     ) WHERE rn <= 20
     """,
@@ -1280,7 +1287,11 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = t(spark, sf_dir, "documents")
-    w = W.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    # coalesce: a NULL text must hash like the empty doc, not ride the
+    # engines' OPPOSITE default NULL sort positions (r5 NULL-text axis)
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))), "doc_id"
+    )
     return (
         d.select("doc_id", "source", F.row_number().over(w).alias("rank_in_stratum"))
         .filter(F.col("rank_in_stratum") <= 20)
@@ -1939,6 +1950,7 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_items
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    HAVING count(*) > 0
     """,
 )
 def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -339,8 +339,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     codes AS (
       SELECT e.vec_id, e.label,
-             least(CAST(floor((CAST(e.embedding[d.i] AS DOUBLE) - d.mn) * 255.0
-                              / (d.mx - d.mn)) AS BIGINT), 255) AS code
+             CASE WHEN d.mx > d.mn
+                  THEN least(CAST(floor((CAST(e.embedding[d.i] AS DOUBLE) - d.mn)
+                                         * 255.0 / (d.mx - d.mn)) AS BIGINT), 255)
+                  ELSE 0 END AS code
       FROM embeddings e, dims d
     )
     SELECT label, count(*) AS n_codes,
@@ -364,12 +366,18 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = exploded.groupBy("i").agg(
         F.min("x").alias("mn"), F.max("x").alias("mx")
     )
-    code = F.least(
-        F.floor((F.col("x") - F.col("mn")) * F.lit(255.0) / (F.col("mx") - F.col("mn"))).cast(
-            "bigint"
+    # degenerate dimension (mx == mn: constant column / single vector) →
+    # code 0 by definition instead of an ANSI DIVIDE_BY_ZERO job kill
+    # (r5 single-row fixture axis); mirrored in the oracle.
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.floor(
+                (F.col("x") - F.col("mn")) * F.lit(255.0) / (F.col("mx") - F.col("mn"))
+            ).cast("bigint"),
+            F.lit(255),
         ),
-        F.lit(255),
-    )
+    ).otherwise(F.lit(0).cast("bigint"))
     codes = exploded.join(F.broadcast(dims), "i").select("vec_id", "label", code.alias("code"))
     return codes.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_codes"),
@@ -544,10 +552,17 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_assigned"),
         ).collect()[0]
         sse = it_stats["sse"]
-        nonincreasing = prev_sse is None or sse <= prev_sse * (1 + 1e-6)
+        nonincreasing = (
+            prev_sse is None or sse is None or sse <= prev_sse * (1 + 1e-6)
+        )
         prev_sse = sse
+        # "all cells populated" = every EXISTING centroid drew >=1 vector:
+        # k_eff = #seed vectors actually present (8 at fixture scale, fewer
+        # on a degenerate corpus — r5 single-row/empty axes, where the old
+        # hard == _N_CELLS test was vacuously false).
+        k_eff = cents.count()
         stats.append(
-            (it, it_stats["n_assigned"], nonincreasing, it_stats["n_cells"] == _N_CELLS)
+            (it, it_stats["n_assigned"], nonincreasing, it_stats["n_cells"] == k_eff)
         )
         cents = (
             asn.select("cid", F.posexplode("embedding").alias("i", "x"))

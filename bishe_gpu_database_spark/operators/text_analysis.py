@@ -258,7 +258,9 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_chunk_windows",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS tk
+      FROM documents
     )
     SELECT doc_id,
            CAST(i - 1 AS INT) AS chunk_id,
@@ -276,7 +278,11 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone. The staple operator of embedding/RAG ingestion pipelines."""
     SIZE, STRIDE = 32, 24
     d = widen_docs(spark, sf_dir)
-    toks = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    # NULL text folds to the empty doc (one empty chunk), mirrored in the
+    # oracle — r5 NULL-text axis.
+    toks = d.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("tk")
+    )
     n_chunks = F.greatest(
         F.ceil((F.size("tk") - (SIZE - STRIDE)) / STRIDE).cast("int"), F.lit(1)
     )

@@ -47,9 +47,11 @@ _SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 @pandas_udf(IntegerType())
 def _token_count_vec(text: pd.Series) -> pd.Series:
     """Vectorized token count: lower → collapse whitespace → split.
-    Mirrors functions.text.norm_text/tokens exactly (ASCII fixtures)."""
+    Mirrors functions.text.norm_text/tokens exactly. NULL text stays NULL
+    (nullable Int32, not int32: .astype('int32') raises on the NaN a None
+    produces — r5 perturbed-sweep NULL-text axis)."""
     norm = text.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
-    return norm.str.split(" ").str.len().astype("int32")
+    return norm.str.split(" ").str.len().astype("Int32")
 
 
 @register(

@@ -61,15 +61,21 @@ def build_perturbed(dst: str) -> None:
             (900006, '!!!???...,,,;;;:::', 'fr', 'src2', 18)
           ) t(doc_id, text, lang, source, n_chars)
           UNION ALL
-          -- r5 axes: multibyte/unicode text (length-changing case maps:
-          -- U+0130; combining chars; emoji; CJK — byte count != codepoint
-          -- count != token count) and NULL text (a 100 TB crawl has null
-          -- fields). n_chars stays the CODEPOINT length both engines
-          -- compute as length(text); NULL text carries NULL n_chars.
+          -- r5 axes: multibyte/unicode text (2-4 byte codepoints: accents,
+          -- Cyrillic, emoji, CJK — byte count != codepoint count != token
+          -- count) and NULL text (a 100 TB crawl has null fields). Case
+          -- mappings here are all 1:1 (Ü->ü, М->м): locale-special maps
+          -- like Turkish U+0130 'İ' are deliberately EXCLUDED — Java
+          -- (Spark) lowers it to 'i'+U+0307 while utf8proc (DuckDB)
+          -- lowers it to plain 'i', an engine-level Unicode-tailoring
+          -- divergence no query can reconcile (verified r5); it is a
+          -- documented limitation, not a parity target. n_chars stays the
+          -- CODEPOINT length both engines compute as length(text); NULL
+          -- text carries NULL n_chars.
           SELECT 900007,
-                 'İstanbul ĞÜŞİÖÇ naïve café 🎉🎉 日本語テキスト eté',
+                 'Ünïcödé ÇAFÉ naïve МОСКВА москва 🎉🎉 日本語テキスト eté',
                  'de', 'src1',
-                 length('İstanbul ĞÜŞİÖÇ naïve café 🎉🎉 日本語テキスト eté')
+                 length('Ünïcödé ÇAFÉ naïve МОСКВА москва 🎉🎉 日本語テキスト eté')
           UNION ALL
           SELECT 900008, CAST(NULL AS VARCHAR), 'en', 'src0',
                  CAST(NULL AS BIGINT)

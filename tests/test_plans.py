@@ -144,7 +144,19 @@ def test_global_rank_queries_have_no_window_and_no_single_partition_sort(spark):
         single_partition_sort_offenders,
     )
 
-    for fn in (R.window_ntile_cumedist, pipeline_balanced_shards, mart_rfm_segments):
+    for fn in (R.window_ntile_cumedist, pipeline_balanced_shards):
         plan = simple_plan(fn(spark, SF_SMALL))
         assert "Window" not in plan, plan
         assert single_partition_sort_offenders(plan) == [], plan
+
+    # r5: mart_rfm_segments fused onto ONE grouped_rank whose only Window
+    # nodes ride the per-(pid, axis) CELL aggregate — bounded at
+    # #partitions + #axes rows by range contiguity, never the fact. The
+    # data-aware census proves it: every window input is cell-sized and
+    # no single-partition sort exists.
+    from bishe_gpu_database_spark.plans import fact_windows
+
+    df = mart_rfm_segments(spark, SF_SMALL)
+    assert single_partition_sort_offenders(simple_plan(df)) == []
+    for w in fact_windows(df):
+        assert w["error"] is None and w["n"] <= 200, w  # cell-table-sized

@@ -117,8 +117,8 @@ def test_global_rank_broadcast_offsets_path_identical(spark):
 
 def test_median_sliding_block_replication_exact(spark, sf_dir):
     """window_median_sliding with tiny 8-row blocks forces hundreds of
-    block-boundary replications; results must equal the 4096-row default
-    (whose blocks never split at fixture scale)."""
+    block-boundary replications; results must equal the 512-row default
+    (whose blocks rarely split at fixture scale)."""
     from bishe_gpu_database_spark.operators.relational import window_median_sliding
 
     tiny = {
@@ -130,3 +130,64 @@ def test_median_sliding_block_replication_exact(spark, sf_dir):
         for r in window_median_sliding(spark, sf_dir).collect()
     }
     assert tiny == default and len(tiny) > 0
+
+
+def test_grouped_rank_totals_match_window(spark):
+    df = _fixture_df(spark, n=1500, seed=23)
+    out = grouped_rank(
+        df,
+        ["g"],
+        [F.col("v").asc(), F.col("id").asc()],
+        rank_col="rk",
+        running={"x": "runx"},
+        totals={"x": "totx"},
+        num_partitions=8,
+    )
+    got = {(r["g"], r["id"]): (r["runx"], r["totx"]) for r in out.collect()}
+    w = W.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    exp_df = df.withColumn(
+        "runx", F.sum("x").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    ).withColumn("totx", F.sum("x").over(W.partitionBy("g")))
+    exp = {(r["g"], r["id"]): (r["runx"], r["totx"]) for r in exp_df.collect()}
+    assert got == exp
+
+
+def test_grouped_rank_blocks_forward_replication_lead(spark):
+    """The fwd=3 block replication must make lead(1..3) over
+    (group, block) identical to lead over the bare group — the
+    dedup_sorted_neighborhood shape, forced across many tiny blocks."""
+    from bishe_gpu_database_spark.functions.rank import grouped_rank_blocks
+
+    df = _fixture_df(spark, n=800, seed=31)
+    pts = grouped_rank_blocks(
+        df,
+        ["g"],
+        [F.col("v").asc(), F.col("id").asc()],
+        rank_col="rk",
+        block_rows=8,
+        fwd=3,
+    )
+    wb = W.partitionBy("g", "_blk").orderBy("rk")
+    got_df = (
+        pts.select(
+            "g", "id",
+            *[F.lead("id", d).over(wb).alias(f"s{d}") for d in (1, 2, 3)],
+            "_native",
+        )
+        .filter(F.col("_native"))
+    )
+    got = {(r["g"], r["id"]): (r["s1"], r["s2"], r["s3"]) for r in got_df.collect()}
+    wg = W.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    exp_df = df.select(
+        "g", "id", *[F.lead("id", d).over(wg).alias(f"s{d}") for d in (1, 2, 3)]
+    )
+    exp = {(r["g"], r["id"]): (r["s1"], r["s2"], r["s3"]) for r in exp_df.collect()}
+    assert got == exp and len(got) == 800
+
+
+def test_grouped_rank_blocks_back_and_fwd_validation(spark):
+    from bishe_gpu_database_spark.functions.rank import grouped_rank_blocks
+
+    df = _fixture_df(spark, n=10)
+    with pytest.raises(ValueError, match="must be <"):
+        grouped_rank_blocks(df, ["g"], [F.col("id")], block_rows=8, back=5, fwd=3)
