@@ -509,7 +509,14 @@ def window_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket h lives in bucket h or h−1 — so each point is replicated once
     into the NEXT bucket (map-side explode, 2× rows, no extra scan) and
     the in-bucket RANGE window sees the complete frame; replicas' own
-    (incomplete) frames are filtered out. State per frame is bounded by
+    (incomplete) frames are filtered out. Skew bound (measured, r5 skew
+    probe): a single timestamp carrying 10% of the corpus concentrates
+    its (type, hour) cell ~70× — exact per-event trailing-distinct over
+    ONE instant is irreducibly serial in its bucket (sets don't
+    salt-split without a merge join; the dedup-frame-ends + join-back
+    alternative measured strictly worse on BOTH skewed and uniform
+    data), so the damage stays bounded by the hot instant's share of its
+    type — 5.3× wall for 10× data + that pathology, never quadratic. State per frame is bounded by
     distinct keys in the hour, the same horizon bound the streaming
     twin's watermark would enforce; the oracle uses DuckDB's native
     windowed count(DISTINCT)."""

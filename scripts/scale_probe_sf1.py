@@ -310,6 +310,13 @@ def main() -> None:
         "skewed": {
             "hot_spots": "10% duplicate docs across replicas (hot bands), "
             "10% of events on ONE timestamp, 20% of events on ONE user",
+            "note": "window_distinct_sliding's elevated ratio is the "
+            "hot-INSTANT bound: one (type, hour) cell holds the shared "
+            "timestamp's full share and exact per-event trailing-distinct "
+            "over one instant is irreducibly serial in its bucket; the "
+            "dedup-ends+join-back alternative measured strictly worse "
+            "(r5). Damage is bounded by the hot instant's share of its "
+            "type, never quadratic.",
             "queries": skew_results,
             "worst_ratio_10x_skewed": skew_worst,
         },
