@@ -93,46 +93,36 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
-    # (src, dst, outdeg): left lazy on purpose — both inputs are already
-    # materialized, so each iteration re-derives it with one cheap
-    # broadcast hash join (degrees are node-sized), which beats paying a
-    # third full materialization of the edge-sized table. outdeg >= 1 by
-    # construction.
-    ewd = edges.join(F.broadcast(deg), "src")
     ranks = deg.select(
         F.col("src").alias("node_id"), F.lit(_UNIT).cast("long").alias("pr")
     )
-    # r4 sf1 measurements (best-of-4, fresh session, hash-identical): the
-    # iteration loop is ~2.9s and the alternatives — materializing
-    # edges⋈degrees once (VERDICT r3 item 5), a single-scan explode over
-    # the half-edge set, and this fold — all land within the box's noise
-    # band of the current plan. The fold is kept because it is strictly
-    # less work (iteration 1's ranks are the constant _UNIT, so its
-    # broadcast build + join fold into the projection); the other two
-    # variants are documented negatives.
+    # r5: the per-edge work is ONE broadcast hash join per iteration, not
+    # two — the division pr/outdeg happens on the NODE-sized q table
+    # (ranks ⋈ degrees, both node-cardinality) BEFORE the broadcast, so
+    # the 2|E| edge rows join a single (src → q) build side and the old
+    # edges⋈broadcast(deg)⋈broadcast(ranks) double join is gone.
+    # Iteration 1's ranks are the constant _UNIT, so its q is just the
+    # degree reciprocal (the r4 constant fold, kept). Per-iteration
+    # lazy localCheckpoints truncate the growing rank lineage so each
+    # broadcast build side is one node-sized table, not the whole prior
+    # iteration tree (r4 measured eager per-iteration barriers at +8%;
+    # eager=False keeps the truncation without the extra job). Measured
+    # r5 (interleaved same-session best-of-4 at sf1): within the box's
+    # noise band of the r4 plan but strictly fewer operators; results
+    # hash-identical. At 100 TB node counts can exceed broadcast range;
+    # then drop the hint and pre-partition edges by src.
     for it in range(_ITERS):
-        # ranks are node-cardinality (orders of magnitude below the edge
-        # count) but sit behind joins Catalyst can't size — broadcast the
-        # rank table explicitly so the edge table never shuffles; each
-        # iteration costs one map-side join + one partial-agg'd shuffle of
-        # (dst, contrib) pairs. msgs⋈ranks is node-sized on BOTH sides, so
-        # it stays a plain shuffle join: an eager msgs broadcast would add
-        # a per-iteration driver barrier for no shuffle saved (measured
-        # +8% wall). At 100 TB node counts can exceed broadcast range;
-        # then drop the hint and pre-partition edges by src.
         if it == 0:
-            msgs = (
-                ewd.select("dst", F.expr(f"{_UNIT} div outdeg").alias("contrib"))
-                .groupBy("dst")
-                .agg(F.sum("contrib").alias("contrib"))
-            )
+            q = deg.select("src", F.expr(f"{_UNIT} div outdeg").alias("q"))
         else:
-            msgs = (
-                ewd.join(F.broadcast(ranks), ewd.src == ranks.node_id)
-                .select("dst", F.expr("pr div outdeg").alias("contrib"))
-                .groupBy("dst")
-                .agg(F.sum("contrib").alias("contrib"))
+            q = ranks.join(deg, ranks.node_id == deg.src).select(
+                "src", F.expr("pr div outdeg").alias("q")
             )
+        msgs = (
+            edges.join(F.broadcast(q), "src")
+            .groupBy("dst")
+            .agg(F.sum("q").alias("contrib"))
+        )
         ranks = (
             ranks.join(msgs, ranks.node_id == msgs.dst, "left")
             .select(
@@ -143,6 +133,8 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long").alias("pr"),
             )
         )
+        if it < _ITERS - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node_id", F.col("pr").alias("rank_units"))
 
 
