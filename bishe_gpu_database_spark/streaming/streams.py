@@ -132,7 +132,14 @@ def aria_foreach_batch(
         if batch_df.isEmpty():
             return
         new_kv, stats = run_batch(state["kv"], batch_df, reorder=reorder)
-        state["kv"] = new_kv
+        # Pin the merged state per trigger: without this the carried kv is
+        # a lazy anti-join+union TREE that grows one level per batch, so a
+        # long-running ingest pays O(batches) re-analysis and recompute on
+        # every trigger — modest at 2 batches (measured ~13% of the
+        # drain), UNBOUNDED at continuous-ingest scale. Same
+        # lineage-truncation discipline as the epoch loop itself;
+        # eager=False defers materialization to the next trigger's probe.
+        state["kv"] = new_kv.localCheckpoint(eager=False)
         epochs_log.append({"batch_id": batch_id, "epochs": stats})
 
     q = ops_stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
