@@ -191,3 +191,28 @@ def test_grouped_rank_blocks_back_and_fwd_validation(spark):
     df = _fixture_df(spark, n=10)
     with pytest.raises(ValueError, match="must be <"):
         grouped_rank_blocks(df, ["g"], [F.col("id")], block_rows=8, back=5, fwd=3)
+
+
+def test_grouped_rank_2k_partitions_identical(spark):
+    """Cluster-scale partition counts: 2000 range partitions (far above
+    the 32-core default) must yield bit-identical grouped ranks and
+    running sums — the cells table grows to #groups + #partitions rows
+    and the broadcast join must keep pace (companion to the global_rank
+    2k-partition test, r4 verdict item 7)."""
+    df = _fixture_df(spark, n=3000, seed=41)
+    args = dict(rank_col="rk", running={"x": "cx"})
+    big = {
+        (r["g"], r["id"]): (r["rk"], r["cx"])
+        for r in grouped_rank(
+            df, ["g"], [F.col("v").asc(), F.col("id").asc()],
+            num_partitions=2000, **args
+        ).collect()
+    }
+    small = {
+        (r["g"], r["id"]): (r["rk"], r["cx"])
+        for r in grouped_rank(
+            df, ["g"], [F.col("v").asc(), F.col("id").asc()],
+            num_partitions=8, **args
+        ).collect()
+    }
+    assert big == small and len(big) == 3000
