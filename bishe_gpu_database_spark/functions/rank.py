@@ -97,9 +97,14 @@ def global_rank(
     local_rk = F.col("_gr_mid") % F.lit(1 << _CTR_BITS).cast("bigint")  # 0-based
     # #partitions rows on the driver — the same order of magnitude the
     # range sampler itself already collects; NOT a single-partition window.
-    aggs = [F.count(F.lit(1)).alias("_cnt")] + [
-        F.sum(src).alias(f"_sum_{src}") for src in running
-    ]
+    aggs = (
+        [F.count(F.lit(1)).alias("_cnt")]
+        + [F.sum(src).alias(f"_sum_{src}") for src in running]
+        # Non-null counts: plain window running sums are NULL while the
+        # prefix is all-NULL; the offset arithmetic needs to know whether
+        # any PRIOR partition saw a non-null value (r5 advice).
+        + [F.count(src).alias(f"_nn_{src}") for src in running]
+    )
     cnts = {
         r["_pid"]: r
         for r in parts.select(pid.alias("_pid"), *running).groupBy("_pid").agg(*aggs).collect()
@@ -118,11 +123,13 @@ def global_rank(
     offsets: dict[int, tuple] = {}
     acc_cnt = 0
     acc_sums = {src: 0 for src in running}
+    acc_nn = {src: 0 for src in running}
     for p in sorted(cnts):
-        offsets[p] = (acc_cnt, dict(acc_sums))
+        offsets[p] = (acc_cnt, dict(acc_sums), dict(acc_nn))
         acc_cnt += cnts[p]["_cnt"]
         for src in running:
             acc_sums[src] += cnts[p][f"_sum_{src}"] or 0
+            acc_nn[src] += cnts[p][f"_nn_{src}"]
 
     if offsets and num_partitions > _MAP_LITERAL_MAX_PARTS:
         # Broadcast-join offsets: a create_map literal is O(#partitions)
@@ -131,18 +138,25 @@ def global_rank(
         # pid; every pid in the data has an offsets row by construction.
         run_srcs = list(running)
         rows = [
-            tuple([int(p), int(o[0])] + [o[1][s] for s in run_srcs])
+            tuple(
+                [int(p), int(o[0])]
+                + [o[1][s] for s in run_srcs]
+                + [int(o[2][s]) for s in run_srcs]
+            )
             for p, o in sorted(offsets.items())
         ]
-        names = ["_gr_jpid", "_gr_joff"] + [
-            f"_gr_jroff_{i}" for i in range(len(run_srcs))
-        ]
+        names = (
+            ["_gr_jpid", "_gr_joff"]
+            + [f"_gr_jroff_{i}" for i in range(len(run_srcs))]
+            + [f"_gr_jnn_{i}" for i in range(len(run_srcs))]
+        )
         off_df = df.sparkSession.createDataFrame(rows, names)
         base = parts.join(
             F.broadcast(off_df), pid.cast("bigint") == F.col("_gr_jpid"), "inner"
         )
         cnt_off: Column = F.col("_gr_joff")
         run_off = {s: F.col(f"_gr_jroff_{i}") for i, s in enumerate(run_srcs)}
+        nn_off = {s: F.col(f"_gr_jnn_{i}") for i, s in enumerate(run_srcs)}
         drop_extra = names
     else:
 
@@ -156,6 +170,9 @@ def global_rank(
         cnt_off = lookup({p: o[0] for p, o in offsets.items()})
         run_off = {
             s: lookup({p: o[1][s] for p, o in offsets.items()}) for s in running
+        }
+        nn_off = {
+            s: lookup({p: o[2][s] for p, o in offsets.items()}) for s in running
         }
         drop_extra = []
 
@@ -173,7 +190,19 @@ def global_rank(
         w = W.partitionBy("_gr_pidw").orderBy("_gr_mid")
         wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
         for src, dst in running.items():
-            out = out.withColumn(dst, F.sum(src).over(wrun) + run_off[src])
+            # Plain-window NULL semantics: the running sum is NULL while
+            # the prefix (across ALL prior partitions) holds zero non-null
+            # values; otherwise NULLs are skipped. Gating on the non-null
+            # prefix count keeps the in-partition all-NULL-prefix case
+            # from nulling out a non-NULL cross-partition offset (r5
+            # advice — NULL + off = NULL diverged from Window semantics).
+            out = out.withColumn(
+                dst,
+                F.when(
+                    F.count(src).over(wrun) + nn_off[src] > 0,
+                    F.coalesce(F.sum(src).over(wrun), F.lit(0)) + run_off[src],
+                ),
+            )
         out = out.drop("_gr_pidw")
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(total).cast("bigint"))
@@ -259,22 +288,39 @@ def grouped_rank(
     # Per-(pid, group) cells: range contiguity bounds this at
     # #groups + #partitions − 1 rows (each partition boundary splits at
     # most one group).
-    cell_aggs = [
-        F.count(F.lit(1)).alias("_gc_cnt"),
-        F.min("_gc_lrk").alias("_gc_first"),
-        # Loud id-layout bound: rank arithmetic is silent garbage past the
-        # 2^33 per-partition counter; the check rides the tiny cell table.
-        F.assert_true(
-            F.max("_gc_lrk") < F.lit(1 << _CTR_BITS),
-            f"grouped_rank: a partition overflowed the 2^{_CTR_BITS} "
-            "per-partition id-counter bound — raise num_partitions",
-        ).alias("_gc_check"),
-    ] + [F.sum(src).alias(f"_gc_sum_{src}") for src in sum_srcs]
+    cell_aggs = (
+        [
+            F.count(F.lit(1)).alias("_gc_cnt"),
+            F.min("_gc_lrk").alias("_gc_first"),
+            F.max("_gc_lrk").alias("_gc_maxl"),
+        ]
+        + [F.sum(src).alias(f"_gc_sum_{src}") for src in sum_srcs]
+        # Non-null counts (running only): needed to reproduce plain-window
+        # NULL semantics — the running sum is NULL until the first
+        # non-null value of the GROUP prefix, across partitions.
+        + [F.count(src).alias(f"_gc_nn_{src}") for src in running]
+    )
+    # Loud id-layout bound: rank arithmetic is silent garbage past the
+    # 2^33 per-partition counter; the check rides the tiny cell table AS A
+    # FILTER on the aggregated max — a dropped projection would be pruned
+    # by Catalyst (r5 advice: the old .alias+.drop form compiled to
+    # nothing), a Filter consuming the column cannot be. assert_true is
+    # NULL on success → coalesce keeps every row (the m4 pattern).
     cells = (
         parts.select(pid.alias("_gc_pid"), local_rk.alias("_gc_lrk"), *group, *sum_srcs)
         .groupBy("_gc_pid", *group)
         .agg(*cell_aggs)
-        .drop("_gc_check")
+        .filter(
+            F.coalesce(
+                F.assert_true(
+                    F.col("_gc_maxl") < F.lit(1 << _CTR_BITS),
+                    f"grouped_rank: a partition overflowed the 2^{_CTR_BITS} "
+                    "per-partition id-counter bound — raise num_partitions",
+                ).cast("boolean"),
+                F.lit(True),
+            )
+        )
+        .drop("_gc_maxl")
     )
     # Cross-partition EXCLUSIVE offsets per group — windows over the CELL
     # table (dimension-sized by construction), ordered by pid, which is
@@ -290,6 +336,12 @@ def grouped_rank(
         *[
             F.coalesce(F.sum(f"_gc_sum_{src}").over(wprev), F.lit(0)).alias(
                 f"_gc_roff_{src}"
+            )
+            for src in running
+        ],
+        *[
+            F.coalesce(F.sum(f"_gc_nn_{src}").over(wprev), F.lit(0)).alias(
+                f"_gc_rnn_{src}"
             )
             for src in running
         ],
@@ -328,8 +380,18 @@ def grouped_rank(
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
         for src, dst in running.items():
+            # NULL semantics of Window.partitionBy: NULL while the whole
+            # group prefix is all-NULL, else skip-NULL sum. The gate is
+            # the cross-partition non-null prefix count (r5 advice: the
+            # ungated NULL-local-prefix + offset form returned NULL where
+            # the window form returns the offset).
             out = out.withColumn(
-                dst, F.sum(src).over(wrun) + F.col(f"_gc_roff_{src}")
+                dst,
+                F.when(
+                    F.count(src).over(wrun) + F.col(f"_gc_rnn_{src}") > 0,
+                    F.coalesce(F.sum(src).over(wrun), F.lit(0))
+                    + F.col(f"_gc_roff_{src}"),
+                ),
             )
         out = out.drop("_gr_pidw")
     for src, dst in totals.items():
@@ -337,6 +399,7 @@ def grouped_rank(
     drop = ["_gr_mid", "_gc_pid", "_gc_first", "_gc_off", "_gc_total"]
     drop += [f"_gc_g_{g}" for g in group]
     drop += [f"_gc_roff_{src}" for src in running]
+    drop += [f"_gc_rnn_{src}" for src in running]
     drop += [f"_gc_tot_{src}" for src in totals]
     return out.drop(*drop)
 

@@ -316,6 +316,8 @@ def _real_frames(payload: bytes, n_frames: int) -> list[tuple[int, int]]:
 
     from PIL import Image
 
+    if payload is None:  # match the stub: a NULL clip yields zero frames
+        return []
     with Image.open(io.BytesIO(payload)) as img:
         total = getattr(img, "n_frames", 1)
         picks = sorted({min(total - 1, i * total // n_frames) for i in range(n_frames)})

@@ -111,10 +111,14 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="_rk",
         running={"n_tok": "_cum_tok"},
     )
-    # exclusive = inclusive - own, with own COALESCED: a NULL n_tok (NULL
-    # text) must not null the prior (the r4 window form was exclusive and
-    # therefore never saw the row's own NULL — r5 perturbed NULL-text axis)
-    prior = F.col("_cum_tok") - F.coalesce(F.col("n_tok"), F.lit(0))
+    # exclusive = inclusive - own, with BOTH sides COALESCED: a NULL n_tok
+    # (NULL text) must not null the prior, and _cum_tok itself is NULL
+    # while a lang's prefix is all-NULL (plain-window semantics, which
+    # grouped_rank now matches exactly) whereas the oracle's exclusive sum
+    # is COALESCE'd to 0 (r5 advice).
+    prior = F.coalesce(F.col("_cum_tok"), F.lit(0)) - F.coalesce(
+        F.col("n_tok"), F.lit(0)
+    )
     return (
         cum.withColumn("pack_id", F.floor(prior / F.lit(2048)))
         .groupBy("lang", "pack_id")

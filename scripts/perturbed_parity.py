@@ -79,6 +79,13 @@ def build_perturbed(dst: str) -> None:
           UNION ALL
           SELECT 900008, CAST(NULL AS VARCHAR), 'en', 'src0',
                  CAST(NULL AS BIGINT)
+          UNION ALL
+          -- r6: a NULL-text doc that sorts FIRST in its lang (negative
+          -- doc_id < every generated id) — running sums ordered by doc_id
+          -- start on an all-NULL prefix, the exact case the r5 advice
+          -- found masked when the only NULL doc carried the MAX doc_id.
+          SELECT -900009, CAST(NULL AS VARCHAR), 'en', 'src1',
+                 CAST(NULL AS BIGINT)
         ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
         """
     )

@@ -19,12 +19,19 @@ from bishe_gpu_database_spark.functions.rank import (
 )
 
 
-def _fixture_df(spark, n=5000, seed=7):
+def _fixture_df(spark, n=5000, seed=7, null_x=False):
+    """null_x: make x NULL-heavy (~40%), with group 'a' all-NULL in a long
+    doc_id prefix — the r5-advice axis (running sums over an all-NULL
+    in-partition prefix must match plain Window semantics)."""
     rng = random.Random(seed)
-    rows = [
-        (rng.choice(["a", "b", "c", None]), rng.randint(0, 50), i, rng.randint(0, 9))
-        for i in range(n)
-    ]
+    rows = []
+    for i in range(n):
+        g = rng.choice(["a", "b", "c", None])
+        v = rng.randint(0, 50)
+        x = rng.randint(0, 9)
+        if null_x and (rng.random() < 0.4 or (g == "a" and v < 40)):
+            x = None  # group 'a': all-NULL prefix under the (v, id) order
+        rows.append((g, v, i, x))
     return spark.createDataFrame(rows, "g string, v int, id long, x int")
 
 
@@ -191,6 +198,70 @@ def test_grouped_rank_blocks_back_and_fwd_validation(spark):
     df = _fixture_df(spark, n=10)
     with pytest.raises(ValueError, match="must be <"):
         grouped_rank_blocks(df, ["g"], [F.col("id")], block_rows=8, back=5, fwd=3)
+
+
+def test_grouped_rank_null_running_sums_match_window(spark):
+    """r5 advice (high): a group whose in-partition prefix is all-NULL
+    must NOT null out the cross-partition running-sum offset; conversely
+    the sum must stay NULL until the group's first non-null value. Forced
+    with 64 range partitions so group 'a''s long all-NULL prefix spans
+    many partition boundaries, under every partition-count regime."""
+    df = _fixture_df(spark, n=4000, seed=13, null_x=True)
+    w = W.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    exp_df = df.withColumn(
+        "cumx", F.sum("x").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    ).withColumn("totx", F.sum("x").over(W.partitionBy("g")))
+    exp = {(r["g"], r["id"]): (r["cumx"], r["totx"]) for r in exp_df.collect()}
+    for nparts in (4, 64):
+        out = grouped_rank(
+            df,
+            ["g"],
+            [F.col("v").asc(), F.col("id").asc()],
+            rank_col="rk",
+            running={"x": "cumx"},
+            totals={"x": "totx"},
+            num_partitions=nparts,
+        )
+        got = {(r["g"], r["id"]): (r["cumx"], r["totx"]) for r in out.collect()}
+        assert got == exp, f"NULL running-sum divergence at {nparts} partitions"
+
+
+def test_global_rank_null_running_sums_match_window(spark):
+    """Same NULL axis for global_rank — including the broadcast-join
+    offsets path (2000 > _MAP_LITERAL_MAX_PARTS) — against the
+    single-partition window oracle."""
+    rng = random.Random(17)
+    rows = [
+        (i, None if (i < 500 or rng.random() < 0.3) else rng.randint(0, 9))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id long, x int")
+    w = W.orderBy(F.col("id").asc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+    exp = {r["id"]: r["cx"] for r in df.withColumn("cx", F.sum("x").over(w)).collect()}
+    for nparts in (8, 2000):
+        got = {
+            r["id"]: r["cx"]
+            for r in global_rank(
+                df, [F.col("id").asc()], running={"x": "cx"}, num_partitions=nparts
+            ).collect()
+        }
+        assert got == exp, f"NULL running-sum divergence at {nparts} partitions"
+
+
+def test_grouped_rank_overflow_guard_survives_optimizer(spark):
+    """r5 advice (low): the 2^33 id-counter overflow assert must survive
+    Catalyst column pruning — the old .alias()+.drop() form compiled to
+    NOTHING. The guard now rides a Filter on the aggregated max, which
+    pruning cannot remove: assert_true must appear in the optimized plan."""
+    df = _fixture_df(spark, n=100)
+    out = grouped_rank(df, ["g"], [F.col("id").asc()], rank_col="rk")
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    # Catalyst lowers assert_true to `if (cond) null else raise_error(...)`
+    assert "raise_error" in optimized and "id-counter bound" in optimized, (
+        "overflow guard pruned from the optimized plan:\n" + optimized[:2000]
+    )
+    # and it must not disturb results
+    assert out.count() == 100
 
 
 def test_grouped_rank_2k_partitions_identical(spark):
