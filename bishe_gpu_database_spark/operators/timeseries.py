@@ -496,7 +496,9 @@ def timeseries_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
 )
-def window_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_distinct_sliding(
+    spark: SparkSession, sf_dir: str, *, hot_cell_rows: int = 65536
+) -> DataFrame:
     """Trailing-hour DISTINCT user count per event — the live
     'active users right now' metric. Spark windows don't accept DISTINCT
     aggregates, so the engine form is size(collect_set(...)) over the
@@ -509,17 +511,27 @@ def window_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket h lives in bucket h or h−1 — so each point is replicated once
     into the NEXT bucket (map-side explode, 2× rows, no extra scan) and
     the in-bucket RANGE window sees the complete frame; replicas' own
-    (incomplete) frames are filtered out. Skew bound (measured, r5 skew
-    probe): a single timestamp carrying 10% of the corpus concentrates
-    its (type, hour) cell ~70× — exact per-event trailing-distinct over
-    ONE instant is irreducibly serial in its bucket (sets don't
-    salt-split without a merge join; the dedup-frame-ends + join-back
-    alternative measured strictly worse on BOTH skewed and uniform
-    data), so the damage stays bounded by the hot instant's share of its
-    type — 5.3× wall for 10× data + that pathology, never quadratic. State per frame is bounded by
-    distinct keys in the hour, the same horizon bound the streaming
-    twin's watermark would enforce; the oracle uses DuckDB's native
-    windowed count(DISTINCT)."""
+    (incomplete) frames are filtered out.
+
+    SKEW-ADAPTIVE hybrid (r6, per the r5 verdict): cells at or above
+    ``hot_cell_rows`` rows take a COLLAPSE-BY-INSTANT path — events
+    sharing one (type, ts) have IDENTICAL frames, so the hot cell is
+    first aggregated to distinct instants (collect_set(user) per
+    (type, hb, ts) — map-side combinable, which is exactly what defuses
+    a hot instant), the trailing-distinct is computed ONCE per instant
+    over the instant table (≤ #events rows, ≪ on skew), and native rows
+    join the count back on (type, hb, ts) inside the same bucket. Cold
+    cells keep the exact per-event window — on uniform data the only
+    added cost is a dimension-sized cell census + broadcast flag join
+    (the r5 measurement that applied instant-collapse to ALL rows lost
+    5× unskewed; gating it on cell size keeps both regimes fast). Cost
+    in a hot cell drops from O(rows × frame) to O(instants × frame) +
+    one in-bucket join; the r5 hot-instant probe (10% of the corpus on
+    one timestamp, cell ~70× average) measured 5.31× wall for 10× data
+    on the old always-exact path — the bar this hybrid answers. State
+    per frame stays bounded by distinct keys in the hour, the same
+    horizon the streaming twin's watermark enforces; the oracle uses
+    DuckDB's native windowed count(DISTINCT)."""
     ev = t(spark, sf_dir, "events")
     hour_us = 3_600_000_000
     # RANGE frame in integer MICROseconds: a seconds cast would truncate
@@ -543,19 +555,74 @@ def window_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "user_id", "tsu",
         F.col("b.hb").alias("hb"), F.col("b.is_native").alias("is_native"),
     )
+    # Cell census from the UN-exploded scan: native rows per (type, hour)
+    # — #types × #hours rows, map-side combinable. A cell's window input
+    # is its own natives plus the previous hour's replicas: a self
+    # equi-join on (type, hb−1) — no window, so nothing here partitions
+    # by the bare 5-value type key (the fact-window sweep would rightly
+    # flag even a census-sized lag window as enum-capped).
+    census = (
+        ev.select(F.col("event_type"), hb.alias("hb"))
+        .groupBy("event_type", "hb")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    prev = census.select(
+        "event_type", (F.col("hb") + 1).alias("hb"), F.col("_n").alias("_pn")
+    )
+    flags = (
+        census.join(prev, ["event_type", "hb"], "left")
+        .select(
+            "event_type",
+            "hb",
+            (
+                (F.col("_n") + F.coalesce(F.col("_pn"), F.lit(0)))
+                >= F.lit(hot_cell_rows)
+            ).alias("_hot"),
+        )
+    )
+    # Replica-only cells (last hour + 1) have no flag row: left join,
+    # NULL → cold — their rows are all non-native and filtered anyway.
+    pts = pts.join(F.broadcast(flags), ["event_type", "hb"], "left").withColumn(
+        "_hot", F.coalesce(F.col("_hot"), F.lit(False))
+    )
     w = (
         Window.partitionBy("event_type", "hb")
         .orderBy("tsu")
         .rangeBetween(-hour_us, 0)
     )
-    return (
-        pts.withColumn(
+    cold = (
+        pts.filter(~F.col("_hot"))
+        .withColumn(
             "n_active_users_1h",
             F.size(F.collect_set("user_id").over(w)).cast("bigint"),
         )
         .filter(F.col("is_native"))
         .select("event_id", "event_type", "n_active_users_1h")
     )
+    # Hot path: one row per distinct instant; union-of-sets over the same
+    # in-bucket RANGE frame; count joined back to native events on the
+    # instant key. Replicated instants (tsu in hb−1) exist only to
+    # complete native frames — no native row carries their tsu in this
+    # bucket, so the inner join drops their (incomplete) own frames.
+    hot = pts.filter(F.col("_hot"))
+    instants = hot.groupBy("event_type", "hb", "tsu").agg(
+        F.collect_set("user_id").alias("_us")
+    )
+    inst_counts = instants.select(
+        "event_type",
+        "hb",
+        "tsu",
+        F.size(F.array_distinct(F.flatten(F.collect_list("_us").over(w))))
+        .cast("bigint")
+        .alias("n_active_users_1h"),
+    )
+    hot_out = (
+        hot.filter(F.col("is_native"))
+        .select("event_id", "event_type", "hb", "tsu")
+        .join(inst_counts, ["event_type", "hb", "tsu"])
+        .select("event_id", "event_type", "n_active_users_1h")
+    )
+    return cold.unionByName(hot_out)
 
 
 @register(

@@ -297,14 +297,19 @@ class _CharStatsPoly:
         return AnalyzeResult(schema=schema)
 
     def eval(self, text: str, fields: str):
+        names = [f.strip() for f in fields.split(",")]
         if text is None:
+            # NULL text → one row of NULL stats: SQL length(NULL) IS NULL,
+            # and the lateral join is INNER, so yielding nothing would
+            # DROP the document (r6 perturbed NULL-first-doc axis).
+            yield tuple(None for _ in names)
             return
         stats = {
             "n_chars": len(text),
             "n_spaces": text.count(" "),
             "n_words": len([w for w in text.split(" ") if w]),
         }
-        yield tuple(stats[f.strip()] for f in fields.split(","))
+        yield tuple(stats[f] for f in names)
 
 
 @register(
@@ -400,8 +405,12 @@ def _iter_weighted_len(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     # seconds on (torch.load / tokenizer file); batches then stream.
     weights = {c: (i * 2 + 1) for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")}
     for texts in batches:
+        # NULL text scores 0, matching the oracle's COALESCE(s, 0) —
+        # arrives here as None (r6 perturbed NULL-first-doc axis).
         yield texts.map(
             lambda s: sum(weights.get(ch, 0) for ch in s.lower())
+            if isinstance(s, str)
+            else 0
         ).astype("int64")
 
 
