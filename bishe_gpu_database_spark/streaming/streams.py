@@ -131,7 +131,6 @@ def aria_foreach_batch(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        prev_kv = state["kv"]
         new_kv, stats = run_batch(state["kv"], batch_df, reorder=reorder)
         # Pin the merged state per trigger: without this the carried kv is
         # a lazy anti-join+union TREE that grows one level per batch, so a
@@ -141,11 +140,13 @@ def aria_foreach_batch(
         # lineage-truncation discipline as the epoch loop itself. EAGER:
         # batch N's state must materialize inside trigger N (a lazy
         # checkpoint would re-read the source at trigger N+1 and retain
-        # the predecessor's blocks), so the prior trigger's snapshot can
-        # be unpersisted immediately — executor storage stays ONE state
-        # snapshot, not O(#triggers) (r5 advice).
+        # the predecessor's blocks). Reclaiming the PRIOR snapshot is
+        # best-effort: localCheckpoint blocks are RDD-level persisted, so
+        # Dataset.unpersist (CacheManager-scoped) cannot free them
+        # directly — they are reclaimed by the ContextCleaner once the
+        # checkpointed RDD is dereferenced, which rebinding state["kv"]
+        # here is what actually triggers (r6 advice).
         state["kv"] = new_kv.localCheckpoint(eager=True)
-        prev_kv.unpersist()
         epochs_log.append({"batch_id": batch_id, "epochs": stats})
 
     q = ops_stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
