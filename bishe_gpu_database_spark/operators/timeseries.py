@@ -497,7 +497,11 @@ def timeseries_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_distinct_sliding(
-    spark: SparkSession, sf_dir: str, *, hot_cell_rows: int = 65536
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    hot_cell_rows: int = 4096,
+    dup_factor: int = 4,
 ) -> DataFrame:
     """Trailing-hour DISTINCT user count per event — the live
     'active users right now' metric. Spark windows don't accept DISTINCT
@@ -513,25 +517,30 @@ def window_distinct_sliding(
     the in-bucket RANGE window sees the complete frame; replicas' own
     (incomplete) frames are filtered out.
 
-    SKEW-ADAPTIVE hybrid (r6, per the r5 verdict): cells at or above
-    ``hot_cell_rows`` rows take a COLLAPSE-BY-INSTANT path — events
+    SKEW-ADAPTIVE hybrid (r6, per the r5 verdict; gate made data-aware
+    in r7): a cell takes the COLLAPSE-BY-INSTANT path when it is both
+    big (≥ ``hot_cell_rows`` window-input rows — below that the exact
+    window is trivially cheap) and DUPLICATED (rows ≥ ``dup_factor`` ×
+    distinct instants, from an approx_count_distinct in the same census
+    pass — approximate counts only ROUTE; both paths are exact). Events
     sharing one (type, ts) have IDENTICAL frames, so the hot cell is
     first aggregated to distinct instants (collect_set(user) per
     (type, hb, ts) — map-side combinable, which is exactly what defuses
     a hot instant), the trailing-distinct is computed ONCE per instant
-    over the instant table (≤ #events rows, ≪ on skew), and native rows
-    join the count back on (type, hb, ts) inside the same bucket. Cold
-    cells keep the exact per-event window — on uniform data the only
-    added cost is a dimension-sized cell census + broadcast flag join
-    (the r5 measurement that applied instant-collapse to ALL rows lost
-    5× unskewed; gating it on cell size keeps both regimes fast). Cost
-    in a hot cell drops from O(rows × frame) to O(instants × frame) +
-    one in-bucket join; the r5 hot-instant probe (10% of the corpus on
-    one timestamp, cell ~70× average) measured 5.31× wall for 10× data
-    on the old always-exact path — the bar this hybrid answers. State
-    per frame stays bounded by distinct keys in the hour, the same
-    horizon the streaming twin's watermark enforces; the oracle uses
-    DuckDB's native windowed count(DISTINCT)."""
+    over the instant table, and native rows join the count back on
+    (type, hb, ts) inside the same bucket. The duplication gate is
+    scale-free — it keys on the PATHOLOGY (duplicate instants, where
+    collapse wins by construction), not on an absolute size a 1000×
+    bigger corpus would blow past; a large cell of all-unique instants
+    stays cold because collapse cannot beat the exact window there
+    (instants ≈ rows, and the r5 all-rows measurement lost 5×
+    unskewed). Cost in a hot cell drops from O(rows × frame) to
+    O(instants × frame) + one in-bucket join; the r5 hot-instant probe
+    (10% of the corpus on one timestamp, cell ~70× average) measured
+    5.31× wall for 10× data on the old always-exact path — the bar this
+    hybrid answers. State per frame stays bounded by distinct keys in
+    the hour, the same horizon the streaming twin's watermark enforces;
+    the oracle uses DuckDB's native windowed count(DISTINCT)."""
     ev = t(spark, sf_dir, "events")
     hour_us = 3_600_000_000
     # RANGE frame in integer MICROseconds: a seconds cast would truncate
@@ -562,23 +571,30 @@ def window_distinct_sliding(
     # by the bare 5-value type key (the fact-window sweep would rightly
     # flag even a census-sized lag window as enum-capped).
     census = (
-        ev.select(F.col("event_type"), hb.alias("hb"))
+        ev.select(F.col("event_type"), hb.alias("hb"), tsu.alias("tsu"))
         .groupBy("event_type", "hb")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.approx_count_distinct("tsu").alias("_d"),
+        )
     )
     prev = census.select(
-        "event_type", (F.col("hb") + 1).alias("hb"), F.col("_n").alias("_pn")
+        "event_type",
+        (F.col("hb") + 1).alias("hb"),
+        F.col("_n").alias("_pn"),
+        F.col("_d").alias("_pd"),
     )
-    flags = (
-        census.join(prev, ["event_type", "hb"], "left")
-        .select(
-            "event_type",
-            "hb",
-            (
-                (F.col("_n") + F.coalesce(F.col("_pn"), F.lit(0)))
-                >= F.lit(hot_cell_rows)
-            ).alias("_hot"),
-        )
+    # Hour buckets partition time, so a cell's distinct-instant count is
+    # exactly additive across (natives of h) + (replicas from h−1).
+    cell_n = F.col("_n") + F.coalesce(F.col("_pn"), F.lit(0))
+    cell_d = F.col("_d") + F.coalesce(F.col("_pd"), F.lit(0))
+    flags = census.join(prev, ["event_type", "hb"], "left").select(
+        "event_type",
+        "hb",
+        (
+            (cell_n >= F.lit(hot_cell_rows))
+            & (cell_n >= F.lit(dup_factor) * cell_d)
+        ).alias("_hot"),
     )
     # Replica-only cells (last hour + 1) have no flag row: left join,
     # NULL → cold — their rows are all non-native and filtered anyway.

@@ -132,21 +132,21 @@ def aria_foreach_batch(
         if batch_df.isEmpty():
             return
         new_kv, stats = run_batch(state["kv"], batch_df, reorder=reorder)
-        # Pin the merged state per trigger: without this the carried kv is
-        # a lazy anti-join+union TREE that grows one level per batch, so a
-        # long-running ingest pays O(batches) re-analysis and recompute on
-        # every trigger — modest at 2 batches (measured ~13% of the
-        # drain), UNBOUNDED at continuous-ingest scale. Same
-        # lineage-truncation discipline as the epoch loop itself. EAGER:
-        # batch N's state must materialize inside trigger N (a lazy
-        # checkpoint would re-read the source at trigger N+1 and retain
-        # the predecessor's blocks). Reclaiming the PRIOR snapshot is
-        # best-effort: localCheckpoint blocks are RDD-level persisted, so
-        # Dataset.unpersist (CacheManager-scoped) cannot free them
-        # directly — they are reclaimed by the ContextCleaner once the
-        # checkpointed RDD is dereferenced, which rebinding state["kv"]
-        # here is what actually triggers (r6 advice).
-        state["kv"] = new_kv.localCheckpoint(eager=True)
+        # Carry the merged state LAZILY. Lineage still truncates once per
+        # trigger — run_batch eagerly checkpoints its kv argument at entry
+        # (engine.py `base = kv.localCheckpoint()`), so trigger N+1
+        # materializes this merge exactly once and the carried plan never
+        # grows past one merge layer. The r6 EAGER pin here was redundant
+        # with that entry checkpoint and double-materialized the state
+        # every trigger — measured ~1.5-2s of the ~3.9s/trigger streaming
+        # overhead (scripts/foreachbatch_breakdown.py, r7). new_kv's own
+        # leaves are the drain's internal checkpoints (ops0 and the delta
+        # are RDD-pinned during the drain), so re-running the merge never
+        # touches the expired streaming source. Prior snapshots are
+        # reclaimed by the ContextCleaner once dereferenced, which
+        # rebinding state["kv"] here is what actually triggers (r6
+        # advice).
+        state["kv"] = new_kv
         epochs_log.append({"batch_id": batch_id, "epochs": stats})
 
     q = ops_stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()

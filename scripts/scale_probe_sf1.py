@@ -151,15 +151,26 @@ SKEW_PROBES = [
     "window_median_sliding",
     "events_sessionize",
     "agg_ntile_scalable",
+    # r7 (r5 verdict item 6): the remaining heavy-shuffle families under
+    # their own deterministic hot keys (see synthesize_skewed):
+    "dedup_editdist_fastss",    # dup cliques -> hot deletion-variant keys
+    "linkage_fellegi_sunter",   # one nation block at ~70x average size
+    "geo_neighbor_pairs",       # one grid cell holding a 3000-point stack
+    "graph_triangle_count",     # one co-purchase hub in 0.5% of lineitems
 ]
 
 
 def synthesize_skewed(spark) -> None:
-    if os.path.exists(os.path.join(SF1_SKEW, "_SYNTH_DONE")):
+    # Marker is versioned: r7 added customer replication + two hot keys
+    # (nation block, geo point stack) and the lineitem hub, so a scratch
+    # fixture built by r5/r6 must regenerate.
+    if os.path.exists(os.path.join(SF1_SKEW, "_SYNTH_DONE_r7")):
         return
     os.makedirs(SF1_SKEW, exist_ok=True)
     n_parts = spark.sparkContext.defaultParallelism
     for tbl in DIMS:
+        if tbl == "customer":
+            continue  # replicated below with its own hot keys (r7)
         df = spark.read.parquet(os.path.join(SF01, f"{tbl}.parquet"))
         df.write.mode("overwrite").parquet(os.path.join(SF1_SKEW, f"{tbl}.parquet"))
     from bishe_gpu_database_spark.operators.relational import _raw_scan
@@ -173,6 +184,55 @@ def synthesize_skewed(spark) -> None:
     )
     hot_user = _raw_scan(spark, SF01, "events").agg(F.min("user_id")).collect()[0][0]
     hot_ts = _raw_scan(spark, SF01, "events").agg(F.min("ts")).collect()[0][0]
+    # hot spot 4: ONE part forced into ~0.5% of all lineitems — a
+    # co-purchase hub whose naive wedge fan-out would be C(deg, 2); the
+    # degree-ordered orientation must keep it wedge-free (edges point
+    # INTO the hub), which this probe finally measures on a non-regular
+    # graph.
+    hot_part = (
+        _raw_scan(spark, SF01, "lineitem")
+        .filter(F.col("l_quantity") > 35)
+        .agg(F.min("l_partkey"))
+        .collect()[0][0]
+    )
+    # Customer replicates 10x here (it stays a 1x dim in the UNIFORM
+    # probe): the linkage/geo skew targets are customer-driven, so the
+    # skew variant needs a fact-sized customer with two hot keys —
+    #   hot spot 5: ~3% of ALL customers land in ONE nation block
+    #     (c_nationkey = -1), ~70x the average block, so the
+    #     within-block quadratic scorer must be split by AQE;
+    #   hot spot 6: ~2% of ALL customers collapse onto ONE c_custkey,
+    #     stacking 3000 identical (x, y) points into a single grid cell
+    #     for the distance join (candidate explosion in one cell).
+    cust = _raw_scan(spark, SF01, "customer")
+    ck_stride = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    nk_stride = cust.agg(F.max("c_nationkey")).collect()[0][0] + 1
+    hot_geo_key = cust.agg(F.min("c_custkey")).collect()[0][0]
+    cparts = []
+    for i in range(REPLICAS):
+        d = cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * ck_stride))
+        d = d.withColumn(
+            "c_nationkey", F.col("c_nationkey") + F.lit(i * nk_stride)
+        )
+        d = d.withColumn(
+            "c_nationkey",
+            F.when(F.col("c_custkey") % 33 == 0, F.lit(-1)).otherwise(
+                F.col("c_nationkey")
+            ),
+        )
+        d = d.withColumn(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 50 == 0, F.lit(hot_geo_key)).otherwise(
+                F.col("c_custkey")
+            ),
+        )
+        cparts.append(d)
+    cout = cparts[0]
+    for p_ in cparts[1:]:
+        cout = cout.unionByName(p_)
+    cout.repartition(n_parts).write.mode("overwrite").parquet(
+        os.path.join(SF1_SKEW, "customer.parquet")
+    )
     for tbl, (shift_cols, tag_cols) in SHIFTS.items():
         df = _raw_scan(spark, SF01, tbl)
         maxes = {
@@ -194,6 +254,14 @@ def synthesize_skewed(spark) -> None:
                     F.when(F.col("doc_id") % 10 == 0, F.col(c)).otherwise(
                         F.concat(F.col(c), F.lit(f" r{i}"))
                     ),
+                )
+            if tbl == "lineitem":
+                d = d.withColumn(
+                    "l_partkey",
+                    F.when(
+                        (F.col("l_orderkey") + F.col("l_linenumber")) % 200 == 0,
+                        F.lit(hot_part),
+                    ).otherwise(F.col("l_partkey")),
                 )
             if tbl == "events":
                 d = d.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i} HOURS"))
@@ -219,7 +287,7 @@ def synthesize_skewed(spark) -> None:
         out.repartition(n_parts).write.mode("overwrite").parquet(
             os.path.join(SF1_SKEW, f"{tbl}.parquet")
         )
-    with open(os.path.join(SF1_SKEW, "_SYNTH_DONE"), "w"):
+    with open(os.path.join(SF1_SKEW, "_SYNTH_DONE_r7"), "w"):
         pass
 
 
@@ -259,6 +327,14 @@ def main() -> None:
     for name, r in results.items():
         r["ratio_10x"] = round(r["sf1"] / r["sf0.1"], 2)
     worst = max(r["ratio_10x"] for r in results.values())
+    # Anchor normalization (r5 verdict item 2): this box swings 1.5-2x
+    # between sessions, so the carried absolute-seconds bars (pagerank
+    # 3.5s, mart_rfm 1.2s at sf1) were unfalsifiable. Each probe's sf1
+    # time is also reported relative to the SAME session's q1 sf1 time;
+    # round-over-round comparisons should use these ratios.
+    anchor_sf1 = results["q1_pricing_summary"]["sf1"]
+    for r in results.values():
+        r["anchor_ratio_sf1"] = round(r["sf1"] / anchor_sf1, 2)
 
     # Skewed variant: hot band_hash / hot timestamp / hot user at 10x.
     t2 = time.time()
@@ -307,23 +383,31 @@ def main() -> None:
         "replicas": REPLICAS,
         "queries": results,
         "worst_ratio_10x": worst,
+        "anchor": {
+            "query": "q1_pricing_summary",
+            "sf0.1_sec": results["q1_pricing_summary"]["sf0.1"],
+            "sf1_sec": anchor_sf1,
+        },
         "skewed": {
             "hot_spots": "10% duplicate docs across replicas (hot bands), "
-            "10% of events on ONE timestamp, 20% of events on ONE user",
-            "note": "window_distinct_sliding's elevated ratio is the "
-            "hot-INSTANT bound: one (type, hour) cell holds the shared "
-            "timestamp's full share and exact per-event trailing-distinct "
-            "over one instant is irreducibly serial in its bucket; the "
-            "dedup-ends+join-back alternative measured strictly worse "
-            "(r5). Damage is bounded by the hot instant's share of its "
-            "type, never quadratic.",
+            "10% of events on ONE timestamp, 20% of events on ONE user, "
+            "one co-purchase hub part in 0.5% of lineitems, ~3% of "
+            "customers in ONE nation block, a 3000-point stack in ONE "
+            "grid cell (r7)",
+            "note": "window_distinct_sliding's hot-instant cells route "
+            "through the r6 collapse-by-instant hybrid (r7: gated on "
+            "measured instant DUPLICATION, not an absolute cell size) — "
+            "the r5 always-exact path measured 5.31x here; the bar is "
+            "<= 3x. linkage's hot block and geo's hot cell rely on AQE "
+            "skew-split of one oversized join partition; the triangle "
+            "hub must stay wedge-free under degree-ordered orientation.",
             "queries": skew_results,
             "worst_ratio_10x_skewed": skew_worst,
         },
         "note": "ratio <= ~10 means at-worst-linear scaling in data; "
         "well below 10 while fixed per-job overhead still dominates.",
     }
-    with open("/root/repo/SCALE_r5.json", "w") as f:
+    with open("/root/repo/SCALE_r7.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"worst_ratio_10x": worst,
                       "worst_ratio_10x_skewed": skew_worst}), flush=True)
