@@ -167,6 +167,7 @@ def run_batch(
     reorder: bool = True,
     insert_missing: bool = False,
     max_epochs: int = 64,
+    driver_sim_threshold: int = 100_000,
 ) -> tuple[DataFrame, list[dict]]:
     """Drain a batch: run epochs until no transaction remains, re-numbering
     aborted Tids densely 1…m each round (ref: TransctionManager.cuh:176-184,
@@ -189,6 +190,24 @@ def run_batch(
     probe-once + delta formulation is what survives a 100 TB table:
     epoch cost = two shuffles of the ops batch, table size only paid on
     the one-time probe and the final snapshot read.
+
+    DRIVER-SIM fast path (r7): when the probed batch fits the driver
+    (``n_op_rows <= driver_sim_threshold``), the drain SCHEDULE — a pure
+    function of the capacity-bounded (tid, k, is_update) tuples, never
+    of the table (the reference caps in-flight txns at 200,
+    ref: TransctionManager.cuh:15) — is computed in one collect + a
+    Python loop instead of one Spark job per epoch. Profiling showed
+    ~55% of per-epoch wall was driver-side PLAN CONSTRUCTION (window +
+    groupBy analysis ~0.12 s, install bookkeeping ~0.10 s) and the rest
+    a ~0.15 s two-stage job on a few thousand rows — pure scheduling
+    overhead, the exact cost the reference's in-GPU epoch loop never
+    pays. The install stays distributed and IDENTICAL: one window over
+    the committed writes ordered (install_epoch DESC, tid ASC, seq
+    DESC) — provably the same winner per key as the per-epoch
+    last-write + newest-epoch-wins merge (epoch resolution dominates
+    the composite order). Large batches take the distributed epoch
+    loop unchanged; both paths are pinned bit-identical by
+    tests/test_r7_aria_fastpath.py.
     """
     value_cols = [c for c in kv.columns if c != "k"]
     ops0 = ops.localCheckpoint()
@@ -218,6 +237,13 @@ def run_batch(
     # returned merged plan is evaluated by the caller after restore.
     spark = ops0.sparkSession
     n_op_rows = ops0.count()
+    if n_op_rows <= driver_sim_threshold:
+        stats, delta = _drain_sim(
+            ops0, value_cols, cur, reorder=reorder, max_epochs=max_epochs
+        )
+        if delta is None:
+            return base, stats
+        return base.join(delta, "k", "left_anti").unionByName(delta), stats
     drain_parts = max(1, min(spark.sparkContext.defaultParallelism, n_op_rows // 4096))
     # AQE's per-stage re-planning is pure latency once the exchanges are
     # already batch-sized (~0.5 s/epoch on local[32]); off for the loop,
@@ -250,6 +276,103 @@ def run_batch(
     if delta is None:
         return base, stats
     return base.join(delta, "k", "left_anti").unionByName(delta), stats
+
+
+def _drain_sim(
+    ops0: DataFrame,
+    value_cols: list[str],
+    cur: set,
+    *,
+    reorder: bool,
+    max_epochs: int,
+) -> tuple[list[dict], DataFrame | None]:
+    """Driver-side drain schedule for capacity-bounded batches (see
+    run_batch). Semantics are the distributed loop's, op for op:
+
+    - Analysis sees only non-NULL-key ops (the distributed path filters
+      ``k.isNotNull()`` before flags — under insert_missing a NULL key
+      would otherwise form a phantom conflict group).
+    - Per key, rts = min surviving tid, wts = min surviving UPDATE tid
+      (all CAS races settled at once, ref: src/cuda/metadatahelper.cuh:
+      36-90); per tid the flags OR over its ops; abort on
+      waw ∨ (raw ∧ war) with reorder else waw ∨ raw
+      (ref: TrancM_func.cuh:181-227).
+    - Pending tids with no analyzable op trivially commit and never
+      install (they are absent from the verdict dict, exactly like the
+      distributed path's flag rows) but are recorded in the schedule.
+    - The install runs DISTRIBUTED in one pass: committed (tid → epoch)
+      joins the staged writes, and one window ordered
+      (install_epoch DESC, tid ASC, seq DESC) picks each key's winner —
+      identical to the per-epoch last-write + newest-epoch-wins merge
+      because epoch resolution dominates the composite order and the
+      within-epoch order is unchanged.
+    """
+    spark = ops0.sparkSession
+    op_rows = [
+        (r["tid"], r["k"], bool(r["is_update"]))
+        for r in ops0.select("tid", "k", "is_update").collect()
+        if r["k"] is not None
+    ]
+    stats: list[dict] = []
+    tid_epoch: dict = {}
+    cur = set(cur)
+    for epoch in range(1, max_epochs + 1):
+        if not cur:
+            break
+        n_txns = len(cur)
+        live = [(t, k, u) for (t, k, u) in op_rows if t in cur]
+        rts: dict = {}
+        wts: dict = {}
+        for t, k, u in live:
+            if k not in rts or t < rts[k]:
+                rts[k] = t
+            if u and (k not in wts or t < wts[k]):
+                wts[k] = t
+        flags: dict = {}
+        for t, k, u in live:
+            f = flags.setdefault(t, [False, False, False])  # raw, war, waw
+            w = wts.get(k)
+            if w is not None and w < t:
+                f[0] = True
+                if u:
+                    f[2] = True
+            if u and rts[k] < t:
+                f[1] = True
+        verd = {
+            t: not ((f[2] or (f[0] and f[1])) if reorder else (f[2] or f[0]))
+            for t, f in flags.items()
+        }
+        aborted = sorted(t for t, c in verd.items() if not c)
+        for t, c in verd.items():
+            if c:
+                tid_epoch[t] = epoch
+        stats.append(
+            {
+                "epoch": epoch,
+                "n_txns": n_txns,
+                "n_committed": n_txns - len(aborted),
+                "n_aborted": len(aborted),
+                "verdicts": sorted(({t: True for t in cur} | verd).items()),
+            }
+        )
+        if not aborted:
+            break
+        cur = set(aborted)
+    if not tid_epoch:
+        return stats, None
+    emap = spark.createDataFrame(
+        sorted(tid_epoch.items()), "tid long, _install_epoch int"
+    )
+    writes = ops0.join(F.broadcast(emap), "tid").filter(F.col("is_update"))
+    wd = W.partitionBy("k").orderBy(
+        F.col("_install_epoch").desc(), F.col("tid").asc(), F.col("seq").desc()
+    )
+    delta = (
+        writes.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .select("k", *[F.col(f"new_{c}").alias(c) for c in value_cols])
+    )
+    return stats, delta
 
 
 def _drain_loop(
