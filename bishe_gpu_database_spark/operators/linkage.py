@@ -170,24 +170,49 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholded into the classic match / possible / non-match lattice and
     aggregated per (nation, decision). All arithmetic is integer
     (precomputed constant weights), so scores hash bit-identically
-    cross-engine. Blocking here is the nation equi-join — intentionally
-    the naive baseline whose within-block cost is quadratic; the engine's
-    production blocking schemes (``dedup_sorted_neighborhood``'s O(N·w)
-    window, MinHash/LSH banding, FastSS deletion variants) each emit
-    candidate pairs with the same (u, v) shape and feed this scorer
-    unchanged. At 100 TB you compose: blocked candidates (linear-ish) →
-    this scoring map (pure per-row expression, no shuffle) → the decision
-    aggregate (map-side partial). m/u are fixed survey parameters; EM
-    re-estimation alternates this same scoring pass with a weight
-    refit on the decision counts."""
+    cross-engine.
+
+    AGREEMENT-PATTERN FOLD (r7): the score is a function of the two
+    records' field PROFILES alone, so identical profiles are folded
+    before any pairing — Fellegi–Sunter's own formulation works on
+    agreement-pattern frequencies, not record pairs (Fellegi & Sunter
+    1969, §3). Per nation the customers collapse to (profile, n) rows
+    (≤ |seg|·|band|·|sign| ≈ 120, a CONSTANT as records grow); distinct
+    profile pairs carry multiplicity n_a·n_b and same-profile pairs
+    C(n, 2), so the quadratic step runs over profile pairs — O(N) fold
+    + O(profiles²) per block instead of O(records²); at sf0.1 this is
+    ~24× fewer pair rows, and at 100 TB the pair stage is
+    metadata-sized while only the fold scans the data. NULL semantics
+    are preserved exactly: profiles join on a sentinel pid (so a NULL
+    field still forms/meets pairs) while SCORING compares the raw
+    fields — NULL == anything, including another NULL, is the
+    DISAGREEMENT weight, which is why the same-profile diagonal scores
+    each profile against itself instead of assuming all-agree. The
+    engine's production blocking schemes (``dedup_sorted_neighborhood``'s
+    O(N·w) window, MinHash/LSH banding, FastSS deletion variants) emit
+    candidate pairs with the same (u, v) shape and feed the unfolded
+    scorer unchanged; m/u are fixed survey parameters; EM re-estimation
+    alternates this same scoring pass with a weight refit on the
+    decision counts."""
     c = t(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nation"),
-        F.col("c_custkey").alias("k"),
         F.col("c_mktsegment").alias("seg"),
         F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000").alias("band"),
         (F.col("c_acctbal") < 0).alias("neg"),
     )
-    a, b = c.alias("a"), c.alias("b")
+    pid = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(f).cast("string"), F.lit("\x00NULL"))
+            for f in ("seg", "band", "neg")
+        ],
+    )
+    prof = (
+        c.groupBy("nation", "seg", "band", "neg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("pid", pid)
+    )
+    a, b = prof.alias("a"), prof.alias("b")
     fld = lambda col, wa, wd: (  # noqa: E731
         F.when(F.col(f"a.{col}") == F.col(f"b.{col}"), F.lit(wa)).otherwise(F.lit(wd))
     )
@@ -196,9 +221,30 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         + fld("band", _W_BAND_A, _W_BAND_D)
         + fld("neg", _W_SIGN_A, _W_SIGN_D)
     )
-    pairs = a.join(
-        b, (F.col("a.nation") == F.col("b.nation")) & (F.col("a.k") < F.col("b.k"))
-    ).select(F.col("a.nation").alias("nation"), score.alias("score"))
+    cross = a.join(
+        b, (F.col("a.nation") == F.col("b.nation")) & (F.col("a.pid") < F.col("b.pid"))
+    ).select(
+        F.col("a.nation").alias("nation"),
+        score.alias("score"),
+        (F.col("a.n") * F.col("b.n")).cast("long").alias("cnt"),
+    )
+    # Same-profile pairs: C(n, 2) of them, scored by comparing the profile
+    # to ITSELF — no join, a per-row self-comparison (a NULL field
+    # disagrees even with an identical NULL, matching the record-pair
+    # semantics above).
+    self_fld = lambda col, wa, wd: (  # noqa: E731
+        F.when(F.col(col) == F.col(col), F.lit(wa)).otherwise(F.lit(wd))
+    )
+    self_score = (
+        self_fld("seg", _W_SEG_A, _W_SEG_D)
+        + self_fld("band", _W_BAND_A, _W_BAND_D)
+        + self_fld("neg", _W_SIGN_A, _W_SIGN_D)
+    )
+    diag = prof.filter(F.col("n") >= 2).select(
+        "nation",
+        self_score.alias("score"),
+        F.expr("CAST(n * (n - 1) DIV 2 AS LONG)").alias("cnt"),
+    )
     decision = (
         F.when(F.col("score") >= 3000, "match")
         .when(F.col("score") >= 0, "possible")
@@ -206,10 +252,11 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("decision")
     )
     return (
-        pairs.select("nation", "score", decision)
+        cross.unionByName(diag)
+        .select("nation", "score", decision, "cnt")
         .groupBy("nation", "decision")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("cnt").cast("long").alias("n_pairs"),
             F.min("score").alias("min_score"),
             F.max("score").alias("max_score"),
         )

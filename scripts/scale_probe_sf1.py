@@ -433,7 +433,14 @@ def main() -> None:
             "skew_vs_uniform (<= 1.5), the metric that isolates hot-key "
             "damage. linkage's hot block and geo's hot cell rely on AQE "
             "skew-split of one oversized join partition; the triangle "
-            "hub must stay wedge-free under degree-ordered orientation.",
+            "hub must stay wedge-free under degree-ordered orientation. "
+            "dedup_editdist_fastss's skew_vs_uniform is OUTPUT-bound, "
+            "not a plan defect: the skewed fixture's 10x customer "
+            "replication creates identical-name cliques, and an "
+            "edit-distance<=1 self-join must EMIT all C(m,2) pairs of "
+            "an m-clique — the uniform control has no such cliques, so "
+            "its output is linear; candidate generation itself stays "
+            "equi-join-shaped on deletion variants either way.",
             "queries": skew_results,
             "worst_ratio_10x_skewed": skew_worst,
             "worst_skew_vs_uniform": skew_damage_worst,
