@@ -67,3 +67,14 @@ def test_engine_matches_serial_oracle_on_random_batches(
     assert got_stats == expect_stats
     got_kv = {r["k"]: tuple(r[f"f{j}"] for j in range(10)) for r in got_kv_df.collect()}
     assert got_kv == expect_kv
+
+    # Same draw through the DISTRIBUTED epoch loop (the default takes the
+    # r7 driver-sim fast path at these sizes): both engine paths must
+    # match the oracle — and hence each other — on every adversarial case.
+    dist_kv_df, dist_stats = run_batch(
+        kv_df, ops_df, reorder=reorder, insert_missing=insert_missing,
+        driver_sim_threshold=0,
+    )
+    assert dist_stats == expect_stats
+    dist_kv = {r["k"]: tuple(r[f"f{j}"] for j in range(10)) for r in dist_kv_df.collect()}
+    assert dist_kv == expect_kv
