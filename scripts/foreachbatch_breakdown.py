@@ -15,10 +15,14 @@ times each component in one session:
      per-trigger eager pin was redundant with run_batch's own entry
      checkpoint and double-materialized the state)
 
-First run's finding (r7, contended box — splits, not absolutes):
+First run's finding (r6, contended box — splits, not absolutes):
 trigger machinery is ~0.5s/trigger (NOT the floor); run_batch inside
 the stream costs the same as direct; the eager state pin was the
-~1.5-2s/trigger overhead the r5 verdict asked to explain.
+~1.5-2s/trigger overhead the r5 verdict asked to explain. r7: the
+driver-sim drain fast path (engine.py:_drain_sim) then removed the
+per-epoch job+plan-construction cost itself — the shipped 2x150-txn
+drain measures 100-160 txn/s on a quiet box (bench stream_multibatch),
+vs 21.9 when the r5 bar was set.
 
 Run: PYTHONPATH=/root/repo python scripts/foreachbatch_breakdown.py
 """
