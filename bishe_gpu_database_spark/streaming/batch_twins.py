@@ -141,6 +141,7 @@ def stream_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n_events
     FROM events, mx
+    WHERE ts >= TIMESTAMP '1970-01-01'  -- pre-epoch ingest guard (streams.events_stream)
     GROUP BY 1, 2, mx.m
     HAVING time_bucket(INTERVAL 1 HOUR, min(ts)) + INTERVAL 1 HOUR <= mx.m
     """,
@@ -214,6 +215,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR ts >= lag(ts) OVER w + INTERVAL '30 minutes' THEN 1
                   ELSE 0 END AS new_session
       FROM events
+      WHERE ts >= TIMESTAMP '1970-01-01'  -- pre-epoch ingest guard
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -256,6 +258,7 @@ def stream_runtime_session(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS window_start,
              e.event_type
       FROM events e CROSS JOIN g
+      WHERE e.ts >= TIMESTAMP '1970-01-01'  -- pre-epoch ingest guard
     )
     SELECT window_start, event_type, count(*) AS n_events
     FROM w, mx
@@ -308,7 +311,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_runtime_dedup",
-    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    oracle="""SELECT DISTINCT user_id, event_type FROM events
+    WHERE ts >= TIMESTAMP '1970-01-01'  -- pre-epoch ingest guard""",
 )
 def stream_runtime_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual streaming-dedup runtime, oracle-checked:
@@ -328,8 +332,10 @@ def stream_runtime_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
            c.ts AS click_ts
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    FROM (SELECT * FROM events WHERE event_type = 'purchase'
+          AND ts >= TIMESTAMP '1970-01-01') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click'
+          AND ts >= TIMESTAMP '1970-01-01') c
       ON p.user_id = c.user_id
      AND c.ts >= p.ts - INTERVAL 30 MINUTE
      AND c.ts <= p.ts
@@ -354,8 +360,10 @@ def stream_runtime_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH mx AS (SELECT max(ts) - INTERVAL 2 HOUR AS cutoff FROM events)
     SELECT time_bucket(INTERVAL 1 HOUR, p.ts) AS hour,
            count(*) AS n_attributed
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    FROM (SELECT * FROM events WHERE event_type = 'purchase'
+          AND ts >= TIMESTAMP '1970-01-01') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click'
+          AND ts >= TIMESTAMP '1970-01-01') c
       ON p.user_id = c.user_id
      AND c.ts >= p.ts - INTERVAL 30 MINUTE
      AND c.ts <= p.ts, mx

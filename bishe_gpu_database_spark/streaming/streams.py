@@ -50,7 +50,20 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixture generation — normalize (see operators.relational).
     from bishe_gpu_database_spark.operators.relational import events_ts_to_micros
 
-    return events_ts_to_micros(raw)
+    out = events_ts_to_micros(raw)
+    # PRE-EPOCH ingest guard (r7): a fresh streaming query's event-time
+    # watermark initializes at the epoch, so a stateful operator treats a
+    # pre-1970 row as late-beyond-horizon ON ARRIVAL and silently drops
+    # it — the one outcome a deterministic, oracle-gated runtime can't
+    # model portably (it hangs on the engine's initial-watermark
+    # internals, not on declared semantics). A production pipeline
+    # bounds ingest lateness explicitly for the same reason; garbage
+    # timestamps older than any reachable watermark are unprocessable by
+    # construction. Filtered HERE, symmetric with the runtime oracles'
+    # ts >= epoch predicate, so the drop is declared, not incidental
+    # (surfaced by the r7 perturbed-fixture axis: a 1969-12-31 event
+    # vanished from every watermarked runtime but not its oracle).
+    return out.filter(F.col("ts") >= F.to_timestamp(F.lit("1970-01-01 00:00:00")))
 
 
 def tumbling_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -22,6 +22,7 @@ Run: python scripts/perturbed_parity.py [out.json]
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -118,6 +119,24 @@ def build_perturbed(dst: str) -> None:
           SELECT * FROM (
             SELECT 900004 AS event_id, ts + INTERVAL 2 MINUTE, 900003, 'signup',
                    0.0, props
+            FROM '{SRC}/events.parquet' ORDER BY event_id LIMIT 1
+          )
+          UNION ALL
+          -- r7 axes: garbage timestamps a 100 TB corpus contains routinely.
+          -- PRE-EPOCH (negative unix micros — floor-vs-truncate division
+          -- divergence in every hour/day bucketing, the exact hole pmod
+          -- guards in window_distinct_sliding) and SUB-MICRO-PRECISION
+          -- just past the epoch (1 µs — catches any seconds-cast
+          -- truncation admitting rows across frame boundaries).
+          SELECT * FROM (
+            SELECT 900005 AS event_id, TIMESTAMP '1969-12-31 23:30:00',
+                   900005, event_type, 1.0, props
+            FROM '{SRC}/events.parquet' ORDER BY event_id LIMIT 1
+          )
+          UNION ALL
+          SELECT * FROM (
+            SELECT 900006 AS event_id, TIMESTAMP '1970-01-01 00:00:00.000001',
+                   900006, event_type, 2.0, props
             FROM '{SRC}/events.parquet' ORDER BY event_id LIMIT 1
           )
         ) TO '{dst}/events.parquet' (FORMAT PARQUET)
@@ -233,6 +252,17 @@ def main() -> int:
         dst = os.path.join(scratch, f"sf_{vname}")
         shutil.rmtree(dst, ignore_errors=True)
         builder(dst) if arg is None else builder(dst, arg)
+        # Several sources/formats.py queries cache a derived copy of the
+        # fixture (JSON/CSV/ORC/XML re-encodes, sink layouts) in scratch
+        # keyed by the fixture dir's BASENAME — rebuilding the fixture
+        # with new perturbation axes leaves those caches STALE (r7: the
+        # new timestamp-edge events were invisible to the cached
+        # corrupt-JSON copy from an earlier run of this very sweep).
+        # Purge every cache derived from this basename before running.
+        base = os.path.basename(dst.rstrip("/"))
+        for cached in glob.glob(os.path.join(scratch, f"*_{base}")):
+            if os.path.abspath(cached) != os.path.abspath(dst):
+                shutil.rmtree(cached, ignore_errors=True)
         print(f"# {vname} fixture at {dst}", flush=True)
         results, failures = run_variant(spark, dst)
         total_fail += len(failures)
