@@ -40,10 +40,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def get_spark(app_name: str = "bishe_gpu_database_spark") -> SparkSession:
     """Build (or reuse) the session with scale-oriented defaults."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Width override for cluster-shape testing: a 1000-executor deploy
+    # plans 2000+ shuffle partitions, and results must not depend on the
+    # partition count (the wide-parity sweep runs the full surface at
+    # 200 to pin that).
+    width = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", width)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
