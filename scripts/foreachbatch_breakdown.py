@@ -22,7 +22,10 @@ the stream costs the same as direct; the eager state pin was the
 driver-sim drain fast path (engine.py:_drain_sim) then removed the
 per-epoch job+plan-construction cost itself — the shipped 2x150-txn
 drain measures 100-160 txn/s on a quiet box (bench stream_multibatch),
-vs 21.9 when the r5 bar was set.
+vs 21.9 when the r5 bar was set, and the SUSTAINED probe (f) holds
+~107 txn/s across 10 consecutive state-carrying triggers (1500 txns,
+per-batch epoch counts flat at 8-12) — per-trigger cost does not
+accumulate with trigger count or carried-state age.
 
 Run: PYTHONPATH=/root/repo python scripts/foreachbatch_breakdown.py
 """
@@ -135,6 +138,31 @@ def main() -> None:
         shipped = time.perf_counter() - t0
         out["shipped_lazy_carry_sec"] = round(shipped, 3)
         out["shipped_txn_per_sec"] = round(150 * len(log) / shipped, 1)
+
+        # (f) SUSTAINED ingest (r7): 10 x 150-txn files through the
+        # shipped driver, state carried across all 10 triggers — pins
+        # that throughput holds as the carried-state lineage and trigger
+        # count grow (the lazy carry re-checkpoints per trigger, so
+        # per-trigger cost must stay flat, not accumulate).
+        for i in range(2, 10):
+            gen_ops(
+                spark, n_txns=150, max_ops=30, n_keys=2000, write_pct=40,
+                seed=f"bench_mb{i}",
+            ).coalesce(1).write.mode("overwrite").parquet(f"{d}/b{i}")
+        stream4 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/*")
+        )
+        t0 = time.perf_counter()
+        _, log10 = aria_foreach_batch(spark, kv, stream4, reorder=True)
+        sustained = time.perf_counter() - t0
+        out["sustained_10x150"] = {
+            "n_batches": len(log10),
+            "wall_sec": round(sustained, 3),
+            "txn_per_sec": round(150 * len(log10) / sustained, 1),
+            "per_batch_epochs": [len(e["epochs"]) for e in log10],
+        }
     finally:
         shutil.rmtree(d, ignore_errors=True)
     print(json.dumps(out, indent=1))
