@@ -139,6 +139,28 @@ def build_perturbed(dst: str) -> None:
                    900006, event_type, 2.0, props
             FROM '{SRC}/events.parquet' ORDER BY event_id LIMIT 1
           )
+          UNION ALL
+          -- r7 axes: garbage PROPS a crawl contains routinely — NULL,
+          -- truncated-mid-object JSON, and valid JSON whose $.k is a
+          -- non-numeric string (engine get_json_object+cast returns
+          -- NULL; a DuckDB oracle must TRY_CAST, plain CAST errors).
+          SELECT * FROM (
+            SELECT 900007 AS event_id, ts, 900007, event_type, 3.0,
+                   NULL AS props
+            FROM '{SRC}/events.parquet' ORDER BY event_id LIMIT 1
+          )
+          UNION ALL
+          SELECT * FROM (
+            SELECT 900008 AS event_id, ts, 900008, event_type, 4.0,
+                   '{{"k": ' AS props
+            FROM '{SRC}/events.parquet' ORDER BY event_id LIMIT 1
+          )
+          UNION ALL
+          SELECT * FROM (
+            SELECT 900009 AS event_id, ts, 900009, event_type, 5.0,
+                   '{{"k": "not_a_number"}}' AS props
+            FROM '{SRC}/events.parquet' ORDER BY event_id LIMIT 1
+          )
         ) TO '{dst}/events.parquet' (FORMAT PARQUET)
         """
     )
