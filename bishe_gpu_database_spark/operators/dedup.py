@@ -967,6 +967,13 @@ def dedup_editdist_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
     some engines count bytes — identical on the ASCII keys this targets
     (ids, SKUs, account names); normalize or transliterate first for
     multi-byte alphabets."""
+    return _fastss_pairs(spark, sf_dir)
+
+
+def _fastss_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastSS candidate generation + bounded verify shared by the full
+    pair emitter (``dedup_editdist_fastss``) and the capped per-record
+    variant (``dedup_editdist_topk``). Returns u < v pairs with ed ≤ 1."""
     seg = (
         t(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -1006,3 +1013,53 @@ def dedup_editdist_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(
         F.levenshtein(F.col("u_name"), F.col("v_name"), 1) >= 0
     ).withColumn("ed", F.levenshtein("u_name", "v_name"))
+
+
+@register(
+    "dedup_editdist_topk",
+    oracle="""
+    WITH seg AS (
+      SELECT c_custkey AS k, c_name AS name FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ),
+    pairs AS (
+      SELECT a.k AS u, b.k AS v, levenshtein(a.name, b.name) AS ed
+      FROM seg a JOIN seg b
+        ON a.k <> b.k AND levenshtein(a.name, b.name) <= 1
+    ),
+    ranked AS (
+      SELECT u, v, ed,
+             CAST(row_number() OVER (PARTITION BY u ORDER BY ed, v) AS BIGINT) AS rk
+      FROM pairs
+    )
+    SELECT u, v, ed, rk FROM ranked WHERE rk <= 2
+    """,
+)
+def dedup_editdist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped variant of the FastSS edit-distance join (r7 verdict item
+    6): each record keeps only its TOP-K nearest neighbors (k = 2,
+    ordered by (ed, v) — deterministic because v is unique per u) instead
+    of every within-threshold pair. The uncapped join's output is
+    output-bound by construction — an m-record duplicate clique MUST emit
+    C(m,2) pairs — which is correct for audit-style dedup but quadratic
+    in clique size for pipeline use; the cap bounds per-record output at
+    k rows, so total output is ≤ k·N no matter how large the cliques
+    grow (the canonical-assignment consumers downstream only need a few
+    candidate edges per record anyway). Candidate generation is the SAME
+    deletion-variant equi-join (never all-pairs); the cap is one
+    row_number window partitioned by record key — group size = that
+    record's neighbor count, partition count = N, both scale-free."""
+    from pyspark.sql import Window as W
+
+    pairs = _fastss_pairs(spark, sf_dir).select("u", "v", "ed")
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), F.col("ed")
+        )
+    )
+    w = W.partitionBy("u").orderBy("ed", "v")
+    return (
+        sym.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 2)
+        .select("u", "v", "ed", "rk")
+    )

@@ -261,3 +261,141 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("score").alias("max_score"),
         )
     )
+
+
+@register(
+    "linkage_em_step",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_nationkey AS nation, c_custkey AS k, c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band,
+             (c_acctbal < 0) AS neg
+      FROM customer
+    ),
+    pairs AS (
+      SELECT (a.seg = b.seg) AS ag_seg,
+             (a.band = b.band) AS ag_band,
+             (a.neg = b.neg) AS ag_neg,
+             (CASE WHEN a.seg = b.seg THEN {_W_SEG_A} ELSE {_W_SEG_D} END
+              + CASE WHEN a.band = b.band THEN {_W_BAND_A} ELSE {_W_BAND_D} END
+              + CASE WHEN a.neg = b.neg THEN {_W_SIGN_A} ELSE {_W_SIGN_D} END) >= 0
+             AS is_match
+      FROM c a JOIN c b ON a.nation = b.nation AND a.k < b.k
+    ),
+    unpivoted AS (
+      SELECT 'seg' AS field, ag_seg AS agree, is_match FROM pairs
+      UNION ALL SELECT 'band', ag_band, is_match FROM pairs
+      UNION ALL SELECT 'neg', ag_neg, is_match FROM pairs
+    )
+    SELECT field,
+           CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           CAST(sum(CASE WHEN is_match AND agree THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_match_agree,
+           CAST(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonmatch,
+           CAST(sum(CASE WHEN NOT is_match AND agree THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonmatch_agree,
+           CAST(1000 * sum(CASE WHEN is_match AND agree THEN 1 ELSE 0 END)
+                // sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS m_milli,
+           CAST(1000 * sum(CASE WHEN NOT is_match AND agree THEN 1 ELSE 0 END)
+                // sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS u_milli
+    FROM unpivoted
+    GROUP BY field
+    """,
+)
+def linkage_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hard-assignment EM iteration (CEM) for the Fellegi–Sunter
+    weights, on the SAME folded agreement-pattern representation as
+    ``linkage_fellegi_sunter`` (the docstring there promises exactly this
+    alternation). E-step: classify every nation-blocked pair with the
+    current integer milli-bit weights — the above-lower-threshold class
+    (score ≥ 0, i.e. match ∪ possible) is the match side, the standard
+    CEM hard assignment when the clerical-review region is folded up.
+    M-step: per field f refit m_f = P(agree | match) and u_f =
+    P(agree | non-match) from the classified pair counts. All arithmetic
+    stays integer: the output carries the exact count numerators/
+    denominators plus milli-ratios via integer division (1000·num DIV
+    den), so the refit hashes bit-identically cross-engine — a float m/u
+    would not.
+
+    Scale shape: identical to the scorer — the O(N) profile fold is the
+    only stage that touches records; pair enumeration runs over ≤~120
+    profiles per block with multiplicities (cross pairs n_a·n_b,
+    same-profile diagonal C(n,2)), then a 3-way stack unpivot and a
+    3-group aggregate. A full EM loop alternates this query with a
+    weight-constant refresh; each iteration costs one fold, never a
+    record-pair join. NULL discipline matches the scorer: profiles pair
+    via sentinel pid, agreement compares raw fields (NULL agrees with
+    nothing, including NULL), and the diagonal self-compares each
+    profile so a NULL field still takes the disagreement path."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000").alias("band"),
+        (F.col("c_acctbal") < 0).alias("neg"),
+    )
+    pid = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(f).cast("string"), F.lit("\x00NULL"))
+            for f in ("seg", "band", "neg")
+        ],
+    )
+    prof = (
+        c.groupBy("nation", "seg", "band", "neg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("pid", pid)
+    )
+    a, b = prof.alias("a"), prof.alias("b")
+    ag = lambda col: (F.col(f"a.{col}") == F.col(f"b.{col}"))  # noqa: E731
+    cross = a.join(
+        b, (F.col("a.nation") == F.col("b.nation")) & (F.col("a.pid") < F.col("b.pid"))
+    ).select(
+        ag("seg").alias("ag_seg"),
+        ag("band").alias("ag_band"),
+        ag("neg").alias("ag_neg"),
+        (F.col("a.n") * F.col("b.n")).cast("long").alias("cnt"),
+    )
+    self_ag = lambda col: (F.col(col) == F.col(col))  # noqa: E731
+    diag = prof.filter(F.col("n") >= 2).select(
+        self_ag("seg").alias("ag_seg"),
+        self_ag("band").alias("ag_band"),
+        self_ag("neg").alias("ag_neg"),
+        F.expr("CAST(n * (n - 1) DIV 2 AS LONG)").alias("cnt"),
+    )
+    w = lambda flag, wa, wd: (  # noqa: E731
+        F.when(F.col(flag), F.lit(wa)).otherwise(F.lit(wd))
+    )
+    pairs = cross.unionByName(diag).withColumn(
+        "is_match",
+        (
+            w("ag_seg", _W_SEG_A, _W_SEG_D)
+            + w("ag_band", _W_BAND_A, _W_BAND_D)
+            + w("ag_neg", _W_SIGN_A, _W_SIGN_D)
+        )
+        >= 0,
+    )
+    unpivoted = pairs.select(
+        "is_match",
+        "cnt",
+        F.expr("stack(3, 'seg', ag_seg, 'band', ag_band, 'neg', ag_neg) AS (field, agree)"),
+    )
+    cnt_if = lambda cond: F.sum(F.when(cond, F.col("cnt")).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        unpivoted.groupBy("field")
+        .agg(
+            cnt_if(F.col("is_match")).alias("n_match"),
+            cnt_if(F.col("is_match") & F.col("agree")).alias("n_match_agree"),
+            cnt_if(~F.col("is_match")).alias("n_nonmatch"),
+            cnt_if(~F.col("is_match") & F.col("agree")).alias("n_nonmatch_agree"),
+        )
+        .select(
+            "field",
+            "n_match",
+            "n_match_agree",
+            "n_nonmatch",
+            "n_nonmatch_agree",
+            F.expr("1000 * n_match_agree DIV n_match").alias("m_milli"),
+            F.expr("1000 * n_nonmatch_agree DIV n_nonmatch").alias("u_milli"),
+        )
+    )

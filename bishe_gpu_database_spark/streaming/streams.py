@@ -16,10 +16,20 @@ from pyspark.sql.streaming import StreamingQuery
 from bishe_gpu_database_spark.aria.engine import run_batch
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, *, guard_pre_epoch: bool = True
+) -> DataFrame:
     """Replay the events fixture as a file-source stream (one file = one
     micro-batch with availableNow). Schema comes from the batch read —
-    streaming file sources require an explicit schema."""
+    streaming file sources require an explicit schema.
+
+    ``guard_pre_epoch`` applies the watermark-era ingest guard (see the
+    comment at the return). It is the default because every stateful
+    consumer in this module needs it; STATELESS consumers (the
+    stream-static enrich join) pass False so their semantics — and their
+    batch-twin oracles, which keep pre-1970 rows — stay symmetric with
+    the batch read (r8 ADVICE: the guard must not silently narrow paths
+    that have no watermark)."""
     import os
     import tempfile
 
@@ -63,7 +73,95 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ts >= epoch predicate, so the drop is declared, not incidental
     # (surfaced by the r7 perturbed-fixture axis: a 1969-12-31 event
     # vanished from every watermarked runtime but not its oracle).
-    return out.filter(F.col("ts") >= F.to_timestamp(F.lit("1970-01-01 00:00:00")))
+    if guard_pre_epoch:
+        out = out.filter(F.col("ts") >= F.to_timestamp(F.lit("1970-01-01 00:00:00")))
+    return out
+
+
+class CheckpointWidthMismatch(RuntimeError):
+    """Raised when a stateful streaming checkpoint pins a different
+    ``spark.sql.shuffle.partitions`` than the current session — resuming
+    would silently run at the checkpointed width, not the session's."""
+
+
+def assert_checkpoint_width(spark: SparkSession, checkpoint_location: str) -> int | None:
+    """Fail fast on a session-vs-checkpoint shuffle-width mismatch.
+
+    Spark persists ``spark.sql.shuffle.partitions`` into every stateful
+    query's checkpoint (``offsets/<batchId>`` conf map) because the
+    state-store count equals the partition count and state cannot be
+    repartitioned after the fact. On restart the engine silently KEEPS
+    the checkpointed width — a user who widened the session to scale out
+    gets the old width with no warning (the reason the wide parity sweep
+    records the stateful runtimes as width-pinned-by-design,
+    ``PARITY_WIDE2000.json``). This guard makes the mismatch loud at
+    startup, with remediation, instead of a silent mis-deployment.
+
+    Returns the pinned width, or None when the checkpoint is fresh (no
+    offsets committed yet) so there is nothing to mismatch."""
+    import glob as _glob
+    import json
+    import os
+
+    offset_files = [
+        p
+        for p in _glob.glob(os.path.join(checkpoint_location, "offsets", "*"))
+        if os.path.basename(p).isdigit()
+    ]
+    if not offset_files:
+        return None
+    newest = max(offset_files, key=lambda p: int(os.path.basename(p)))
+    pinned: int | None = None
+    with open(newest) as f:
+        for line in f:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue  # version header ("v1") / offset payload lines
+            try:
+                d = json.loads(line)
+            except ValueError:
+                continue
+            conf = d.get("conf") if isinstance(d, dict) else None
+            if isinstance(conf, dict) and "spark.sql.shuffle.partitions" in conf:
+                pinned = int(conf["spark.sql.shuffle.partitions"])
+                break
+    if pinned is None:
+        return None
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if pinned != session:
+        raise CheckpointWidthMismatch(
+            f"stateful checkpoint at {checkpoint_location} pins "
+            f"spark.sql.shuffle.partitions={pinned} but the session is "
+            f"configured for {session}. Spark would silently resume at "
+            f"{pinned} state-store partitions. Either set the session "
+            f"width back to {pinned}, or start a FRESH checkpoint "
+            f"directory (state cannot be repartitioned in place; a fresh "
+            f"checkpoint replays/rebuilds state at the new width)."
+        )
+    return pinned
+
+
+def _drain_to_memory(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    *,
+    checkpoint_location: str | None = None,
+) -> DataFrame:
+    """Shared availableNow → memory-sink drain used by every runtime
+    below. When a durable checkpoint is supplied (production restart
+    path), the width guard runs BEFORE the query starts."""
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    w = df.writeStream.format("memory").queryName(name).outputMode("append")
+    if checkpoint_location is not None:
+        assert_checkpoint_width(spark, checkpoint_location)
+        w = w.option("checkpointLocation", checkpoint_location)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.table(name)
 
 
 def tumbling_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
@@ -167,31 +265,25 @@ def aria_foreach_batch(
     return state["kv"], epochs_log
 
 
-def run_tumbling_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_tumbling_runtime(
+    spark: SparkSession, sf_dir: str, *, checkpoint_location: str | None = None
+) -> DataFrame:
     """Execute the REAL streaming runtime (file-replay source → watermark
     → tumbling agg → availableNow drain into a memory sink) and return
     the emitted rows. With watermark 0s, append mode emits exactly the
     windows whose end ≤ the final watermark (= max event time) — a
     closed-form set a SQL oracle can compute, so the runtime itself is
-    correctness-gated, not just its batch twin."""
+    correctness-gated, not just its batch twin. A durable
+    ``checkpoint_location`` engages the startup width guard
+    (assert_checkpoint_width)."""
     import os
 
     name = "stream_rt_tumbling_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     stream = events_stream(spark, sf_dir)
     agg = tumbling_counts(stream, watermark="0 seconds")
-    try:
-        spark.catalog.dropTempView(name)
-    except Exception:
-        pass
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select("window_start", "event_type", "n_events")
+    return _drain_to_memory(
+        spark, agg, name, checkpoint_location=checkpoint_location
+    ).select("window_start", "event_type", "n_events")
 
 
 def user_stats_tws(stream: DataFrame) -> DataFrame:
@@ -263,7 +355,9 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def run_session_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_session_runtime(
+    spark: SparkSession, sf_dir: str, *, checkpoint_location: str | None = None
+) -> DataFrame:
     """Execute the REAL session-window streaming runtime (file replay →
     watermark → session merge state → append emission) and return the
     emitted rows. Emitted set = sessions whose end (last event + gap) ≤
@@ -273,19 +367,7 @@ def run_session_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_rt_session_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     stream = events_stream(spark, sf_dir)
     agg = session_counts(stream)
-    try:
-        spark.catalog.dropTempView(name)
-    except Exception:
-        pass
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_to_memory(spark, agg, name, checkpoint_location=checkpoint_location)
 
 
 def sliding_counts(stream: DataFrame, watermark: str = "0 seconds") -> DataFrame:
@@ -300,7 +382,9 @@ def sliding_counts(stream: DataFrame, watermark: str = "0 seconds") -> DataFrame
     )
 
 
-def run_sliding_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_sliding_runtime(
+    spark: SparkSession, sf_dir: str, *, checkpoint_location: str | None = None
+) -> DataFrame:
     """Execute the REAL sliding-window streaming runtime and return the
     emitted rows (windows whose end ≤ final watermark = max event time)."""
     import os
@@ -308,19 +392,7 @@ def run_sliding_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_rt_sliding_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     stream = events_stream(spark, sf_dir)
     agg = sliding_counts(stream)
-    try:
-        spark.catalog.dropTempView(name)
-    except Exception:
-        pass
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_to_memory(spark, agg, name, checkpoint_location=checkpoint_location)
 
 
 def enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,7 +402,10 @@ def enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     per batch, the stream side never shuffles)."""
     from bishe_gpu_database_spark.operators.relational import t
 
-    stream = events_stream(spark, sf_dir)
+    # Stateless path (no watermark): pre-epoch rows are processable here
+    # and the batch twin's oracle keeps them — skip the ingest guard so
+    # stream and batch semantics stay identical row-for-row.
+    stream = events_stream(spark, sf_dir, guard_pre_epoch=False)
     dim = t(spark, sf_dir, "customer")
     return stream.join(
         F.broadcast(dim), stream.user_id == dim.c_custkey
@@ -344,20 +419,7 @@ def run_enrich_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     name = "stream_rt_enrich_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    try:
-        spark.catalog.dropTempView(name)
-    except Exception:
-        pass
-    q = (
-        enrich_stream(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_to_memory(spark, enrich_stream(spark, sf_dir), name)
 
 
 def run_dedup_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,19 +447,7 @@ def run_dedup_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    try:
-        spark.catalog.dropTempView(name)
-    except Exception:
-        pass
-    q = (
-        dd.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select("user_id", "event_type")
+    return _drain_to_memory(spark, dd, name).select("user_id", "event_type")
 
 
 def run_interval_join_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,19 +485,7 @@ def run_interval_join_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("event_id").alias("purchase_id"), "user_id", "p_ts", "click_ts"
     )
-    try:
-        spark.catalog.dropTempView(name)
-    except Exception:
-        pass
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_to_memory(spark, joined, name)
 
 
 def run_chained_stateful_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,25 +527,13 @@ def run_chained_stateful_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_attributed"))
         .select(F.col("window.start").alias("hour"), "n_attributed")
     )
-    try:
-        spark.catalog.dropTempView(name)
-    except Exception:
-        pass
-    q = (
-        hourly.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    emitted = _drain_to_memory(spark, hourly, name)
     from bishe_gpu_database_spark.operators.relational import t
 
     cutoff = (
         t(spark, sf_dir, "events")
         .agg((F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("cutoff"))
     )
-    emitted = spark.table(name)
     return (
         emitted.crossJoin(F.broadcast(cutoff))
         .filter(F.col("hour") < F.col("cutoff"))

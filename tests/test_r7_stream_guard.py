@@ -64,3 +64,22 @@ def test_stream_guards_pre_epoch_batch_keeps_it(spark, tmp_path):
     assert POST_ID in streamed  # epoch+1µs is watermark-era data
     assert PRE_ID in batch and POST_ID in batch  # batch semantics untouched
     assert streamed == batch - {PRE_ID}
+
+
+def test_stateless_path_keeps_pre_epoch(spark, tmp_path):
+    """r8 ADVICE: the guard is scoped to watermarked consumers. A
+    stateless runtime (no watermark — e.g. the stream-static enrich join)
+    opts out via guard_pre_epoch=False and must see EVERY row the batch
+    read sees, pre-epoch included, so its batch-twin oracle (which keeps
+    pre-1970 rows) never diverges from the runtime."""
+    sf_dir = _mini_fixture(spark, tmp_path)
+
+    stream = events_stream(spark, sf_dir, guard_pre_epoch=False)
+    q = run_to_memory(stream.select("event_id"), "r8_stateless_guard_test")
+    q.awaitTermination()
+    streamed = {r[0] for r in spark.table("r8_stateless_guard_test").collect()}
+
+    batch = {r[0] for r in t(spark, sf_dir, "events").select("event_id").collect()}
+
+    assert PRE_ID in streamed and POST_ID in streamed
+    assert streamed == batch
