@@ -313,6 +313,39 @@ def _drain_sim(
         for r in ops0.select("tid", "k", "is_update").collect()
         if r["k"] is not None
     ]
+    stats, tid_epoch = _sim_schedule(
+        op_rows, cur, reorder=reorder, max_epochs=max_epochs
+    )
+    if not tid_epoch:
+        return stats, None
+    emap = spark.createDataFrame(
+        sorted(tid_epoch.items()), "tid long, _install_epoch int"
+    )
+    writes = ops0.join(F.broadcast(emap), "tid").filter(F.col("is_update"))
+    wd = W.partitionBy("k").orderBy(
+        F.col("_install_epoch").desc(), F.col("tid").asc(), F.col("seq").desc()
+    )
+    delta = (
+        writes.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .select("k", *[F.col(f"new_{c}").alias(c) for c in value_cols])
+    )
+    return stats, delta
+
+
+def _sim_schedule(
+    op_rows: list[tuple],
+    cur: set,
+    *,
+    reorder: bool,
+    max_epochs: int,
+) -> tuple[list[dict], dict]:
+    """The pure-Python drain schedule shared by the batch fast path
+    (``_drain_sim``) and the streaming per-trigger step
+    (``stream_drain_step``): epoch-by-epoch verdicts over the
+    capacity-bounded (tid, k, is_update) tuples, never touching a
+    DataFrame. Returns (per-epoch stats, committed tid → install
+    epoch)."""
     stats: list[dict] = []
     tid_epoch: dict = {}
     cur = set(cur)
@@ -358,21 +391,221 @@ def _drain_sim(
         if not aborted:
             break
         cur = set(aborted)
+    return stats, tid_epoch
+
+
+class StreamDrainState:
+    """Cross-trigger state for the streamed Aria drain (r8, r7 verdict
+    item 1: shrink the sustained-ingest trigger floor).
+
+    The r7 driver re-materialized the ENTIRE carried table once per
+    trigger (``state["kv"] = run_batch(...)`` + entry localCheckpoint) —
+    per-trigger cost ∝ table size, the wrong asymptote for continuous
+    ingest into a 100 TB table. This state is an LSM-memtable shape
+    instead:
+
+    - ``base0``: the distributed base table, checkpointed ONCE at stream
+      start (re-checkpointed only on flush / oversized-batch fallback);
+    - ``delta_mem``: the driver-held MEMTABLE of committed writes —
+      {k: value tuple}, newest-trigger-wins by plain overwrite. The
+      reference caps in-flight transactions at 200
+      (TransctionManager.cuh:15), so each trigger contributes a bounded
+      key set and bounded value bytes; ``flush_threshold`` bounds the
+      total, after which the memtable is folded into base0 ONCE (one
+      distributed merge job, amortized over many triggers) — the same
+      memtable/flush discipline every LSM ingest path uses.
+    - ``known_exist`` / ``known_missing``: the driver-side key-existence
+      cache. The streamed drain runs ``insert_missing=False`` (the
+      reference's YCSB loop), where committed updates can neither create
+      nor drop a key — existence is STATIC for the stream's lifetime.
+      Tables whose key COUNT fits ``key_cache_bound`` prefetch the whole
+      key set on first touch (two jobs, once — afterwards every
+      existence question is a dict hit and NO probe job ever runs
+      again); larger tables probe each never-seen key once via a
+      bounded broadcast join.
+
+    Steady-state per-trigger Spark work: ONE bounded collect of the
+    micro-batch (ops + staged values — legal to hold driver-side
+    precisely because batches are capacity-bounded); the schedule AND
+    the install-winner resolution run in Python on that collect. The
+    r7-era path paid ~7 jobs/trigger (isEmpty, ops checkpoint, tid
+    collect, probe checkpoint, count, sim collect, full-table
+    checkpoint) ≈ 0.9 s of repo overhead per trigger on this box.
+    ``table()`` materializes base0 ⟕ memtable lazily — evaluated by the
+    caller at stream end, not per trigger."""
+
+    def __init__(
+        self,
+        kv: DataFrame,
+        *,
+        flush_threshold: int = 500_000,
+        key_cache_bound: int = 1_000_000,
+        max_known: int = 10_000_000,
+    ) -> None:
+        self.base0 = kv.localCheckpoint()
+        self.delta_mem: dict = {}
+        self.known_exist: set = set()
+        self.known_missing: set = set()
+        self.all_keys_cached = False
+        self.flush_threshold = flush_threshold
+        self.key_cache_bound = key_cache_bound
+        self.max_known = max_known
+        self._k_type = self.base0.schema["k"].dataType
+        self._probed_count = False
+        self.value_cols = [c for c in self.base0.columns if c != "k"]
+
+    def _delta_df(self) -> DataFrame:
+        spark = self.base0.sparkSession
+        cols = self.base0.columns
+        vidx = {c: i for i, c in enumerate(self.value_cols)}
+        rows = [
+            tuple(k if c == "k" else vals[vidx[c]] for c in cols)
+            for k, vals in self.delta_mem.items()
+        ]
+        return spark.createDataFrame(rows, self.base0.schema)
+
+    def table(self) -> DataFrame:
+        """The current logical table: base0 overridden by the memtable
+        (lazy — one anti-join + union when evaluated)."""
+        if not self.delta_mem:
+            return self.base0
+        delta = self._delta_df()
+        return self.base0.join(
+            F.broadcast(delta), "k", "left_anti"
+        ).unionByName(delta)
+
+    def flush(self) -> None:
+        """Fold the memtable into base0 (one distributed merge +
+        checkpoint) and clear it."""
+        if self.delta_mem:
+            self.base0 = self.table().localCheckpoint()
+            self.delta_mem = {}
+
+    def _resolve_existence(self, keys: set) -> None:
+        """Answer key existence for this batch with at most one job —
+        usually zero. First touch on a small table prefetches ALL keys;
+        otherwise never-seen keys probe base0 once via a bounded
+        broadcast join."""
+        unknown = (
+            {k for k in keys if k is not None} - self.known_exist - self.known_missing
+        )
+        if not unknown:
+            return
+        if self.all_keys_cached:
+            self.known_missing |= unknown
+            return
+        if not self._probed_count:
+            self._probed_count = True
+            if self.base0.count() <= self.key_cache_bound:
+                self.known_exist = {r[0] for r in self.base0.select("k").collect()}
+                self.all_keys_cached = True
+                self.known_missing |= unknown - self.known_exist
+                return
+        from pyspark.sql.types import StructField, StructType
+
+        spark = self.base0.sparkSession
+        unk_df = spark.createDataFrame(
+            [(k,) for k in sorted(unknown)],
+            StructType([StructField("k", self._k_type)]),
+        )
+        found = {
+            r[0]
+            for r in self.base0.select("k")
+            .join(F.broadcast(unk_df), "k", "inner")
+            .collect()
+        }
+        if len(self.known_exist) + len(self.known_missing) + len(unknown) > self.max_known:
+            self.known_exist.clear()
+            self.known_missing.clear()
+        self.known_exist |= found
+        self.known_missing |= unknown - found
+
+
+def stream_drain_step(
+    state: StreamDrainState,
+    ops: DataFrame,
+    *,
+    reorder: bool = True,
+    max_epochs: int = 64,
+    driver_sim_threshold: int = 100_000,
+) -> list[dict]:
+    """One micro-batch of the streamed Aria drain against the carried
+    ``StreamDrainState`` (see that class for the per-trigger cost
+    contract). Returns the batch's per-epoch stats — [] for an empty
+    batch. Semantics are exactly ``run_batch(state.table(), ops,
+    reorder=...)``: the same ``_sim_schedule`` computes the verdicts,
+    the same composite window picks each key's install winner, and the
+    cross-trigger newest-wins delta merge is associative with the
+    per-trigger full-table merge it replaces (pinned by
+    tests/test_streaming.py and tests/test_r8_stream_fastpath.py).
+    Batches above ``driver_sim_threshold`` op rows flush the memtable
+    and fall back to the distributed ``run_batch`` loop on the
+    materialized table (the key-existence cache stays valid: the key
+    set is static under insert_missing=False)."""
+    # ONE job per trigger, total: emptiness, the fast-path size check,
+    # the sim's op tuples, the Collect phase's pre-probe tid universe,
+    # AND the staged write values all come from this single bounded
+    # collect (capacity-bounded by the reference's own batch contract,
+    # TransctionManager.cuh:15 — the reason the values may legally ride
+    # to the driver). Nothing lazy survives the trigger that references
+    # the expiring streaming source.
+    value_cols = state.value_cols
+    new_cols = [f"new_{c}" for c in value_cols]
+    rows = (
+        ops.select("tid", "seq", "k", "is_update", *new_cols)
+        .limit(driver_sim_threshold + 1)
+        .collect()
+    )
+    if not rows:
+        return []
+    if len(rows) > driver_sim_threshold:
+        state.flush()
+        new_kv, stats = run_batch(
+            state.base0,
+            ops.localCheckpoint(),
+            reorder=reorder,
+            max_epochs=max_epochs,
+            driver_sim_threshold=driver_sim_threshold,
+        )
+        state.base0 = new_kv.localCheckpoint()
+        return stats
+    state._resolve_existence({r["k"] for r in rows})
+    cur = {r["tid"] for r in rows}
+    # Execute's missing-key skip, driver-side: ops on keys absent from
+    # base0 never reach analysis (same as run_batch's distributed probe;
+    # memtable keys ⊆ base0 keys, so base0 existence IS table existence).
+    op_rows = [
+        (r["tid"], r["k"], bool(r["is_update"]))
+        for r in rows
+        if r["k"] is not None and r["k"] in state.known_exist
+    ]
+    stats, tid_epoch = _sim_schedule(
+        op_rows, cur, reorder=reorder, max_epochs=max_epochs
+    )
     if not tid_epoch:
-        return stats, None
-    emap = spark.createDataFrame(
-        sorted(tid_epoch.items()), "tid long, _install_epoch int"
-    )
-    writes = ops0.join(F.broadcast(emap), "tid").filter(F.col("is_update"))
-    wd = W.partitionBy("k").orderBy(
-        F.col("_install_epoch").desc(), F.col("tid").asc(), F.col("seq").desc()
-    )
-    delta = (
-        writes.withColumn("_rn", F.row_number().over(wd))
-        .filter(F.col("_rn") == 1)
-        .select("k", *[F.col(f"new_{c}").alias(c) for c in value_cols])
-    )
-    return stats, delta
+        return stats
+    # Install, fully driver-side: per key the winner is the NEWEST epoch,
+    # ties to smallest tid then largest seq — the same composite order
+    # the distributed install window uses ((_install_epoch DESC, tid
+    # ASC, seq DESC), see _drain_sim); committed writes to MISSING keys
+    # are no-ops (ref: TrancM_func.cuh:32-34). Overwriting the memtable
+    # entry IS the cross-trigger newest-wins merge.
+    best: dict = {}
+    for r in rows:
+        k = r["k"]
+        if not r["is_update"] or k is None or k not in state.known_exist:
+            continue
+        ep = tid_epoch.get(r["tid"])
+        if ep is None:
+            continue
+        rank = (ep, -r["tid"], r["seq"])
+        if k not in best or rank > best[k][0]:
+            best[k] = (rank, tuple(r[c] for c in new_cols))
+    for k, (_, vals) in best.items():
+        state.delta_mem[k] = vals
+    if len(state.delta_mem) > state.flush_threshold:
+        state.flush()
+    return stats
 
 
 def _drain_loop(

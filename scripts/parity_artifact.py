@@ -72,7 +72,11 @@ def main() -> int:
         # on this 8-core box — hours of per-task store open/commit
         # overhead measuring a deployment mistake, not the engine. The
         # wide sweep pins BATCH width-independence; the streaming
-        # runtimes are recorded as width-pinned-by-design.
+        # runtimes are recorded as width-pinned-by-design. The runtime
+        # side of the same contract is enforced at startup by
+        # streams.assert_checkpoint_width (r8): resuming a stateful
+        # checkpoint under a different session width fails loudly with
+        # remediation instead of silently keeping the old width.
         if width and name.startswith("stream_runtime_"):
             skipped_width_pinned.append(name)
             print(f"SKIP [width-pinned stateful streaming] {name}", flush=True)
