@@ -296,9 +296,11 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN NOT is_match AND agree THEN 1 ELSE 0 END) AS BIGINT)
              AS n_nonmatch_agree,
            CAST(1000 * sum(CASE WHEN is_match AND agree THEN 1 ELSE 0 END)
-                // sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS m_milli,
+                // nullif(sum(CASE WHEN is_match THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS m_milli,
            CAST(1000 * sum(CASE WHEN NOT is_match AND agree THEN 1 ELSE 0 END)
-                // sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS u_milli
+                // nullif(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS u_milli
     FROM unpivoted
     GROUP BY field
     """,
@@ -395,7 +397,10 @@ def linkage_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_match_agree",
             "n_nonmatch",
             "n_nonmatch_agree",
-            F.expr("1000 * n_match_agree DIV n_match").alias("m_milli"),
-            F.expr("1000 * n_nonmatch_agree DIV n_nonmatch").alias("u_milli"),
+            # nullif: a fixture where one decision class is EMPTY (e.g. a
+            # 2-row table whose only pair agrees everywhere) must yield a
+            # NULL ratio in both engines, not an ANSI division error.
+            F.expr("1000 * n_match_agree DIV nullif(n_match, 0)").alias("m_milli"),
+            F.expr("1000 * n_nonmatch_agree DIV nullif(n_nonmatch, 0)").alias("u_milli"),
         )
     )
