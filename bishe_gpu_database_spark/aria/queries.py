@@ -382,6 +382,81 @@ def aria_drain_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final_kv
 
 
+@register(
+    "aria_stream_final_state",
+    oracle="""
+    WITH ops AS (
+      SELECT (event_id % 50 + 1) AS tid,
+             (event_id // 50) AS seq,
+             ((user_id * 7 + event_id % 13) % 500 + 1) AS k,
+             (event_id % 5 < 2) AS is_update
+      FROM events
+    ),
+    winners AS (
+      SELECT k, new_v FROM (
+        SELECT o.k,
+               substr(md5('w|' || o.tid || '|' || o.seq || '|' || o.k), 1, 10) AS new_v,
+               row_number() OVER (
+                 PARTITION BY o.k
+                 ORDER BY (o.tid - 1) // 17 DESC, o.tid DESC, o.seq DESC
+               ) AS rn
+        FROM ops o
+        WHERE o.is_update
+      ) WHERE rn = 1
+    )
+    SELECT b.k, coalesce(w.new_v, b.v) AS v
+    FROM (SELECT r AS k, substr(md5('base_' || r), 1, 10) AS v
+          FROM range(1, 501) t(r)) b
+    LEFT JOIN winners w ON b.k = w.k
+    """,
+)
+def aria_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMED drain's cross-trigger carry, hash-gated bit-for-bit
+    (r8): the events-derived 50-txn batch splits into 3 micro-batches by
+    tid range ((tid-1) DIV 17 — the trigger order), each drained to
+    quiescence against the carried ``StreamDrainState`` (driver
+    memtable, base checkpointed once — the exact state machine
+    ``streams.aria_foreach_batch`` runs per trigger). The oracle states
+    the cross-trigger determinism theorem: every transaction eventually
+    commits, LATER micro-batches override earlier ones per key, and
+    within a micro-batch writers of a key settle in ascending
+    original-tid order — so the final table is last-writer-wins by
+    (batch DESC, tid DESC, seq DESC) per key over the initial snapshot.
+    This upgrades the memtable carry path from pytest-pinned
+    (tests/test_r8_stream_fastpath.py) to driver-oracle-gated like the
+    batch drain (``aria_drain_final_state``)."""
+    from bishe_gpu_database_spark.aria.engine import StreamDrainState, stream_drain_step
+
+    base = spark.range(1, 501).select(
+        F.col("id").alias("k"),
+        F.substring(
+            F.md5(F.concat(F.lit("base_"), F.col("id").cast("string"))), 1, 10
+        ).alias("v"),
+    )
+    ops = _ops_from_events(spark, sf_dir).withColumn(
+        "new_v",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit("w"),
+                    F.col("tid").cast("string"),
+                    F.col("seq").cast("string"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+    )
+    state = StreamDrainState(base)
+    for b in range(3):
+        stream_drain_step(
+            state, ops.filter(F.expr(f"(tid - 1) DIV 17 = {b}")), reorder=True
+        )
+    return state.table()
+
+
 @register("aria_drain_schedule", oracle=_drain_schedule_oracle())
 def aria_drain_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The drain SCHEDULE hash-gated bit-for-bit (r3 verdict item 4): the

@@ -1051,12 +1051,22 @@ def dedup_editdist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     record's neighbor count, partition count = N, both scale-free."""
     from pyspark.sql import Window as W
 
+    # Symmetrize map-side (explode both orientations of each pair) so the
+    # candidate join runs ONCE — a union of two selects re-executes the
+    # whole FastSS join per branch (observed in the physical plan).
     pairs = _fastss_pairs(spark, sf_dir).select("u", "v", "ed")
-    sym = pairs.unionByName(
-        pairs.select(
-            F.col("v").alias("u"), F.col("u").alias("v"), F.col("ed")
-        )
-    )
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("u"), F.col("v").alias("v"), F.col("ed").alias("ed")
+                ),
+                F.struct(
+                    F.col("v").alias("u"), F.col("u").alias("v"), F.col("ed").alias("ed")
+                ),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v", "p.ed")
     w = W.partitionBy("u").orderBy("ed", "v")
     return (
         sym.withColumn("rk", F.row_number().over(w).cast("bigint"))
