@@ -160,20 +160,32 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_json",
     oracle="""
+    WITH ex AS (
+      SELECT event_type,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
+      FROM events
+    )
     SELECT event_type,
            count(*) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM ex
     GROUP BY event_type
     """,
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from events.props (get_json_object ≡ DuckDB
-    json_extract_string), aggregated as integers (exact)."""
+    json_extract_string), aggregated as integers (exact). Garbage props
+    — NULL, truncated-mid-object JSON, non-numeric $.k — extract as
+    NULL in BOTH engines (try_cast here; json_valid guard + TRY_CAST in
+    the oracle): at corpus scale malformed payloads are routine and one
+    bad row must not kill the aggregate (the r7 perturbed axis this is
+    declared against; a plain ANSI cast threw on 'not_a_number')."""
     e = t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(k).alias("sum_k"),
@@ -527,9 +539,15 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_variant_json",
     oracle="""
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INT) AS k_val,
-           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
-           json_extract(props, '$.missing') IS NULL AS missing_absent
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+           END AS k_val,
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS VARCHAR)
+           END AS k_str,
+           CASE WHEN props IS NULL OR NOT json_valid(props) THEN true
+                ELSE json_extract(props, '$.missing') IS NULL
+           END AS missing_absent
     FROM events
     """,
 )
@@ -539,14 +557,23 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative to from_json's fixed StructType (fn_json_schema_roundtrip)
     when event payloads evolve. The variant never leaves the executors;
     only extracted scalars ship, and at 100 TB the shredded binary
-    encoding scans far cheaper than repeated JSON string parsing."""
+    encoding scans far cheaper than repeated JSON string parsing.
+
+    Garbage props (the r7 perturbed axis): NULL / truncated-mid-object
+    payloads parse to a NULL variant via ``try_parse_json`` (FAILFAST
+    parse_json killed the whole scan on one bad row), and a non-numeric
+    $.k extracts as NULL via ``try_variant_get`` — every extraction is
+    then NULL, so ``missing_absent`` reads true for unparseable rows in
+    both engines (the oracle's json_valid CASE mirrors it)."""
     e = t(spark, sf_dir, "events")
-    v = e.select("event_id", F.parse_json("props").alias("v"))
+    v = e.select("event_id", F.try_parse_json("props").alias("v"))
     return v.select(
         "event_id",
-        F.expr("variant_get(v, '$.k', 'int')").alias("k_val"),
-        F.expr("variant_get(v, '$.k', 'string')").alias("k_str"),
-        F.expr("variant_get(v, '$.missing', 'string') IS NULL").alias("missing_absent"),
+        F.expr("try_variant_get(v, '$.k', 'int')").alias("k_val"),
+        F.expr("try_variant_get(v, '$.k', 'string')").alias("k_str"),
+        F.expr("try_variant_get(v, '$.missing', 'string') IS NULL").alias(
+            "missing_absent"
+        ),
     )
 
 
