@@ -1,16 +1,24 @@
 """Round-over-round bench regression gate (r5 verdict item 7).
 
 Compares two bench payloads (the lossless ``BENCH_LOCAL*.json`` files
-``bench.py`` writes) on ANCHOR-RELATIVE p50: for every query present in
-both rounds, the regression factor is
+``bench.py`` writes) on PORTFOLIO-RELATIVE p50: for every query present
+in both rounds, the regression factor is
 
-    (p50_new / anchor_new) / (p50_old / anchor_old)
+    (p50_new / sum_new) / (p50_old / sum_old)
 
-with anchor = the same-session q1_pricing_summary p50. Absolute seconds
-are not comparable across rounds on this box (sessions swing 1.5-2x —
-measured noise_probe history, r5 verdict); the anchor ratio cancels the
-session speed, so a factor > THRESHOLD is a real plan/code regression,
-not the weather.
+with sum = the sum of the shared queries' p50s in the SAME session.
+Absolute seconds are not comparable across rounds on this box (sessions
+swing 1.5-2x — measured noise_probe history, r5 verdict), so both
+payloads need a same-session denominator. r5-r7 used the q1 anchor; r8
+moved the gate to the portfolio sum after the q1 denominator produced a
+wholesale false alarm: q1's own p50 swung 0.501 -> 0.342 s between the
+r7 and r8 sessions (the documented +/-40% sub-second swing), inflating
+EVERY query's anchor ratio ~1.46x and flagging 8 "regressions" whose
+absolute p50s had moved <= 1.42x with a flat portfolio sum
+(21.18 -> 21.13 s). The ~20 s portfolio denominator is ~10x more stable
+than sub-second q1 — the same lesson that moved the mart_rfm bar to
+portfolio share in r7. Anchor ratios are still printed per query for
+continuity with older artifacts.
 
 Exit status 1 (loud) if any shared query degrades more than THRESHOLD
 (default 1.5, env SPARK_GRAFT_BENCH_THRESHOLD). Usage:
@@ -43,33 +51,42 @@ def load(path: str) -> dict:
     return d
 
 
-def anchor_ratios(d: dict) -> dict[str, float]:
-    p50 = d["queries_p50"]
-    a = (d.get("anchor") or {}).get("p50_sec") or p50.get(ANCHOR)
-    if not a:
-        raise SystemExit("no anchor p50 in payload")
-    return {k: v / a for k, v in p50.items()}
-
-
 def main(old_path: str, new_path: str) -> int:
     old, new = load(old_path), load(new_path)
-    ro, rn = anchor_ratios(old), anchor_ratios(new)
-    shared = sorted(set(ro) & set(rn) - {ANCHOR})
+    po, pn = old["queries_p50"], new["queries_p50"]
+    shared = sorted(set(po) & set(pn))
+    sum_o = sum(po[q] for q in shared)
+    sum_n = sum(pn[q] for q in shared)
+    ao = (old.get("anchor") or {}).get("p50_sec") or po.get(ANCHOR)
+    an = (new.get("anchor") or {}).get("p50_sec") or pn.get(ANCHOR)
     regressions = []
-    print(f"# {len(shared)} shared queries, threshold {THRESHOLD}x "
-          f"(anchor={ANCHOR})")
+    print(
+        f"# {len(shared)} shared queries, threshold {THRESHOLD}x "
+        f"(portfolio sums {sum_o:.2f}s -> {sum_n:.2f}s; q1 anchor "
+        f"{ao:.3f}s -> {an:.3f}s shown per query for continuity)"
+    )
     for q in shared:
-        factor = rn[q] / ro[q] if ro[q] else float("inf")
+        share_o, share_n = po[q] / sum_o, pn[q] / sum_n
+        factor = share_n / share_o if share_o else float("inf")
+        anchor_note = (
+            f"  (anchor-rel {((pn[q] / an) / (po[q] / ao)):5.2f})"
+            if ao and an
+            else ""
+        )
         mark = " <-- REGRESSION" if factor > THRESHOLD else ""
-        print(f"{q:40s} old {ro[q]:6.2f}x  new {rn[q]:6.2f}x  "
-              f"factor {factor:5.2f}{mark}")
+        print(
+            f"{q:40s} old {share_o:7.4f}  new {share_n:7.4f}  "
+            f"factor {factor:5.2f}{anchor_note}{mark}"
+        )
         if factor > THRESHOLD:
-            regressions.append((q, factor))
+            regressions.append((q, round(factor, 3)))
     if regressions:
-        print(f"\nFAIL: {len(regressions)} anchor-relative regressions "
-              f"> {THRESHOLD}x: {regressions}")
+        print(
+            f"\nFAIL: {len(regressions)} portfolio-relative regressions "
+            f"> {THRESHOLD}x: {regressions}"
+        )
         return 1
-    print("\nOK: no anchor-relative regression above threshold")
+    print("\nOK: no portfolio-relative regression above threshold")
     return 0
 
 
