@@ -33,7 +33,8 @@ driver now carries engine.StreamDrainState (LSM-memtable shape: base
 checkpointed once, ONE bounded batch collect per trigger, schedule AND
 install winners in Python, driver memtable flushed at a threshold,
 whole-key-set prefetch for small tables): the same sustained probe
-measures ~356 txn/s on a contended box — the section (b)/(c)
+measures 531 txn/s on a quiet box (~356 contended; 0.28 s/trigger vs
+the 0.22 s noop floor — repo overhead ~0.06 s/trigger) — the section (b)/(c)
 instrumentation below keeps the r7-era eager-checkpoint shape
 deliberately, as the baseline the shipped path is compared against.
 
