@@ -34,8 +34,14 @@ def run_once(spark, sf_dir: str, name: str):
 
 
 def main() -> int:
+    # Default WRITES the artifact (r8): two r8 sweeps ran green but left
+    # DETERMINISM.json stale because the old default was print-only —
+    # an unfiltered run is artifact-grade and must record itself; only
+    # FILTERED runs (ad-hoc debugging) skip the write.
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
     filters = sys.argv[2:]
+    if out_path is None and not filters:
+        out_path = "/root/repo/DETERMINISM.json"
     import os
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
