@@ -285,20 +285,111 @@ def main() -> None:
                     .parquet(f"{d}/*")
                 )
                 t0 = time.perf_counter()
-                _, mb_log = aria_foreach_batch(spark, kv_cap, ops_stream, reorder=True)
+                final, mb_log = aria_foreach_batch(spark, kv_cap, ops_stream, reorder=True)
+                ingest_s = time.perf_counter() - t0
+                # ADVICE r8: the carried state's deferred merge is part of
+                # the cost the r7 per-trigger numbers paid — materialize
+                # the final table INSIDE the timed region so txn/s is
+                # end-to-end, and stamp the ingest-only figure separately.
+                final.count()
                 mb_s = time.perf_counter() - t0
                 n_txn = 150 * len(mb_log)
                 aria["stream_multibatch"] = {
                     "n_batches": len(mb_log),
                     "drain_sec": round(mb_s, 3),
+                    "ingest_only_sec": round(ingest_s, 3),
                     "txn_per_sec": round(n_txn / mb_s, 1) if mb_s else None,
                 }
                 print(
-                    f"# aria_stream_multibatch: {mb_s:.3f}s ({len(mb_log)} batches)",
+                    f"# aria_stream_multibatch: {mb_s:.3f}s ({len(mb_log)} batches, "
+                    f"ingest {ingest_s:.3f}s)",
                     file=sys.stderr,
                 )
             finally:
                 shutil.rmtree(d, ignore_errors=True)
+
+            # r8 verdict item 4: the SUSTAINED ingest probe behind the
+            # README headline — 10 state-carrying 150-txn triggers driven
+            # straight through stream_drain_step (per-trigger walls are
+            # the point; the streaming runtime hides trigger boundaries).
+            # Ops are pre-materialized so generation stays outside the
+            # timed region; the final-table materialization is INSIDE it.
+            from bishe_gpu_database_spark.aria.engine import (
+                StreamDrainState,
+                stream_drain_step,
+            )
+
+            n_sustained = 10
+            sus_ops = [
+                gen_ops(
+                    spark, n_txns=150, max_ops=30, n_keys=2000, write_pct=40,
+                    seed=f"bench_sus{i}",
+                ).localCheckpoint()
+                for i in range(n_sustained)
+            ]
+            kv_sus = gen_kv(spark, n_keys=2000, seed="bench_sus_kv")
+            state = StreamDrainState(kv_sus)
+            walls = []
+            t0 = time.perf_counter()
+            for ops_i in sus_ops:
+                tt = time.perf_counter()
+                stream_drain_step(state, ops_i, reorder=True)
+                walls.append(round(time.perf_counter() - tt, 3))
+            state.table().count()  # fold the memtable: end-to-end cost
+            sus_s = time.perf_counter() - t0
+            aria["stream_sustained"] = {
+                "n_batches": n_sustained,
+                "drain_sec": round(sus_s, 3),
+                "txn_per_sec": round(150 * n_sustained / sus_s, 1),
+                "per_trigger_sec": walls,
+                "probe_jobs": state.probe_jobs,
+                "flush_jobs": state.flush_jobs,
+            }
+            print(
+                f"# aria_stream_sustained: {sus_s:.3f}s ({n_sustained} triggers, "
+                f"{round(150 * n_sustained / sus_s, 1)} txn/s)",
+                file=sys.stderr,
+            )
+
+            # r8 verdict item 5: the LARGE-KEY-UNIVERSE regime — base key
+            # count ABOVE key_cache_bound, so the per-trigger broadcast
+            # existence probe (engine.py:_resolve_existence's join path),
+            # not the all-keys prefetch, is the measured path. probe_jobs
+            # proves it (one bounded probe per trigger of fresh keys).
+            big_n = 1_200_000  # > the production default key_cache_bound (1M)
+            kv_big = gen_kv(spark, n_keys=big_n, seed="bench_big_kv")
+            state_big = StreamDrainState(kv_big)
+            big_ops = [
+                gen_ops(
+                    spark, n_txns=150, max_ops=30, n_keys=big_n, write_pct=40,
+                    seed=f"bench_big{i}",
+                ).localCheckpoint()
+                for i in range(5)
+            ]
+            big_walls = []
+            t0 = time.perf_counter()
+            for ops_i in big_ops:
+                tt = time.perf_counter()
+                stream_drain_step(state_big, ops_i, reorder=True)
+                big_walls.append(round(time.perf_counter() - tt, 3))
+            state_big.table().count()
+            big_s = time.perf_counter() - t0
+            assert not state_big.all_keys_cached  # the probe path, proven
+            aria["stream_probe_path"] = {
+                "n_keys": big_n,
+                "key_cache_bound": state_big.key_cache_bound,
+                "n_batches": len(big_ops),
+                "drain_sec": round(big_s, 3),
+                "txn_per_sec": round(150 * len(big_ops) / big_s, 1),
+                "per_trigger_sec": big_walls,
+                "probe_jobs": state_big.probe_jobs,
+                "flush_jobs": state_big.flush_jobs,
+            }
+            print(
+                f"# aria_stream_probe_path: {big_s:.3f}s ({len(big_ops)} triggers, "
+                f"{state_big.probe_jobs} probe jobs)",
+                file=sys.stderr,
+            )
         except Exception as e:  # never fail the bench line
             print(f"# aria drain failed: {e}", file=sys.stderr, flush=True)
 

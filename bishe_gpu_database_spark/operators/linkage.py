@@ -557,3 +557,199 @@ def linkage_em_reclassify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", "decision")
         .agg(F.sum("cnt").cast("long").alias("n_pairs"))
     )
+
+
+_FIT_SQL = """
+      SELECT
+        CAST(1000 * sum(CASE WHEN {cls} AND ag_seg THEN 1 ELSE 0 END)
+          // nullif(sum(CASE WHEN {cls} THEN 1 ELSE 0 END), 0) AS BIGINT) AS {p}m_seg,
+        CAST(1000 * sum(CASE WHEN {cls} AND ag_band THEN 1 ELSE 0 END)
+          // nullif(sum(CASE WHEN {cls} THEN 1 ELSE 0 END), 0) AS BIGINT) AS {p}m_band,
+        CAST(1000 * sum(CASE WHEN {cls} AND ag_neg THEN 1 ELSE 0 END)
+          // nullif(sum(CASE WHEN {cls} THEN 1 ELSE 0 END), 0) AS BIGINT) AS {p}m_neg,
+        CAST(1000 * sum(CASE WHEN NOT {cls} AND ag_seg THEN 1 ELSE 0 END)
+          // nullif(sum(CASE WHEN NOT {cls} THEN 1 ELSE 0 END), 0) AS BIGINT) AS {p}u_seg,
+        CAST(1000 * sum(CASE WHEN NOT {cls} AND ag_band THEN 1 ELSE 0 END)
+          // nullif(sum(CASE WHEN NOT {cls} THEN 1 ELSE 0 END), 0) AS BIGINT) AS {p}u_band,
+        CAST(1000 * sum(CASE WHEN NOT {cls} AND ag_neg THEN 1 ELSE 0 END)
+          // nullif(sum(CASE WHEN NOT {cls} THEN 1 ELSE 0 END), 0) AS BIGINT) AS {p}u_neg
+      FROM {src}
+"""
+
+_LR_SQL = """coalesce(
+      CAST(CASE WHEN ag_seg THEN {p}m_seg ELSE 1000 - {p}m_seg END AS BIGINT)
+      * CAST(CASE WHEN ag_band THEN {p}m_band ELSE 1000 - {p}m_band END AS BIGINT)
+      * CAST(CASE WHEN ag_neg THEN {p}m_neg ELSE 1000 - {p}m_neg END AS BIGINT)
+      >=
+      CAST(CASE WHEN ag_seg THEN {p}u_seg ELSE 1000 - {p}u_seg END AS BIGINT)
+      * CAST(CASE WHEN ag_band THEN {p}u_band ELSE 1000 - {p}u_band END AS BIGINT)
+      * CAST(CASE WHEN ag_neg THEN {p}u_neg ELSE 1000 - {p}u_neg END AS BIGINT),
+      FALSE)"""
+
+
+@register(
+    "linkage_em_converged",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_nationkey AS nation, c_custkey AS k, c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band,
+             (c_acctbal < 0) AS neg
+      FROM customer
+    ),
+    pairs AS (
+      SELECT (a.seg = b.seg) AS ag_seg,
+             (a.band = b.band) AS ag_band,
+             (a.neg = b.neg) AS ag_neg,
+             (CASE WHEN a.seg = b.seg THEN {_W_SEG_A} ELSE {_W_SEG_D} END
+              + CASE WHEN a.band = b.band THEN {_W_BAND_A} ELSE {_W_BAND_D} END
+              + CASE WHEN a.neg = b.neg THEN {_W_SIGN_A} ELSE {_W_SIGN_D} END) >= 0
+             AS d0
+      FROM c a JOIN c b ON a.nation = b.nation AND a.k < b.k
+    ),
+    fit1 AS ({_FIT_SQL.format(cls="d0", p="m1_", src="pairs").replace("m1_u_", "u1_").replace("m1_m_", "m1_")}),
+    p1 AS (
+      SELECT pairs.*, {_LR_SQL.format(p="XX_").replace("XX_m_", "m1_").replace("XX_u_", "u1_")} AS d1
+      FROM pairs CROSS JOIN fit1
+    ),
+    fit2 AS ({_FIT_SQL.format(cls="d1", p="m2_", src="p1").replace("m2_u_", "u2_").replace("m2_m_", "m2_")}),
+    p2 AS (
+      SELECT p1.*, {_LR_SQL.format(p="YY_").replace("YY_m_", "m2_").replace("YY_u_", "u2_")} AS d2
+      FROM p1 CROSS JOIN fit2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN d1 <> d0 THEN 1 ELSE 0 END) AS BIGINT) AS flips_iter1,
+           CAST(sum(CASE WHEN d2 <> d1 THEN 1 ELSE 0 END) AS BIGINT) AS flips_iter2,
+           (sum(CASE WHEN d2 <> d1 THEN 1 ELSE 0 END) = 0) AS converged,
+           (SELECT greatest(
+              coalesce(abs(f2.m2_seg - f1.m1_seg), 0),
+              coalesce(abs(f2.m2_band - f1.m1_band), 0),
+              coalesce(abs(f2.m2_neg - f1.m1_neg), 0),
+              coalesce(abs(f2.u2_seg - f1.u1_seg), 0),
+              coalesce(abs(f2.u2_band - f1.u1_band), 0),
+              coalesce(abs(f2.u2_neg - f1.u1_neg), 0))
+            FROM fit1 f1 CROSS JOIN fit2 f2) AS max_param_delta_milli
+    FROM p2
+    """,
+)
+def linkage_em_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM TERMINATION check (r8 verdict item 7): `linkage_em_step` and
+    `linkage_em_reclassify` give the loop's first full alternation; this
+    query runs TWO alternations and gates the loop's fixed point —
+    decision-set stability (how many folded pairs flip between the
+    iteration-1 and iteration-2 classifications) plus the parameter
+    movement between the two refits (max |Δm|, |Δu| in millis). A
+    converged EM run reports flips_iter2 = 0 / converged = true; the
+    driver's hash gate pins the whole trajectory, not just one step.
+
+    Chain: pairs (folded agreement patterns, initial-weight decision d0)
+    → fit1 (1-row m/u refit from d0) → d1 (likelihood-ratio reclassify,
+    milli-quantized integer products ≤ 1000³, NULL→false on degenerate
+    one-class fixtures) → fit2 (refit from d1) → d2 → one summary row.
+    Every refit is a 1-row aggregate broadcast back onto the folded
+    pairs (the same metadata-sized BNLJ shape as linkage_em_reclassify),
+    so k iterations cost one O(N) profile fold + k bounded passes over
+    ≤~120-profile-per-block pair patterns — never a record-pair join.
+    Reference provenance: the reference engine has no linkage surface at
+    all (GPU KV store, src/cuda/hashTable.cuh); this is driver-mandated
+    LLM-pipeline breadth (Fellegi–Sunter 1969 / CEM, public
+    formulations)."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000").alias("band"),
+        (F.col("c_acctbal") < 0).alias("neg"),
+    )
+    pid = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(f).cast("string"), F.lit("\x00NULL"))
+            for f in ("seg", "band", "neg")
+        ],
+    )
+    prof = (
+        c.groupBy("nation", "seg", "band", "neg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("pid", pid)
+    )
+    a, b = prof.alias("a"), prof.alias("b")
+    ag = lambda col: (F.col(f"a.{col}") == F.col(f"b.{col}"))  # noqa: E731
+    cross = a.join(
+        b, (F.col("a.nation") == F.col("b.nation")) & (F.col("a.pid") < F.col("b.pid"))
+    ).select(
+        ag("seg").alias("ag_seg"),
+        ag("band").alias("ag_band"),
+        ag("neg").alias("ag_neg"),
+        (F.col("a.n") * F.col("b.n")).cast("long").alias("cnt"),
+    )
+    self_ag = lambda col: (F.col(col) == F.col(col))  # noqa: E731
+    diag = prof.filter(F.col("n") >= 2).select(
+        self_ag("seg").alias("ag_seg"),
+        self_ag("band").alias("ag_band"),
+        self_ag("neg").alias("ag_neg"),
+        F.expr("CAST(n * (n - 1) DIV 2 AS LONG)").alias("cnt"),
+    )
+    w = lambda flag, wa, wd: (  # noqa: E731
+        F.when(F.col(flag), F.lit(wa)).otherwise(F.lit(wd))
+    )
+    pairs = cross.unionByName(diag).withColumn(
+        "d0",
+        (
+            w("ag_seg", _W_SEG_A, _W_SEG_D)
+            + w("ag_band", _W_BAND_A, _W_BAND_D)
+            + w("ag_neg", _W_SIGN_A, _W_SIGN_D)
+        )
+        >= 0,
+    )
+    cnt_if = lambda cond: F.sum(F.when(cond, F.col("cnt")).otherwise(0)).cast("long")  # noqa: E731
+    milli = lambda num, den: F.expr(f"1000 * {num} DIV nullif({den}, 0)")  # noqa: E731
+
+    def refit(df: DataFrame, cls: str, mp: str, up: str) -> DataFrame:
+        """1-row m/u refit from decision column ``cls`` (the M-step)."""
+        d = F.col(cls)
+        return df.agg(
+            cnt_if(d).alias("nm"),
+            cnt_if(~d).alias("nu"),
+            *[cnt_if(d & F.col(f"ag_{f}")).alias(f"am_{f}") for f in ("seg", "band", "neg")],
+            *[cnt_if(~d & F.col(f"ag_{f}")).alias(f"au_{f}") for f in ("seg", "band", "neg")],
+        ).select(
+            *[milli(f"am_{f}", "nm").alias(f"{mp}{f}") for f in ("seg", "band", "neg")],
+            *[milli(f"au_{f}", "nu").alias(f"{up}{f}") for f in ("seg", "band", "neg")],
+        )
+
+    def lr(mp: str, up: str) -> F.Column:
+        term = lambda flag, p: (  # noqa: E731
+            F.when(F.col(flag), F.col(p)).otherwise(F.lit(1000) - F.col(p)).cast("bigint")
+        )
+        return F.coalesce(
+            term("ag_seg", f"{mp}seg") * term("ag_band", f"{mp}band") * term("ag_neg", f"{mp}neg")
+            >= term("ag_seg", f"{up}seg") * term("ag_band", f"{up}band") * term("ag_neg", f"{up}neg"),
+            F.lit(False),
+        )
+
+    fit1 = refit(pairs, "d0", "m1_", "u1_")
+    p1 = pairs.crossJoin(F.broadcast(fit1)).withColumn("d1", lr("m1_", "u1_"))
+    fit2 = refit(p1, "d1", "m2_", "u2_")
+    p2 = p1.crossJoin(F.broadcast(fit2)).withColumn("d2", lr("m2_", "u2_"))
+    delta = lambda f2c, f1c: F.coalesce(F.abs(F.col(f2c) - F.col(f1c)), F.lit(0))  # noqa: E731
+    # Degenerate-fixture discipline: an EMPTY pair set must match the
+    # oracle's count(*)=0 / fit-subquery-delta=0 row, so the two
+    # aggregates that differ structurally cross-engine are coalesced.
+    return p2.agg(
+        F.coalesce(F.sum("cnt").cast("long"), F.lit(0).cast("long")).alias("n_pairs"),
+        cnt_if(F.col("d1") != F.col("d0")).alias("flips_iter1"),
+        cnt_if(F.col("d2") != F.col("d1")).alias("flips_iter2"),
+        (cnt_if(F.col("d2") != F.col("d1")) == 0).alias("converged"),
+        F.coalesce(
+            F.max(
+            F.greatest(
+                delta("m2_seg", "m1_seg"),
+                delta("m2_band", "m1_band"),
+                delta("m2_neg", "m1_neg"),
+                delta("u2_seg", "u1_seg"),
+                delta("u2_band", "u1_band"),
+                delta("u2_neg", "u1_neg"),
+            )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("max_param_delta_milli"),
+    )

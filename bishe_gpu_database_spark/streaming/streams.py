@@ -231,6 +231,7 @@ def aria_foreach_batch(
     ops_stream: DataFrame,
     *,
     reorder: bool = True,
+    state_kwargs: dict | None = None,
 ) -> tuple[StreamingQuery, list]:
     """Drive the Aria engine from a transaction stream: every micro-batch
     of ops is one *batch* in the reference's sense, drained to empty with
@@ -252,7 +253,7 @@ def aria_foreach_batch(
     batch alone — the asymptote continuous ingest into a 100 TB table
     needs. Returned table = base0 ⟕ memtable (lazy; the caller's read
     materializes it once)."""
-    state = StreamDrainState(kv)
+    state = StreamDrainState(kv, **(state_kwargs or {}))
     epochs_log: list = []
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

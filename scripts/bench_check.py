@@ -1,27 +1,36 @@
-"""Round-over-round bench regression gate (r5 verdict item 7).
+"""Round-over-round bench regression gate (r5 verdict item 7; r9: two
+independent lenses, r8 verdict item 8 + ADVICE).
 
 Compares two bench payloads (the lossless ``BENCH_LOCAL*.json`` files
-``bench.py`` writes) on PORTFOLIO-RELATIVE p50: for every query present
-in both rounds, the regression factor is
+``bench.py`` writes) with THREE checks:
 
-    (p50_new / sum_new) / (p50_old / sum_old)
+1. PORTFOLIO-RELATIVE p50 (the r8 primary): for every query present in
+   both rounds, factor = (p50_new / sum_new) / (p50_old / sum_old) with
+   sum = the shared queries' p50 sum in the SAME session. Absolute
+   seconds swing 1.5-2x between sessions on this box (measured
+   noise_probe history, r5 verdict), so both payloads need a
+   same-session denominator; the ~20 s portfolio sum is ~10x more
+   stable than the sub-second q1 anchor r5-r7 used (the q1 denominator
+   produced a wholesale false alarm in r8: q1 swung 0.501 -> 0.342 s,
+   inflating every ratio ~1.46x against a flat 21.18 -> 21.13 s
+   portfolio). Any breach FAILS.
+2. WHOLE-PORTFOLIO drift (ADVICE r8): the portfolio lens is blind to a
+   uniform slowdown by construction, so sum_n/sum_o itself is checked.
+   FAILS only when BOTH payloads are noise_clean (a cold/noisy session
+   legitimately moves the whole sum); otherwise prints a WARN.
+3. ABSOLUTE per-query p50 (r8 verdict item 8, the second lens): factor
+   pn[q]/po[q] printed for every query; breaches FAIL when both
+   payloads are noise_clean, WARN otherwise — two consecutive clean
+   sessions moving one query >threshold is a real regression even when
+   the portfolio stays flat (e.g. a regression concentrated in queries
+   that dominate the sum).
 
-with sum = the sum of the shared queries' p50s in the SAME session.
-Absolute seconds are not comparable across rounds on this box (sessions
-swing 1.5-2x — measured noise_probe history, r5 verdict), so both
-payloads need a same-session denominator. r5-r7 used the q1 anchor; r8
-moved the gate to the portfolio sum after the q1 denominator produced a
-wholesale false alarm: q1's own p50 swung 0.501 -> 0.342 s between the
-r7 and r8 sessions (the documented +/-40% sub-second swing), inflating
-EVERY query's anchor ratio ~1.46x and flagging 8 "regressions" whose
-absolute p50s had moved <= 1.42x with a flat portfolio sum
-(21.18 -> 21.13 s). The ~20 s portfolio denominator is ~10x more stable
-than sub-second q1 — the same lesson that moved the mart_rfm bar to
-portfolio share in r7. Anchor ratios are still printed per query for
-continuity with older artifacts.
+Anchor ratios are still printed per query for continuity with r5-r7
+artifacts (guarded: payloads missing the anchor no longer crash the
+header, ADVICE r8).
 
-Exit status 1 (loud) if any shared query degrades more than THRESHOLD
-(default 1.5, env SPARK_GRAFT_BENCH_THRESHOLD). Usage:
+Exit status 1 (loud) on any FAIL. THRESHOLD default 1.5, env
+SPARK_GRAFT_BENCH_THRESHOLD. Usage:
 
     python scripts/bench_check.py OLD.json NEW.json
 """
@@ -51,43 +60,102 @@ def load(path: str) -> dict:
     return d
 
 
-def main(old_path: str, new_path: str) -> int:
-    old, new = load(old_path), load(new_path)
+def check(old: dict, new: dict, threshold: float = THRESHOLD) -> dict:
+    """Pure gate logic (importable for tests). Returns a report dict:
+    {portfolio_regressions, absolute_regressions, portfolio_drift,
+    both_clean, fail, lines}."""
     po, pn = old["queries_p50"], new["queries_p50"]
     shared = sorted(set(po) & set(pn))
     sum_o = sum(po[q] for q in shared)
     sum_n = sum(pn[q] for q in shared)
     ao = (old.get("anchor") or {}).get("p50_sec") or po.get(ANCHOR)
     an = (new.get("anchor") or {}).get("p50_sec") or pn.get(ANCHOR)
-    regressions = []
-    print(
-        f"# {len(shared)} shared queries, threshold {THRESHOLD}x "
-        f"(portfolio sums {sum_o:.2f}s -> {sum_n:.2f}s; q1 anchor "
-        f"{ao:.3f}s -> {an:.3f}s shown per query for continuity)"
+    both_clean = bool(old.get("noise_clean")) and bool(new.get("noise_clean"))
+    lines = []
+    anchor_seg = (
+        f"; q1 anchor {ao:.3f}s -> {an:.3f}s shown per query for continuity"
+        if ao and an
+        else "; anchor absent in >=1 payload (anchor-rel column omitted)"
     )
+    lines.append(
+        f"# {len(shared)} shared queries, threshold {threshold}x "
+        f"(portfolio sums {sum_o:.2f}s -> {sum_n:.2f}s"
+        f"{anchor_seg}; both_noise_clean={both_clean})"
+    )
+    portfolio_regs, absolute_regs = [], []
     for q in shared:
         share_o, share_n = po[q] / sum_o, pn[q] / sum_n
         factor = share_n / share_o if share_o else float("inf")
+        abs_factor = pn[q] / po[q] if po[q] else float("inf")
         anchor_note = (
             f"  (anchor-rel {((pn[q] / an) / (po[q] / ao)):5.2f})"
             if ao and an
             else ""
         )
-        mark = " <-- REGRESSION" if factor > THRESHOLD else ""
-        print(
+        marks = []
+        if factor > threshold:
+            portfolio_regs.append((q, round(factor, 3)))
+            marks.append("PORTFOLIO-REGRESSION")
+        if abs_factor > threshold:
+            absolute_regs.append((q, round(abs_factor, 3)))
+            marks.append("ABS-REGRESSION" if both_clean else "abs-warn")
+        mark = (" <-- " + ",".join(marks)) if marks else ""
+        lines.append(
             f"{q:40s} old {share_o:7.4f}  new {share_n:7.4f}  "
-            f"factor {factor:5.2f}{anchor_note}{mark}"
+            f"factor {factor:5.2f}  abs {abs_factor:5.2f}{anchor_note}{mark}"
         )
-        if factor > THRESHOLD:
-            regressions.append((q, round(factor, 3)))
-    if regressions:
-        print(
-            f"\nFAIL: {len(regressions)} portfolio-relative regressions "
-            f"> {THRESHOLD}x: {regressions}"
+    drift = sum_n / sum_o if sum_o else float("inf")
+    drift_breach = drift > threshold
+    fail = bool(portfolio_regs)
+    if drift_breach:
+        if both_clean:
+            lines.append(
+                f"\nFAIL: whole-portfolio drift {drift:.2f}x > {threshold}x "
+                "with both payloads noise_clean (uniform slowdown the "
+                "per-query portfolio lens cannot see)"
+            )
+            fail = True
+        else:
+            lines.append(
+                f"\nWARN: whole-portfolio drift {drift:.2f}x > {threshold}x "
+                "but >=1 payload is NOT noise_clean — session noise, "
+                "re-run before trusting"
+            )
+    if portfolio_regs:
+        lines.append(
+            f"\nFAIL: {len(portfolio_regs)} portfolio-relative regressions "
+            f"> {threshold}x: {portfolio_regs}"
         )
-        return 1
-    print("\nOK: no portfolio-relative regression above threshold")
-    return 0
+    if absolute_regs:
+        if both_clean:
+            lines.append(
+                f"\nFAIL: {len(absolute_regs)} ABSOLUTE p50 regressions "
+                f"> {threshold}x across two noise-clean sessions: "
+                f"{absolute_regs}"
+            )
+            fail = True
+        else:
+            lines.append(
+                f"\nWARN: {len(absolute_regs)} absolute p50 moves > "
+                f"{threshold}x but >=1 payload is NOT noise_clean — "
+                f"informational only: {absolute_regs}"
+            )
+    if not fail:
+        lines.append("\nOK: no regression above threshold on any active lens")
+    return {
+        "portfolio_regressions": portfolio_regs,
+        "absolute_regressions": absolute_regs,
+        "portfolio_drift": round(drift, 4),
+        "both_clean": both_clean,
+        "fail": fail,
+        "lines": lines,
+    }
+
+
+def main(old_path: str, new_path: str) -> int:
+    report = check(load(old_path), load(new_path))
+    print("\n".join(report["lines"]))
+    return 1 if report["fail"] else 0
 
 
 if __name__ == "__main__":

@@ -1,11 +1,24 @@
 """r8 (r7 verdict item 4): memory-pressure/spill evidence for the 100 TB
 story. Runs the 5 heaviest headline queries at sf0.1 in a deliberately
-CONSTRAINED session — driver memory halved (8g -> 4g), 4 cores instead
-of 32 — and records completion, wall time, and the engine's own
-spill/shuffle counters from the AppStatusStore. The scale argument so
-far is plan shape + wall clock; this pins the remaining axis: when the
-working set no longer fits comfortably, the plans degrade to spill, not
-to OOM or a driver-side collect failure.
+CONSTRAINED session — driver memory cut to 1500m (r9; 4g in r8 left the
+heap so comfortable every spill counter read zero and the probe proved
+only completion), 4 cores instead of 32 — and records completion, wall
+time, and the engine's own spill/shuffle counters from the
+AppStatusStore. The scale argument so far is plan shape + wall clock;
+this pins the remaining axis: when the working set no longer fits
+comfortably, the plans degrade to spill, not to OOM or a driver-side
+collect failure.
+
+r9 (r8 verdict item 6) additionally runs a PRESSURE probe engineered to
+exceed task memory on purpose: a full-width total sort of lineitem
+shuffled into 2 partitions (~half the table per sort task — hundreds of
+MB against the ~1500m heap's ~350MB unified pool shared by 4 tasks),
+so the ExternalSorter MUST spill to finish. A nonzero spill counter
+there is the spill-instead-of-OOM proof; the 5 headline heavies keep
+their production shuffle width, so their counters document whether
+REAL plans bind at this heap (their per-task working sets are
+AQE-coalesced aggregates — bounded by design, see the per-query note
+stamped into the JSON).
 
 Runs in its OWN process (driver memory is a JVM launch option, not a
 runtime conf); scale_probe_sf1.py invokes it via subprocess and merges
@@ -70,9 +83,24 @@ def _spill_totals(spark) -> dict:
         return {"error": str(e)[:120]}
 
 
+def _pressure_sort(spark, sf_dir: str):
+    """Deliberate over-capacity sort: full-width lineitem, total order,
+    2 shuffle partitions — each sort task owns ~half the table, far
+    above its unified-memory share, so finishing REQUIRES spilling."""
+    import glob
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    if not (os.path.exists(path) or glob.glob(path + "*")):
+        raise FileNotFoundError(path)
+    li = spark.read.parquet(path)
+    return li.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+
+
 def main() -> None:
     os.environ["SPARK_GRAFT_CPUS"] = "4"
-    os.environ["SPARK_GRAFT_DRIVER_MEM"] = "4g"
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = os.environ.get(
+        "SPARK_GRAFT_CONSTRAINED_MEM", "1500m"
+    )
     from bishe_gpu_database_spark.registry import REGISTRY, _ensure_loaded
     from bishe_gpu_database_spark.session import get_spark
 
@@ -80,8 +108,23 @@ def main() -> None:
     spark = get_spark("constrained_probe")
     spark.range(1).count()
     out: dict = {
-        "session": {"cores": 4, "driver_memory": "4g", "sf_dir": SF_DIR},
+        "session": {
+            "cores": 4,
+            "driver_memory": os.environ["SPARK_GRAFT_DRIVER_MEM"],
+            "sf_dir": SF_DIR,
+        },
         "queries": {},
+        # r8 verdict item 6: the headline heavies' per-task working sets
+        # are post-aggregate / AQE-coalesced partitions sized well under
+        # the pool even at this heap — zero spill there is a BOUND, not
+        # missing pressure. sort_pressure below is the probe built to
+        # exceed the pool and prove spill-instead-of-OOM.
+        "zero_spill_note": (
+            "heavies aggregate/prune before any wide exchange; their "
+            "per-task state is bounded by group cardinality, so they may "
+            "legitimately record 0 spill — sort_pressure is the binding "
+            "probe"
+        ),
     }
     print(f"# constrained probe over {SF_DIR}", flush=True)
     for name in HEAVY:
@@ -103,7 +146,43 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             out["queries"][name] = {"ok": False, "error": str(e)[:300]}
             print(f"# {name}: FAIL {e}", flush=True)
+    # The engineered spill probe: 2 fat sort partitions, production AQE
+    # left ON (AQE re-splits skew but cannot shrink a 2-partition range
+    # exchange below the data), counters deltaed like the heavies.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        before = _spill_totals(spark)
+        t0 = time.perf_counter()
+        _pressure_sort(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 3)
+        after = _spill_totals(spark)
+        delta = (
+            {
+                k: after[k] - before[k]
+                for k in before
+                if not isinstance(before.get(k), str) and k in after
+            }
+            if "error" not in before and "error" not in after
+            else {}
+        )
+        out["queries"]["sort_pressure"] = {
+            "ok": True,
+            "wall_sec": wall,
+            "engineered": True,
+            **delta,
+        }
+        print(f"# sort_pressure: OK {wall:.3f}s {delta}", flush=True)
+    except Exception as e:  # noqa: BLE001
+        out["queries"]["sort_pressure"] = {"ok": False, "error": str(e)[:300]}
+        print(f"# sort_pressure: FAIL {e}", flush=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out["all_completed"] = all(q.get("ok") for q in out["queries"].values())
+    out["spill_bound"] = any(
+        (q.get("memory_bytes_spilled", 0) or 0) + (q.get("disk_bytes_spilled", 0) or 0) > 0
+        for q in out["queries"].values()
+    )
     print(json.dumps(out))
 
 

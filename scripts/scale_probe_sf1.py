@@ -713,8 +713,16 @@ def main() -> None:
             f"replica {replica_ratio}x)",
             flush=True,
         )
+    # Symmetrized divergence (ADVICE r8): ratios are positive, so abs()
+    # was a no-op and a 0.4 (= 2.5x disagreement in the other direction)
+    # ranked BELOW a 1.3. max(r, 1/r) treats both directions as equally
+    # worth surfacing.
     true_div_worst = max(
-        (abs(r["true_vs_replica"]) for r in true_results.values() if "true_vs_replica" in r),
+        (
+            max(r["true_vs_replica"], 1 / r["true_vs_replica"])
+            for r in true_results.values()
+            if r.get("true_vs_replica")
+        ),
         default=None,
     )
 

@@ -79,7 +79,13 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             "mart_rfm_segments",
             # 1-row watermark-cutoff scalar broadcast onto the emitted
             # window set (post-drain memory-sink read).
-            "stream_runtime_chained"}
+            "stream_runtime_chained",
+            # 1-row refit m/u aggregate broadcast onto the folded
+            # agreement-pattern pairs (linkage.py:553) — the EM M-step's
+            # parameter row, metadata-sized by construction. The
+            # convergence query chains TWO such 1-row refits (both
+            # iterations' parameter rows).
+            "linkage_em_reclassify", "linkage_em_converged"}
 # Iterative drivers plan per-epoch; their inner plans are covered by the
 # single-epoch queries.
 _SKIP = {

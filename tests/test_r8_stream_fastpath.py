@@ -62,7 +62,12 @@ def test_probed_key_cache_and_missing_key_writes(spark):
         else:  # second pass: cache already answers every key
             assert state.known_exist == warm_exist
             assert state.known_missing == warm_missing
-    assert state.known_missing, "fixture should exercise missing keys"
+    # r9: the all-keys-cached path records NO misses (known_missing
+    # would otherwise grow without bound, ADVICE r8) — prove the fixture
+    # exercised absent keys from the op stream itself instead.
+    op_keys = {r["k"] for r in ops.select("k").distinct().collect()}
+    assert op_keys - state.known_exist, "fixture should exercise missing keys"
+    assert not state.known_missing
     assert _checksum(state.table()) == _checksum(expect_kv)
     # no key creation: table keys are exactly base0's
     assert state.table().count() == kv.count()
