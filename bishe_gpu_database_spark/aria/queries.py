@@ -382,9 +382,12 @@ def aria_drain_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final_kv
 
 
-@register(
-    "aria_stream_final_state",
-    oracle="""
+# The cross-trigger determinism theorem as SQL (see
+# aria_stream_final_state's docstring). Shared verbatim by the
+# bounded-cache twin below: the final table is a pure function of the
+# workload, INVARIANT to the state's cache/flush internals — which is
+# exactly what gating both queries on the same oracle proves.
+_STREAM_FINAL_STATE_ORACLE = """
     WITH ops AS (
       SELECT (event_id % 50 + 1) AS tid,
              (event_id // 50) AS seq,
@@ -408,8 +411,10 @@ def aria_drain_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT r AS k, substr(md5('base_' || r), 1, 10) AS v
           FROM range(1, 501) t(r)) b
     LEFT JOIN winners w ON b.k = w.k
-    """,
-)
+    """
+
+
+@register("aria_stream_final_state", oracle=_STREAM_FINAL_STATE_ORACLE)
 def aria_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMED drain's cross-trigger carry, hash-gated bit-for-bit
     (r8): the events-derived 50-txn batch splits into 3 micro-batches by
@@ -450,6 +455,58 @@ def aria_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     state = StreamDrainState(base)
+    for b in range(3):
+        stream_drain_step(
+            state, ops.filter(F.expr(f"(tid - 1) DIV 17 = {b}")), reorder=True
+        )
+    return state.table()
+
+
+@register("aria_stream_bounded_cache", oracle=_STREAM_FINAL_STATE_ORACLE)
+def aria_stream_bounded_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME streamed drain workload as ``aria_stream_final_state``,
+    run with every driver-side cache bound set HOSTILE (r9, r8 verdict
+    item 1 follow-through): ``key_cache_bound=0`` forces the broadcast
+    existence-probe path (never the all-keys prefetch — the >1M-key
+    regime's code path), ``max_known=0`` trips the eviction logic on
+    EVERY trigger (the path whose wholesale clear() silently dropped
+    committed updates to previously-cached keys in r8 — reproduced
+    final A1 vs oracle A2), and ``flush_threshold=25`` forces mid-stream
+    memtable folds into the checkpointed base. The oracle is the
+    identical cross-trigger determinism theorem: the final table is a
+    pure function of the workload, so this hash gate pins that cache
+    eviction, existence probing, and flush scheduling are semantically
+    INVISIBLE — the class of gate that would have caught the r8 bug in
+    the driver panel, not just in pytest.
+    Reference semantics at stake: install of committed writes,
+    src/cuda/TrancM_func.cuh:188-198."""
+    from bishe_gpu_database_spark.aria.engine import StreamDrainState, stream_drain_step
+
+    base = spark.range(1, 501).select(
+        F.col("id").alias("k"),
+        F.substring(
+            F.md5(F.concat(F.lit("base_"), F.col("id").cast("string"))), 1, 10
+        ).alias("v"),
+    )
+    ops = _ops_from_events(spark, sf_dir).withColumn(
+        "new_v",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit("w"),
+                    F.col("tid").cast("string"),
+                    F.col("seq").cast("string"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+    )
+    state = StreamDrainState(
+        base, key_cache_bound=0, max_known=0, flush_threshold=25
+    )
     for b in range(3):
         stream_drain_step(
             state, ops.filter(F.expr(f"(tid - 1) DIV 17 = {b}")), reorder=True
