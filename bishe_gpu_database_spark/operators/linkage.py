@@ -39,6 +39,119 @@ _W_SEG_A, _W_SEG_D = 2170, -3000      # m=0.9,  u=0.2
 _W_BAND_A, _W_BAND_D = 3000, -2170    # m=0.8,  u=0.1
 _W_SIGN_A, _W_SIGN_D = 926, -3322     # m=0.95, u=0.5
 
+_FIELDS = ("seg", "band", "neg")
+
+
+def _w(flag: str, wa: int, wd: int) -> F.Column:
+    """Milli-bit field weight: agreement weight when the (nullable) flag
+    is true, disagreement otherwise — NULL routes to disagreement."""
+    return F.when(F.col(flag), F.lit(wa)).otherwise(F.lit(wd))
+
+
+def _folded_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    with_nation: bool = False,
+    decision_col: str | None = None,
+) -> DataFrame:
+    """The agreement-pattern FOLD shared by all four linkage queries
+    (single source of truth — r9 review: the fold/pair construction had
+    drifted into three verbatim copies). Customers collapse per nation
+    to (profile, n) rows (≤ |seg|·|band|·|sign| ≈ 120, constant as
+    records grow); distinct profile pairs carry multiplicity n_a·n_b and
+    same-profile pairs C(n, 2), so the quadratic step runs over profile
+    pairs — O(N) fold + O(profiles²) per block, never a record-pair
+    join. NULL discipline: profiles pair via a sentinel pid (a NULL
+    field still forms pairs) while the agreement FLAGS compare raw
+    fields — NULL agrees with nothing, including NULL, and the diagonal
+    self-compares each profile so a NULL field takes the disagreement
+    path there too. Returns [nation?, ag_seg, ag_band, ag_neg,
+    cnt (+ ``decision_col``: initial-milli-bit-weight score ≥ 0 — the
+    match ∪ possible side of the lattice, CEM's hard assignment)]."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000").alias("band"),
+        (F.col("c_acctbal") < 0).alias("neg"),
+    )
+    pid = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(f).cast("string"), F.lit("\x00NULL"))
+            for f in _FIELDS
+        ],
+    )
+    prof = (
+        c.groupBy("nation", *_FIELDS)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("pid", pid)
+    )
+    a, b = prof.alias("a"), prof.alias("b")
+    nation_sel = [F.col("a.nation").alias("nation")] if with_nation else []
+    cross = a.join(
+        b, (F.col("a.nation") == F.col("b.nation")) & (F.col("a.pid") < F.col("b.pid"))
+    ).select(
+        *nation_sel,
+        *[(F.col(f"a.{f}") == F.col(f"b.{f}")).alias(f"ag_{f}") for f in _FIELDS],
+        (F.col("a.n") * F.col("b.n")).cast("long").alias("cnt"),
+    )
+    diag = prof.filter(F.col("n") >= 2).select(
+        *(["nation"] if with_nation else []),
+        *[(F.col(f) == F.col(f)).alias(f"ag_{f}") for f in _FIELDS],
+        F.expr("CAST(n * (n - 1) DIV 2 AS LONG)").alias("cnt"),
+    )
+    pairs = cross.unionByName(diag)
+    if decision_col:
+        pairs = pairs.withColumn(
+            decision_col,
+            (
+                _w("ag_seg", _W_SEG_A, _W_SEG_D)
+                + _w("ag_band", _W_BAND_A, _W_BAND_D)
+                + _w("ag_neg", _W_SIGN_A, _W_SIGN_D)
+            )
+            >= 0,
+        )
+    return pairs
+
+
+def _cnt_if(cond: F.Column) -> F.Column:
+    """Multiplicity-weighted conditional count over folded pairs."""
+    return F.sum(F.when(cond, F.col("cnt")).otherwise(0)).cast("long")
+
+
+def _refit_milli(df: DataFrame, cls: str, mp: str, up: str) -> DataFrame:
+    """The EM M-step as ONE 1-row aggregate: per field f, m_f =
+    P(agree | ``cls``) and u_f = P(agree | NOT ``cls``) as integer
+    milli-ratios (1000·num DIV den, nullif so an empty decision class
+    yields NULL — not an ANSI division error — in both engines)."""
+    d = F.col(cls)
+    milli = lambda num, den: F.expr(f"1000 * {num} DIV nullif({den}, 0)")  # noqa: E731
+    return df.agg(
+        _cnt_if(d).alias("nm"),
+        _cnt_if(~d).alias("nu"),
+        *[_cnt_if(d & F.col(f"ag_{f}")).alias(f"am_{f}") for f in _FIELDS],
+        *[_cnt_if(~d & F.col(f"ag_{f}")).alias(f"au_{f}") for f in _FIELDS],
+    ).select(
+        *[milli(f"am_{f}", "nm").alias(f"{mp}{f}") for f in _FIELDS],
+        *[milli(f"au_{f}", "nu").alias(f"{up}{f}") for f in _FIELDS],
+    )
+
+
+def _lr_test(mp: str, up: str) -> F.Column:
+    """Exact likelihood-ratio match test on milli-quantized parameters:
+    Π_f (a_f ? m_f : 1000−m_f) ≥ Π_f (a_f ? u_f : 1000−u_f) — every
+    product a bounded BIGINT (≤ 1000³). NULL parameters (degenerate
+    one-class fixture) make the comparison NULL; callers route that to
+    'nonmatch' / false."""
+    term = lambda flag, pcol: (  # noqa: E731
+        F.when(F.col(flag), F.col(pcol)).otherwise(F.lit(1000) - F.col(pcol)).cast("bigint")
+    )
+    m = term("ag_seg", f"{mp}seg") * term("ag_band", f"{mp}band") * term("ag_neg", f"{mp}neg")
+    u = term("ag_seg", f"{up}seg") * term("ag_band", f"{up}band") * term("ag_neg", f"{up}neg")
+    return m >= u
+
+
 
 @register(
     "dedup_sorted_neighborhood",
@@ -194,57 +307,12 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer unchanged; m/u are fixed survey parameters; EM re-estimation
     alternates this same scoring pass with a weight refit on the
     decision counts."""
-    c = t(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nation"),
-        F.col("c_mktsegment").alias("seg"),
-        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000").alias("band"),
-        (F.col("c_acctbal") < 0).alias("neg"),
-    )
-    pid = F.concat_ws(
-        "\x1f",
-        *[
-            F.coalesce(F.col(f).cast("string"), F.lit("\x00NULL"))
-            for f in ("seg", "band", "neg")
-        ],
-    )
-    prof = (
-        c.groupBy("nation", "seg", "band", "neg")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("pid", pid)
-    )
-    a, b = prof.alias("a"), prof.alias("b")
-    fld = lambda col, wa, wd: (  # noqa: E731
-        F.when(F.col(f"a.{col}") == F.col(f"b.{col}"), F.lit(wa)).otherwise(F.lit(wd))
-    )
+    pairs = _folded_pairs(spark, sf_dir, with_nation=True)
     score = (
-        fld("seg", _W_SEG_A, _W_SEG_D)
-        + fld("band", _W_BAND_A, _W_BAND_D)
-        + fld("neg", _W_SIGN_A, _W_SIGN_D)
-    )
-    cross = a.join(
-        b, (F.col("a.nation") == F.col("b.nation")) & (F.col("a.pid") < F.col("b.pid"))
-    ).select(
-        F.col("a.nation").alias("nation"),
-        score.alias("score"),
-        (F.col("a.n") * F.col("b.n")).cast("long").alias("cnt"),
-    )
-    # Same-profile pairs: C(n, 2) of them, scored by comparing the profile
-    # to ITSELF — no join, a per-row self-comparison (a NULL field
-    # disagrees even with an identical NULL, matching the record-pair
-    # semantics above).
-    self_fld = lambda col, wa, wd: (  # noqa: E731
-        F.when(F.col(col) == F.col(col), F.lit(wa)).otherwise(F.lit(wd))
-    )
-    self_score = (
-        self_fld("seg", _W_SEG_A, _W_SEG_D)
-        + self_fld("band", _W_BAND_A, _W_BAND_D)
-        + self_fld("neg", _W_SIGN_A, _W_SIGN_D)
-    )
-    diag = prof.filter(F.col("n") >= 2).select(
-        "nation",
-        self_score.alias("score"),
-        F.expr("CAST(n * (n - 1) DIV 2 AS LONG)").alias("cnt"),
-    )
+        _w("ag_seg", _W_SEG_A, _W_SEG_D)
+        + _w("ag_band", _W_BAND_A, _W_BAND_D)
+        + _w("ag_neg", _W_SIGN_A, _W_SIGN_D)
+    ).alias("score")
     decision = (
         F.when(F.col("score") >= 3000, "match")
         .when(F.col("score") >= 0, "possible")
@@ -252,7 +320,7 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("decision")
     )
     return (
-        cross.unionByName(diag)
+        pairs.select("nation", score, "cnt")
         .select("nation", "score", decision, "cnt")
         .groupBy("nation", "decision")
         .agg(
@@ -330,66 +398,19 @@ def linkage_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     via sentinel pid, agreement compares raw fields (NULL agrees with
     nothing, including NULL), and the diagonal self-compares each
     profile so a NULL field still takes the disagreement path."""
-    c = t(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nation"),
-        F.col("c_mktsegment").alias("seg"),
-        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000").alias("band"),
-        (F.col("c_acctbal") < 0).alias("neg"),
-    )
-    pid = F.concat_ws(
-        "\x1f",
-        *[
-            F.coalesce(F.col(f).cast("string"), F.lit("\x00NULL"))
-            for f in ("seg", "band", "neg")
-        ],
-    )
-    prof = (
-        c.groupBy("nation", "seg", "band", "neg")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("pid", pid)
-    )
-    a, b = prof.alias("a"), prof.alias("b")
-    ag = lambda col: (F.col(f"a.{col}") == F.col(f"b.{col}"))  # noqa: E731
-    cross = a.join(
-        b, (F.col("a.nation") == F.col("b.nation")) & (F.col("a.pid") < F.col("b.pid"))
-    ).select(
-        ag("seg").alias("ag_seg"),
-        ag("band").alias("ag_band"),
-        ag("neg").alias("ag_neg"),
-        (F.col("a.n") * F.col("b.n")).cast("long").alias("cnt"),
-    )
-    self_ag = lambda col: (F.col(col) == F.col(col))  # noqa: E731
-    diag = prof.filter(F.col("n") >= 2).select(
-        self_ag("seg").alias("ag_seg"),
-        self_ag("band").alias("ag_band"),
-        self_ag("neg").alias("ag_neg"),
-        F.expr("CAST(n * (n - 1) DIV 2 AS LONG)").alias("cnt"),
-    )
-    w = lambda flag, wa, wd: (  # noqa: E731
-        F.when(F.col(flag), F.lit(wa)).otherwise(F.lit(wd))
-    )
-    pairs = cross.unionByName(diag).withColumn(
-        "is_match",
-        (
-            w("ag_seg", _W_SEG_A, _W_SEG_D)
-            + w("ag_band", _W_BAND_A, _W_BAND_D)
-            + w("ag_neg", _W_SIGN_A, _W_SIGN_D)
-        )
-        >= 0,
-    )
+    pairs = _folded_pairs(spark, sf_dir, decision_col="is_match")
     unpivoted = pairs.select(
         "is_match",
         "cnt",
         F.expr("stack(3, 'seg', ag_seg, 'band', ag_band, 'neg', ag_neg) AS (field, agree)"),
     )
-    cnt_if = lambda cond: F.sum(F.when(cond, F.col("cnt")).otherwise(0)).cast("long")  # noqa: E731
     return (
         unpivoted.groupBy("field")
         .agg(
-            cnt_if(F.col("is_match")).alias("n_match"),
-            cnt_if(F.col("is_match") & F.col("agree")).alias("n_match_agree"),
-            cnt_if(~F.col("is_match")).alias("n_nonmatch"),
-            cnt_if(~F.col("is_match") & F.col("agree")).alias("n_nonmatch_agree"),
+            _cnt_if(F.col("is_match")).alias("n_match"),
+            _cnt_if(F.col("is_match") & F.col("agree")).alias("n_match_agree"),
+            _cnt_if(~F.col("is_match")).alias("n_nonmatch"),
+            _cnt_if(~F.col("is_match") & F.col("agree")).alias("n_nonmatch_agree"),
         )
         .select(
             "field",
@@ -476,83 +497,14 @@ def linkage_em_reclassify(spark: SparkSession, sf_dir: str) -> DataFrame:
     refit is a 1-row aggregate broadcast back onto the folded pairs, so
     a full EM loop costs one fold + one metadata-sized reclassification
     per iteration, never a record-pair join."""
-    c = t(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nation"),
-        F.col("c_mktsegment").alias("seg"),
-        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000").alias("band"),
-        (F.col("c_acctbal") < 0).alias("neg"),
-    )
-    pid = F.concat_ws(
-        "\x1f",
-        *[
-            F.coalesce(F.col(f).cast("string"), F.lit("\x00NULL"))
-            for f in ("seg", "band", "neg")
-        ],
-    )
-    prof = (
-        c.groupBy("nation", "seg", "band", "neg")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("pid", pid)
-    )
-    a, b = prof.alias("a"), prof.alias("b")
-    ag = lambda col: (F.col(f"a.{col}") == F.col(f"b.{col}"))  # noqa: E731
-    cross = a.join(
-        b, (F.col("a.nation") == F.col("b.nation")) & (F.col("a.pid") < F.col("b.pid"))
-    ).select(
-        F.col("a.nation").alias("nation"),
-        ag("seg").alias("ag_seg"),
-        ag("band").alias("ag_band"),
-        ag("neg").alias("ag_neg"),
-        (F.col("a.n") * F.col("b.n")).cast("long").alias("cnt"),
-    )
-    self_ag = lambda col: (F.col(col) == F.col(col))  # noqa: E731
-    diag = prof.filter(F.col("n") >= 2).select(
-        "nation",
-        self_ag("seg").alias("ag_seg"),
-        self_ag("band").alias("ag_band"),
-        self_ag("neg").alias("ag_neg"),
-        F.expr("CAST(n * (n - 1) DIV 2 AS LONG)").alias("cnt"),
-    )
-    w = lambda flag, wa, wd: (  # noqa: E731
-        F.when(F.col(flag), F.lit(wa)).otherwise(F.lit(wd))
-    )
-    pairs = cross.unionByName(diag).withColumn(
-        "is_match",
-        (
-            w("ag_seg", _W_SEG_A, _W_SEG_D)
-            + w("ag_band", _W_BAND_A, _W_BAND_D)
-            + w("ag_neg", _W_SIGN_A, _W_SIGN_D)
-        )
-        >= 0,
-    )
-    cnt_if = lambda cond: F.sum(F.when(cond, F.col("cnt")).otherwise(0)).cast("long")  # noqa: E731
-    milli = lambda num, den: F.expr(f"1000 * {num} DIV nullif({den}, 0)")  # noqa: E731
-    fit = pairs.agg(
-        cnt_if(F.col("is_match")).alias("nm"),
-        cnt_if(~F.col("is_match")).alias("nu"),
-        *[
-            cnt_if(F.col("is_match") & F.col(f"ag_{f}")).alias(f"am_{f}")
-            for f in ("seg", "band", "neg")
-        ],
-        *[
-            cnt_if(~F.col("is_match") & F.col(f"ag_{f}")).alias(f"au_{f}")
-            for f in ("seg", "band", "neg")
-        ],
-    ).select(
-        *[milli(f"am_{f}", "nm").alias(f"m_{f}") for f in ("seg", "band", "neg")],
-        *[milli(f"au_{f}", "nu").alias(f"u_{f}") for f in ("seg", "band", "neg")],
-    )
-    term = lambda flag, p: (  # noqa: E731
-        F.when(F.col(flag), F.col(p)).otherwise(F.lit(1000) - F.col(p)).cast("bigint")
-    )
-    lr_match = (
-        term("ag_seg", "m_seg") * term("ag_band", "m_band") * term("ag_neg", "m_neg")
-        >= term("ag_seg", "u_seg") * term("ag_band", "u_band") * term("ag_neg", "u_neg")
-    )
+    pairs = _folded_pairs(spark, sf_dir, with_nation=True, decision_col="is_match")
+    fit = _refit_milli(pairs, "is_match", "m_", "u_")
     return (
         pairs.crossJoin(F.broadcast(fit))
         .withColumn(
-            "decision", F.when(lr_match, "match").otherwise("nonmatch")
+            # NULL LR comparison (degenerate one-class fixture) routes to
+            # 'nonmatch' in both engines.
+            "decision", F.when(_lr_test("m_", "u_"), "match").otherwise("nonmatch")
         )
         .groupBy("nation", "decision")
         .agg(F.sum("cnt").cast("long").alias("n_pairs"))
@@ -653,102 +605,34 @@ def linkage_em_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     all (GPU KV store, src/cuda/hashTable.cuh); this is driver-mandated
     LLM-pipeline breadth (Fellegi–Sunter 1969 / CEM, public
     formulations)."""
-    c = t(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nation"),
-        F.col("c_mktsegment").alias("seg"),
-        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000").alias("band"),
-        (F.col("c_acctbal") < 0).alias("neg"),
+    pairs = _folded_pairs(spark, sf_dir, decision_col="d0")
+    fit1 = _refit_milli(pairs, "d0", "m1_", "u1_")
+    p1 = pairs.crossJoin(F.broadcast(fit1)).withColumn(
+        "d1", F.coalesce(_lr_test("m1_", "u1_"), F.lit(False))
     )
-    pid = F.concat_ws(
-        "\x1f",
-        *[
-            F.coalesce(F.col(f).cast("string"), F.lit("\x00NULL"))
-            for f in ("seg", "band", "neg")
-        ],
+    fit2 = _refit_milli(p1, "d1", "m2_", "u2_")
+    p2 = p1.crossJoin(F.broadcast(fit2)).withColumn(
+        "d2", F.coalesce(_lr_test("m2_", "u2_"), F.lit(False))
     )
-    prof = (
-        c.groupBy("nation", "seg", "band", "neg")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("pid", pid)
-    )
-    a, b = prof.alias("a"), prof.alias("b")
-    ag = lambda col: (F.col(f"a.{col}") == F.col(f"b.{col}"))  # noqa: E731
-    cross = a.join(
-        b, (F.col("a.nation") == F.col("b.nation")) & (F.col("a.pid") < F.col("b.pid"))
-    ).select(
-        ag("seg").alias("ag_seg"),
-        ag("band").alias("ag_band"),
-        ag("neg").alias("ag_neg"),
-        (F.col("a.n") * F.col("b.n")).cast("long").alias("cnt"),
-    )
-    self_ag = lambda col: (F.col(col) == F.col(col))  # noqa: E731
-    diag = prof.filter(F.col("n") >= 2).select(
-        self_ag("seg").alias("ag_seg"),
-        self_ag("band").alias("ag_band"),
-        self_ag("neg").alias("ag_neg"),
-        F.expr("CAST(n * (n - 1) DIV 2 AS LONG)").alias("cnt"),
-    )
-    w = lambda flag, wa, wd: (  # noqa: E731
-        F.when(F.col(flag), F.lit(wa)).otherwise(F.lit(wd))
-    )
-    pairs = cross.unionByName(diag).withColumn(
-        "d0",
-        (
-            w("ag_seg", _W_SEG_A, _W_SEG_D)
-            + w("ag_band", _W_BAND_A, _W_BAND_D)
-            + w("ag_neg", _W_SIGN_A, _W_SIGN_D)
-        )
-        >= 0,
-    )
-    cnt_if = lambda cond: F.sum(F.when(cond, F.col("cnt")).otherwise(0)).cast("long")  # noqa: E731
-    milli = lambda num, den: F.expr(f"1000 * {num} DIV nullif({den}, 0)")  # noqa: E731
-
-    def refit(df: DataFrame, cls: str, mp: str, up: str) -> DataFrame:
-        """1-row m/u refit from decision column ``cls`` (the M-step)."""
-        d = F.col(cls)
-        return df.agg(
-            cnt_if(d).alias("nm"),
-            cnt_if(~d).alias("nu"),
-            *[cnt_if(d & F.col(f"ag_{f}")).alias(f"am_{f}") for f in ("seg", "band", "neg")],
-            *[cnt_if(~d & F.col(f"ag_{f}")).alias(f"au_{f}") for f in ("seg", "band", "neg")],
-        ).select(
-            *[milli(f"am_{f}", "nm").alias(f"{mp}{f}") for f in ("seg", "band", "neg")],
-            *[milli(f"au_{f}", "nu").alias(f"{up}{f}") for f in ("seg", "band", "neg")],
-        )
-
-    def lr(mp: str, up: str) -> F.Column:
-        term = lambda flag, p: (  # noqa: E731
-            F.when(F.col(flag), F.col(p)).otherwise(F.lit(1000) - F.col(p)).cast("bigint")
-        )
-        return F.coalesce(
-            term("ag_seg", f"{mp}seg") * term("ag_band", f"{mp}band") * term("ag_neg", f"{mp}neg")
-            >= term("ag_seg", f"{up}seg") * term("ag_band", f"{up}band") * term("ag_neg", f"{up}neg"),
-            F.lit(False),
-        )
-
-    fit1 = refit(pairs, "d0", "m1_", "u1_")
-    p1 = pairs.crossJoin(F.broadcast(fit1)).withColumn("d1", lr("m1_", "u1_"))
-    fit2 = refit(p1, "d1", "m2_", "u2_")
-    p2 = p1.crossJoin(F.broadcast(fit2)).withColumn("d2", lr("m2_", "u2_"))
     delta = lambda f2c, f1c: F.coalesce(F.abs(F.col(f2c) - F.col(f1c)), F.lit(0))  # noqa: E731
     # Degenerate-fixture discipline: an EMPTY pair set must match the
     # oracle's count(*)=0 / fit-subquery-delta=0 row, so the two
     # aggregates that differ structurally cross-engine are coalesced.
     return p2.agg(
         F.coalesce(F.sum("cnt").cast("long"), F.lit(0).cast("long")).alias("n_pairs"),
-        cnt_if(F.col("d1") != F.col("d0")).alias("flips_iter1"),
-        cnt_if(F.col("d2") != F.col("d1")).alias("flips_iter2"),
-        (cnt_if(F.col("d2") != F.col("d1")) == 0).alias("converged"),
+        _cnt_if(F.col("d1") != F.col("d0")).alias("flips_iter1"),
+        _cnt_if(F.col("d2") != F.col("d1")).alias("flips_iter2"),
+        (_cnt_if(F.col("d2") != F.col("d1")) == 0).alias("converged"),
         F.coalesce(
             F.max(
-            F.greatest(
-                delta("m2_seg", "m1_seg"),
-                delta("m2_band", "m1_band"),
-                delta("m2_neg", "m1_neg"),
-                delta("u2_seg", "u1_seg"),
-                delta("u2_band", "u1_band"),
-                delta("u2_neg", "u1_neg"),
-            )
+                F.greatest(
+                    delta("m2_seg", "m1_seg"),
+                    delta("m2_band", "m1_band"),
+                    delta("m2_neg", "m1_neg"),
+                    delta("u2_seg", "u1_seg"),
+                    delta("u2_band", "u1_band"),
+                    delta("u2_neg", "u1_neg"),
+                )
             ),
             F.lit(0).cast("long"),
         ).alias("max_param_delta_milli"),

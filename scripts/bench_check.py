@@ -89,7 +89,7 @@ def check(old: dict, new: dict, threshold: float = THRESHOLD) -> dict:
         abs_factor = pn[q] / po[q] if po[q] else float("inf")
         anchor_note = (
             f"  (anchor-rel {((pn[q] / an) / (po[q] / ao)):5.2f})"
-            if ao and an
+            if ao and an and po[q]
             else ""
         )
         marks = []

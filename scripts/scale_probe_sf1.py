@@ -715,16 +715,18 @@ def main() -> None:
         )
     # Symmetrized divergence (ADVICE r8): ratios are positive, so abs()
     # was a no-op and a 0.4 (= 2.5x disagreement in the other direction)
-    # ranked BELOW a 1.3. max(r, 1/r) treats both directions as equally
-    # worth surfacing.
-    true_div_worst = max(
-        (
-            max(r["true_vs_replica"], 1 / r["true_vs_replica"])
-            for r in true_results.values()
-            if r.get("true_vs_replica")
-        ),
-        default=None,
-    )
+    # ranked BELOW a 1.3. max(a/b, b/a) treats both directions as
+    # equally worth surfacing. Computed from the UNROUNDED ratio pair —
+    # the rounded true_vs_replica field can quantize an extreme
+    # divergence to 0.0, which a truthiness filter would silently drop
+    # (the exact case the symmetrization exists to surface).
+    _divs = [
+        max(r["ratio_10x_true"] / r["ratio_10x_replica"],
+            r["ratio_10x_replica"] / r["ratio_10x_true"])
+        for r in true_results.values()
+        if r.get("ratio_10x_true") and r.get("ratio_10x_replica")
+    ]
+    true_div_worst = round(max(_divs), 2) if _divs else None
 
     # CONSTRAINED session (r8): own process — driver memory is a JVM
     # launch option. Completion + spill counters for the 5 heaviest.
