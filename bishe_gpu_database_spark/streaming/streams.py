@@ -232,7 +232,7 @@ def aria_foreach_batch(
     *,
     reorder: bool = True,
     state_kwargs: dict | None = None,
-) -> tuple[StreamingQuery, list]:
+) -> tuple[DataFrame, list]:
     """Drive the Aria engine from a transaction stream: every micro-batch
     of ops is one *batch* in the reference's sense, drained to empty with
     the same Execute→Commit→Install→Collect semantics before the next

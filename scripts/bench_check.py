@@ -2,7 +2,7 @@
 independent lenses, r8 verdict item 8 + ADVICE).
 
 Compares two bench payloads (the lossless ``BENCH_LOCAL*.json`` files
-``bench.py`` writes) with THREE checks:
+``bench.py`` writes) with FOUR checks:
 
 1. PORTFOLIO-RELATIVE p50 (the r8 primary): for every query present in
    both rounds, factor = (p50_new / sum_new) / (p50_old / sum_old) with
@@ -24,6 +24,11 @@ Compares two bench payloads (the lossless ``BENCH_LOCAL*.json`` files
    sessions moving one query >threshold is a real regression even when
    the portfolio stays flat (e.g. a regression concentrated in queries
    that dominate the sum).
+4. ARIA THROUGHPUT (r9 verdict item 2): every txn/s headline in the
+   payloads' aria section (drain150, batch200, contended, multibatch,
+   sustained, probe_path, flush_path), slowdown = old/new; breaches
+   FAIL when both payloads are noise_clean, WARN otherwise — these
+   moved -15..-40% clean-to-clean in r9 with no lens watching.
 
 Anchor ratios are still printed per query for continuity with r5-r7
 artifacts (guarded: payloads missing the anchor no longer crash the
@@ -43,6 +48,31 @@ import sys
 
 THRESHOLD = float(os.environ.get("SPARK_GRAFT_BENCH_THRESHOLD", "1.5"))
 ANCHOR = "q1_pricing_summary"
+
+# The Aria throughput axis (r9 verdict item 2): every txn/s headline the
+# bench payload carries, flattened to {tag: txn_per_sec}. These moved
+# -15..-40% clean-to-clean in r9 with no lens watching.
+_ARIA_TXN_KEYS = (
+    ("batch200", "batch200"),
+    ("batch200_contended", "contended"),
+    ("stream_multibatch", "multibatch"),
+    ("stream_sustained", "sustained"),
+    ("stream_probe_path", "probe_path"),
+    ("stream_flush_path", "flush_path"),
+)
+
+
+def aria_txn(payload: dict) -> dict:
+    """Flatten a lossless bench payload's aria section to {tag: txn/s}."""
+    aria = payload.get("aria") or {}
+    txn = {}
+    if aria.get("txn_per_sec") is not None:
+        txn["drain150"] = aria["txn_per_sec"]
+    for key, tag in _ARIA_TXN_KEYS:
+        v = (aria.get(key) or {}).get("txn_per_sec")
+        if v is not None:
+            txn[tag] = v
+    return txn
 
 
 def load(path: str) -> dict:
@@ -68,6 +98,24 @@ def check(old: dict, new: dict, threshold: float = THRESHOLD) -> dict:
     shared = sorted(set(po) & set(pn))
     sum_o = sum(po[q] for q in shared)
     sum_n = sum(pn[q] for q in shared)
+    if not sum_o or not sum_n:
+        # ADVICE r9: an all-zero / empty shared set raised a bare
+        # ZeroDivisionError; a payload like that is broken input, not a
+        # perf verdict — fail with a readable line instead.
+        return {
+            "portfolio_regressions": [],
+            "absolute_regressions": [],
+            "aria_regressions": [],
+            "portfolio_drift": float("inf"),
+            "both_clean": False,
+            "fail": True,
+            "lines": [
+                f"FAIL: degenerate payload — shared-query p50 sums are "
+                f"{sum_o:.3f}s (old) / {sum_n:.3f}s (new) over "
+                f"{len(shared)} shared queries; a zero portfolio sum "
+                "means the payload measured nothing (drift treated as inf)"
+            ],
+        }
     ao = (old.get("anchor") or {}).get("p50_sec") or po.get(ANCHOR)
     an = (new.get("anchor") or {}).get("p50_sec") or pn.get(ANCHOR)
     both_clean = bool(old.get("noise_clean")) and bool(new.get("noise_clean"))
@@ -140,11 +188,42 @@ def check(old: dict, new: dict, threshold: float = THRESHOLD) -> dict:
                 f"{threshold}x but >=1 payload is NOT noise_clean — "
                 f"informational only: {absolute_regs}"
             )
+    # Lens 4 (r9 verdict item 2): Aria THROUGHPUT. The txn/s headlines
+    # are sub-second probes (the box swings them ±40% between sessions),
+    # so like the absolute lens this FAILS only when both payloads are
+    # noise_clean; factor = old/new so >threshold means "slowed by that
+    # much".
+    to, tn = aria_txn(old), aria_txn(new)
+    aria_regs = []
+    for tag in sorted(set(to) & set(tn)):
+        slow = to[tag] / tn[tag] if tn[tag] else float("inf")
+        mark = ""
+        if slow > threshold:
+            aria_regs.append((tag, round(slow, 3)))
+            mark = " <-- " + ("ARIA-REGRESSION" if both_clean else "aria-warn")
+        lines.append(
+            f"aria:{tag:34s} old {to[tag]:8.1f}  new {tn[tag]:8.1f} txn/s  "
+            f"slowdown {slow:5.2f}{mark}"
+        )
+    if aria_regs:
+        if both_clean:
+            lines.append(
+                f"\nFAIL: {len(aria_regs)} Aria txn/s regressions > "
+                f"{threshold}x across two noise-clean sessions: {aria_regs}"
+            )
+            fail = True
+        else:
+            lines.append(
+                f"\nWARN: {len(aria_regs)} Aria txn/s drops > {threshold}x "
+                f"but >=1 payload is NOT noise_clean — informational "
+                f"only: {aria_regs}"
+            )
     if not fail:
         lines.append("\nOK: no regression above threshold on any active lens")
     return {
         "portfolio_regressions": portfolio_regs,
         "absolute_regressions": absolute_regs,
+        "aria_regressions": aria_regs,
         "portfolio_drift": round(drift, 4),
         "both_clean": both_clean,
         "fail": fail,

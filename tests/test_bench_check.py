@@ -82,3 +82,64 @@ def test_anchorless_payload_does_not_crash():
     )
     assert not r["fail"]
     assert "anchor absent" in r["lines"][0]
+
+
+def test_zero_portfolio_sum_fails_readably():
+    """ADVICE r9: an all-zero shared set must not ZeroDivisionError."""
+    zeros = {q: 0.0 for q in BASE}
+    r = check(payload(zeros), payload(BASE))
+    assert r["fail"]
+    assert any("degenerate payload" in ln for ln in r["lines"])
+    r2 = check(payload(BASE), payload(zeros))
+    assert r2["fail"]
+
+
+def _with_aria(d: dict, txn: dict) -> dict:
+    aria = {}
+    for tag, v in txn.items():
+        if tag == "drain150":
+            aria["txn_per_sec"] = v
+        else:
+            key = {
+                "batch200": "batch200",
+                "contended": "batch200_contended",
+                "multibatch": "stream_multibatch",
+                "sustained": "stream_sustained",
+                "probe_path": "stream_probe_path",
+                "flush_path": "stream_flush_path",
+            }[tag]
+            aria[key] = {"txn_per_sec": v}
+    return dict(d, aria=aria)
+
+
+def test_aria_throughput_regression_fails_when_both_clean():
+    """r9 verdict item 2: batch200 647->487 txn/s clean-to-clean had no
+    lens watching — a >threshold txn/s drop must now FAIL."""
+    old = _with_aria(payload(BASE), {"drain150": 160.0, "batch200": 647.0})
+    new = _with_aria(payload(BASE), {"drain150": 158.0, "batch200": 400.0})
+    r = check(old, new)
+    assert r["fail"]
+    assert r["aria_regressions"] == [("batch200", 1.617)]
+
+
+def test_aria_lens_respects_noise_gate():
+    old = _with_aria(payload(BASE), {"batch200": 647.0})
+    new = _with_aria(payload(BASE, clean=False), {"batch200": 400.0})
+    r = check(old, new)
+    assert not r["fail"]
+    assert r["aria_regressions"] == [("batch200", 1.617)]
+    assert any("aria-warn" in ln for ln in r["lines"])
+
+
+def test_aria_lens_tolerates_missing_section():
+    r = check(payload(BASE), payload(BASE))
+    assert r["aria_regressions"] == []
+    assert not r["fail"]
+
+
+def test_aria_speedup_never_flags():
+    old = _with_aria(payload(BASE), {"sustained": 500.0})
+    new = _with_aria(payload(BASE), {"sustained": 900.0})
+    r = check(old, new)
+    assert not r["fail"]
+    assert r["aria_regressions"] == []

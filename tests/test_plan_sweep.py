@@ -85,7 +85,11 @@ _BNLJ_OK = {"join_cross", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_buckets",
             # parameter row, metadata-sized by construction. The
             # convergence query chains TWO such 1-row refits (both
             # iterations' parameter rows).
-            "linkage_em_reclassify", "linkage_em_converged"}
+            # The fixpoint runtime's returned plan carries the LAST
+            # iteration's refit broadcast (the loop's earlier iterations
+            # are localCheckpoint-truncated out of the lineage).
+            "linkage_em_reclassify", "linkage_em_converged",
+            "linkage_em_fixpoint"}
 # Iterative drivers plan per-epoch; their inner plans are covered by the
 # single-epoch queries.
 _SKIP = {
