@@ -18,17 +18,29 @@ Compares two bench payloads (the lossless ``BENCH_LOCAL*.json`` files
    uniform slowdown by construction, so sum_n/sum_o itself is checked.
    FAILS only when BOTH payloads are noise_clean (a cold/noisy session
    legitimately moves the whole sum); otherwise prints a WARN.
-3. ABSOLUTE per-query p50 (r8 verdict item 8, the second lens): factor
-   pn[q]/po[q] printed for every query; breaches FAIL when both
-   payloads are noise_clean, WARN otherwise — two consecutive clean
-   sessions moving one query >threshold is a real regression even when
-   the portfolio stays flat (e.g. a regression concentrated in queries
-   that dominate the sum).
-4. ARIA THROUGHPUT (r9 verdict item 2): every txn/s headline in the
-   payloads' aria section (drain150, batch200, contended, multibatch,
-   sustained, probe_path, flush_path), slowdown = old/new; breaches
-   FAIL when both payloads are noise_clean, WARN otherwise — these
-   moved -15..-40% clean-to-clean in r9 with no lens watching.
+3. ABSOLUTE per-query p50 (r8 verdict item 8; r10 correction): the raw
+   factor pn[q]/po[q] is printed for every query, but the FAIL
+   criterion is the LEAVE-ONE-OUT-drift-corrected factor —
+   abs_factor / ((sum_n - pn[q]) / (sum_o - po[q])). Rationale:
+   abs_factor ≡ portfolio_factor × drift by construction, so on a
+   session whose whole portfolio drifts (an r10 session measured a
+   uniform 1.39x — internally noise_clean, globally slower) the raw
+   criterion fired 10 false FAILs on queries whose portfolio factors
+   were all <=1.29. Dividing by the drift of the OTHER queries keeps
+   the lens's real target — a regression concentrated in a query big
+   enough to inflate the portfolio denominator and mask itself from
+   lens 1 — while a box-regime change (every query moves by the same
+   factor, including the left-out ones) corrects to ~1.0 and is lens
+   2's business. Breaches FAIL when both payloads are noise_clean,
+   WARN otherwise.
+4. ARIA THROUGHPUT (r9 verdict item 2; r10: drift-corrected like lens
+   3): every txn/s headline in the payloads' aria section (drain150,
+   batch200, contended, multibatch, sustained, probe_path, flush_path),
+   raw slowdown = old/new printed; the FAIL criterion is
+   slowdown / portfolio_drift (the query portfolio measured in the SAME
+   session is the box-speed control for the sub-second aria probes).
+   Breaches FAIL when both payloads are noise_clean, WARN otherwise —
+   these moved -15..-40% clean-to-clean in r9 with no lens watching.
 
 Anchor ratios are still printed per query for continuity with r5-r7
 artifacts (guarded: payloads missing the anchor no longer crash the
@@ -135,6 +147,13 @@ def check(old: dict, new: dict, threshold: float = THRESHOLD) -> dict:
         share_o, share_n = po[q] / sum_o, pn[q] / sum_n
         factor = share_n / share_o if share_o else float("inf")
         abs_factor = pn[q] / po[q] if po[q] else float("inf")
+        # Leave-one-out drift correction (r10, docstring lens 3): the
+        # other queries' drift is the box-speed control this query's
+        # absolute move is judged against. Degenerate LOO sums (single
+        # shared query) fall back to the uncorrected factor — lens 2
+        # owns that case.
+        loo_o, loo_n = sum_o - po[q], sum_n - pn[q]
+        corrected = abs_factor / (loo_n / loo_o) if loo_o > 0 and loo_n > 0 else abs_factor
         anchor_note = (
             f"  (anchor-rel {((pn[q] / an) / (po[q] / ao)):5.2f})"
             if ao and an and po[q]
@@ -144,13 +163,14 @@ def check(old: dict, new: dict, threshold: float = THRESHOLD) -> dict:
         if factor > threshold:
             portfolio_regs.append((q, round(factor, 3)))
             marks.append("PORTFOLIO-REGRESSION")
-        if abs_factor > threshold:
-            absolute_regs.append((q, round(abs_factor, 3)))
+        if corrected > threshold:
+            absolute_regs.append((q, round(corrected, 3)))
             marks.append("ABS-REGRESSION" if both_clean else "abs-warn")
         mark = (" <-- " + ",".join(marks)) if marks else ""
         lines.append(
             f"{q:40s} old {share_o:7.4f}  new {share_n:7.4f}  "
-            f"factor {factor:5.2f}  abs {abs_factor:5.2f}{anchor_note}{mark}"
+            f"factor {factor:5.2f}  abs {abs_factor:5.2f}  "
+            f"loo-corr {corrected:5.2f}{anchor_note}{mark}"
         )
     drift = sum_n / sum_o if sum_o else float("inf")
     drift_breach = drift > threshold
@@ -177,46 +197,49 @@ def check(old: dict, new: dict, threshold: float = THRESHOLD) -> dict:
     if absolute_regs:
         if both_clean:
             lines.append(
-                f"\nFAIL: {len(absolute_regs)} ABSOLUTE p50 regressions "
-                f"> {threshold}x across two noise-clean sessions: "
-                f"{absolute_regs}"
+                f"\nFAIL: {len(absolute_regs)} ABSOLUTE (loo-drift-"
+                f"corrected) p50 regressions > {threshold}x across two "
+                f"noise-clean sessions: {absolute_regs}"
             )
             fail = True
         else:
             lines.append(
-                f"\nWARN: {len(absolute_regs)} absolute p50 moves > "
-                f"{threshold}x but >=1 payload is NOT noise_clean — "
-                f"informational only: {absolute_regs}"
+                f"\nWARN: {len(absolute_regs)} absolute (loo-drift-"
+                f"corrected) p50 moves > {threshold}x but >=1 payload is "
+                f"NOT noise_clean — informational only: {absolute_regs}"
             )
-    # Lens 4 (r9 verdict item 2): Aria THROUGHPUT. The txn/s headlines
-    # are sub-second probes (the box swings them ±40% between sessions),
-    # so like the absolute lens this FAILS only when both payloads are
-    # noise_clean; factor = old/new so >threshold means "slowed by that
-    # much".
+    # Lens 4 (r9 verdict item 2; r10 drift correction — docstring): Aria
+    # THROUGHPUT. The txn/s headlines are sub-second probes (the box
+    # swings them ±40% between sessions), so the raw slowdown old/new is
+    # printed but the FAIL criterion divides out the same-session query-
+    # portfolio drift, and like the absolute lens this FAILS only when
+    # both payloads are noise_clean.
     to, tn = aria_txn(old), aria_txn(new)
     aria_regs = []
     for tag in sorted(set(to) & set(tn)):
         slow = to[tag] / tn[tag] if tn[tag] else float("inf")
+        corrected_slow = slow / drift if drift > 0 else slow
         mark = ""
-        if slow > threshold:
-            aria_regs.append((tag, round(slow, 3)))
+        if corrected_slow > threshold:
+            aria_regs.append((tag, round(corrected_slow, 3)))
             mark = " <-- " + ("ARIA-REGRESSION" if both_clean else "aria-warn")
         lines.append(
             f"aria:{tag:34s} old {to[tag]:8.1f}  new {tn[tag]:8.1f} txn/s  "
-            f"slowdown {slow:5.2f}{mark}"
+            f"slowdown {slow:5.2f}  drift-corr {corrected_slow:5.2f}{mark}"
         )
     if aria_regs:
         if both_clean:
             lines.append(
-                f"\nFAIL: {len(aria_regs)} Aria txn/s regressions > "
-                f"{threshold}x across two noise-clean sessions: {aria_regs}"
+                f"\nFAIL: {len(aria_regs)} Aria txn/s (drift-corrected) "
+                f"regressions > {threshold}x across two noise-clean "
+                f"sessions: {aria_regs}"
             )
             fail = True
         else:
             lines.append(
-                f"\nWARN: {len(aria_regs)} Aria txn/s drops > {threshold}x "
-                f"but >=1 payload is NOT noise_clean — informational "
-                f"only: {aria_regs}"
+                f"\nWARN: {len(aria_regs)} Aria txn/s (drift-corrected) "
+                f"drops > {threshold}x but >=1 payload is NOT noise_clean "
+                f"— informational only: {aria_regs}"
             )
     if not fail:
         lines.append("\nOK: no regression above threshold on any active lens")

@@ -49,15 +49,30 @@ def test_uniform_slowdown_warns_only_when_noisy():
 
 
 def test_absolute_regression_flagged_despite_flat_portfolio():
-    # the dominant query regresses 2x while the small ones regress in
-    # proportion enough to keep every portfolio share ~flat is hard to
-    # fake exactly; instead: ALL queries regress 1.8x (shares exactly
-    # flat) -> each query's absolute lens fires alongside drift.
-    slow = {q: v * 1.8 for q, v in BASE.items()}
+    """The lens's target case: the DOMINANT query regresses enough to
+    inflate the portfolio denominator and mask itself from lens 1
+    (factor 1.23 < 1.5) while the drift (1.4) stays under lens 2 —
+    the leave-one-out correction (other queries flat -> loo drift 1.0)
+    exposes the genuine 1.73x move."""
+    slow = dict(BASE, dedup_semdedup=1.9)  # 1.1 -> 1.9
     r = check(payload(BASE), payload(slow))
     assert r["fail"]
-    assert len(r["absolute_regressions"]) == 3
+    assert r["absolute_regressions"] == [("dedup_semdedup", 1.727)]
     assert not r["portfolio_regressions"]
+
+
+def test_uniform_drift_under_bar_fires_no_absolute_lens():
+    """r10 correction, pinned by a measured session: a uniform 1.4x
+    box slowdown (noise_clean both sides, drift under lens 2's 1.5 bar)
+    previously fired ABS-REGRESSION on every query whose portfolio
+    factor exceeded 1.5/1.4 — 10 false FAILs on real r10 data. The
+    loo-corrected criterion sees every left-out sum move by the same
+    1.4x and corrects each factor to ~1.0."""
+    slow = {q: v * 1.4 for q, v in BASE.items()}
+    r = check(payload(BASE), payload(slow))
+    assert not r["fail"]
+    assert r["absolute_regressions"] == []
+    assert r["portfolio_drift"] == 1.4
 
 
 def test_absolute_lens_respects_noise_gate():
@@ -135,6 +150,18 @@ def test_aria_lens_tolerates_missing_section():
     r = check(payload(BASE), payload(BASE))
     assert r["aria_regressions"] == []
     assert not r["fail"]
+
+
+def test_aria_slowdown_explained_by_portfolio_drift_passes():
+    """r10: the aria probes slow with the box like everything else —
+    a 1.4x txn/s drop in a session whose query portfolio also drifted
+    1.4x is the box, not the code (drift-corrected slowdown ~1.0)."""
+    slow = {q: v * 1.4 for q, v in BASE.items()}
+    old = _with_aria(payload(BASE), {"batch200": 647.0})
+    new = _with_aria(payload(slow), {"batch200": 462.0})
+    r = check(old, new)
+    assert not r["fail"]
+    assert r["aria_regressions"] == []
 
 
 def test_aria_speedup_never_flags():
