@@ -38,6 +38,12 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+# Tables whose KEY COUNT fits this bound answer the fast-path existence
+# probe by collecting the whole key set (one narrow collect) instead of a
+# broadcast join — the same bound StreamDrainState.key_cache_bound uses.
+_KEY_PREFETCH_BOUND = 1_000_000
+
+
 @dataclass
 class AriaEpochResult:
     kv: DataFrame  # table after install
@@ -191,31 +197,141 @@ def run_batch(
     epoch cost = two shuffles of the ops batch, table size only paid on
     the one-time probe and the final snapshot read.
 
-    DRIVER-SIM fast path (r7): when the probed batch fits the driver
-    (``n_op_rows <= driver_sim_threshold``), the drain SCHEDULE — a pure
-    function of the capacity-bounded (tid, k, is_update) tuples, never
-    of the table (the reference caps in-flight txns at 200,
-    ref: TransctionManager.cuh:15) — is computed in one collect + a
-    Python loop instead of one Spark job per epoch. Profiling showed
-    ~55% of per-epoch wall was driver-side PLAN CONSTRUCTION (window +
-    groupBy analysis ~0.12 s, install bookkeeping ~0.10 s) and the rest
-    a ~0.15 s two-stage job on a few thousand rows — pure scheduling
-    overhead, the exact cost the reference's in-GPU epoch loop never
-    pays. The install stays distributed and IDENTICAL: one window over
-    the committed writes ordered (install_epoch DESC, tid ASC, seq
-    DESC) — provably the same winner per key as the per-epoch
-    last-write + newest-epoch-wins merge (epoch resolution dominates
-    the composite order). Large batches take the distributed epoch
-    loop unchanged; both paths are pinned bit-identical by
-    tests/test_r7_aria_fastpath.py.
+    DRIVER-SIM fast path (r7, rewritten r10): when the batch fits the
+    driver (``driver_sim_threshold`` op rows — legal to hold driver-side
+    because batches are capacity-bounded, the reference caps in-flight
+    txns at 200, ref: TransctionManager.cuh:15), the whole drain runs
+    from ONE bounded collect, exactly like the streamed per-trigger step
+    (``stream_drain_step``): the SCHEDULE is a pure function of the
+    (tid, k, is_update) tuples (``_sim_schedule``), key existence is one
+    bounded broadcast-probe job against the table, and the per-key
+    install winner — newest epoch, then smallest tid, then largest seq,
+    the same composite order the distributed install window uses — is
+    resolved in Python over the already-collected staged values. The r7
+    shape paid 6 jobs before the final merge (ops checkpoint, base
+    checkpoint, tid-universe collect, probe+checkpoint, count, sim
+    collect); this shape pays 2 (batch collect, existence probe) — the
+    rest was pure scheduling latency, the exact cost the reference's
+    in-GPU epoch loop never pays (guide §1.2: fix the distributed
+    algorithm's pass count first). Large batches take the distributed
+    epoch loop unchanged; both paths are pinned bit-identical by
+    tests/test_r7_aria_fastpath.py and the hypothesis serial-oracle
+    suite.
     """
     value_cols = [c for c in kv.columns if c != "k"]
+    new_cols = [f"new_{c}" for c in value_cols]
+    spark = kv.sparkSession
+    # ONE bounded collect decides the fast path AND feeds it: ops rows
+    # (schedule tuples + staged values) in a single job. limit(N+1) caps
+    # driver bytes; a batch over the threshold falls through to the
+    # distributed loop below. CollectLimit's default execution probes ONE
+    # partition first and scales up 4x per retry — a sequence of partly
+    # serial jobs; initialNumPartitions = full parallelism turns it into
+    # a single parallel pass (restored immediately).
+    _init_parts_key = "spark.sql.limit.initialNumPartitions"
+    _saved_init_parts = spark.conf.get(_init_parts_key, None)
+    spark.conf.set(_init_parts_key, str(spark.sparkContext.defaultParallelism))
+    try:
+        rows = (
+            ops.select("tid", "seq", "k", "is_update", *new_cols)
+            .limit(driver_sim_threshold + 1)
+            .collect()
+        )
+    finally:
+        if _saved_init_parts is None:
+            spark.conf.unset(_init_parts_key)
+        else:
+            spark.conf.set(_init_parts_key, _saved_init_parts)
+    if len(rows) <= driver_sim_threshold:
+        from pyspark.sql.types import StructField, StructType
+
+        # eager=False pins kv (probe and final merge must observe one
+        # table) without a dedicated materialization job — the existence
+        # probe (or the caller's final-merge read) materializes it.
+        base = kv.localCheckpoint(eager=False)
+        # Collect-phase bookkeeping seeds from the RAW batch: a txn whose
+        # every op targets a missing key still counts in-flight in epoch 1
+        # (it trivially commits — same as the serial oracle).
+        cur = {r["tid"] for r in rows}
+        if insert_missing:
+            # Op-parallel Execute: every non-NULL-key op participates and
+            # committed writes create keys — no existence probe at all.
+            exist = None
+        else:
+            # Execute's missing-key probe, epoch-INVARIANT (committed
+            # updates can neither create nor drop a key, ref:
+            # TrancM_func.cuh:32-34). Same policy as StreamDrainState:
+            # a table whose key count fits the prefetch bound collects
+            # its whole key set (count + narrow collect — measured 0.14s
+            # vs 0.35s for the broadcast-probe machinery at fixture
+            # scale, and the count doubles as the base-checkpoint
+            # materialization the merge reuses); larger tables answer
+            # the batch's bounded key set via ONE broadcast join.
+            keys = sorted({r["k"] for r in rows if r["k"] is not None})
+            if not keys:
+                exist = set()
+            elif base.count() <= _KEY_PREFETCH_BOUND:
+                exist = {r[0] for r in base.select("k").collect()}
+            else:
+                kdf = spark.createDataFrame(
+                    [(k,) for k in keys],
+                    StructType([StructField("k", kv.schema["k"].dataType)]),
+                )
+                exist = {
+                    r[0]
+                    for r in base.select("k")
+                    .join(F.broadcast(kdf), "k", "inner")
+                    .collect()
+                }
+        # Analysis sees only non-NULL-key ops that passed Execute (the
+        # distributed loop filters k.isNotNull() before flags).
+        op_rows = [
+            (r["tid"], r["k"], bool(r["is_update"]))
+            for r in rows
+            if r["k"] is not None and (exist is None or r["k"] in exist)
+        ]
+        stats, tid_epoch = _sim_schedule(
+            op_rows, cur, reorder=reorder, max_epochs=max_epochs
+        )
+        # Install, driver-side: per key the winner is the NEWEST epoch,
+        # ties to smallest tid then largest seq — identical to the
+        # distributed install window ((_install_epoch DESC, tid ASC,
+        # seq DESC)) and to stream_drain_step's memtable fold. Under
+        # insert_missing a committed NULL-key write mirrors the
+        # distributed window's single NULL group (one winner row).
+        best: dict = {}
+        for r in rows:
+            k = r["k"]
+            if not r["is_update"]:
+                continue
+            if exist is not None and (k is None or k not in exist):
+                continue
+            ep = tid_epoch.get(r["tid"])
+            if ep is None:
+                continue
+            rank = (ep, -r["tid"], r["seq"])
+            if k not in best or rank > best[k][0]:
+                best[k] = (rank, tuple(r[c] for c in new_cols))
+        if not best:
+            return base, stats
+        delta_schema = StructType(
+            [
+                StructField(f.name, f.dataType, True)
+                for f in [kv.schema["k"]] + [kv.schema[c] for c in value_cols]
+            ]
+        )
+        delta = spark.createDataFrame(
+            [(k, *vals) for k, (_, vals) in best.items()], delta_schema
+        )
+        # Delta is batch-bounded: broadcast it so the merge never
+        # shuffles the (100 TB design point) base table.
+        return (
+            base.join(F.broadcast(delta), "k", "left_anti").unionByName(delta),
+            stats,
+        )
     ops0 = ops.localCheckpoint()
     base = kv.localCheckpoint()
-    # Collect-phase bookkeeping seeds from the RAW batch: a transaction
-    # whose every op targets a missing key must still be counted in-flight
-    # in epoch 1 (it trivially commits — same as the serial oracle), so
-    # the tid universe is taken before the probe below drops its ops.
+    # Collect-phase bookkeeping seeds from the RAW batch (see fast path).
     cur = {r[0] for r in ops0.select("tid").distinct().collect()}
     if not insert_missing:
         # Execute's missing-key probe is epoch-INVARIANT: without
@@ -235,15 +351,7 @@ def run_batch(
     # table-sized merge (and every other query on the session) still plans
     # at cluster width; shuffle.partitions is read at action time, and the
     # returned merged plan is evaluated by the caller after restore.
-    spark = ops0.sparkSession
     n_op_rows = ops0.count()
-    if n_op_rows <= driver_sim_threshold:
-        stats, delta = _drain_sim(
-            ops0, value_cols, cur, reorder=reorder, max_epochs=max_epochs
-        )
-        if delta is None:
-            return base, stats
-        return base.join(delta, "k", "left_anti").unionByName(delta), stats
     drain_parts = max(1, min(spark.sparkContext.defaultParallelism, n_op_rows // 4096))
     # AQE's per-stage re-planning is pure latency once the exchanges are
     # already batch-sized (~0.5 s/epoch on local[32]); off for the loop,
@@ -278,61 +386,6 @@ def run_batch(
     return base.join(delta, "k", "left_anti").unionByName(delta), stats
 
 
-def _drain_sim(
-    ops0: DataFrame,
-    value_cols: list[str],
-    cur: set,
-    *,
-    reorder: bool,
-    max_epochs: int,
-) -> tuple[list[dict], DataFrame | None]:
-    """Driver-side drain schedule for capacity-bounded batches (see
-    run_batch). Semantics are the distributed loop's, op for op:
-
-    - Analysis sees only non-NULL-key ops (the distributed path filters
-      ``k.isNotNull()`` before flags — under insert_missing a NULL key
-      would otherwise form a phantom conflict group).
-    - Per key, rts = min surviving tid, wts = min surviving UPDATE tid
-      (all CAS races settled at once, ref: src/cuda/metadatahelper.cuh:
-      36-90); per tid the flags OR over its ops; abort on
-      waw ∨ (raw ∧ war) with reorder else waw ∨ raw
-      (ref: TrancM_func.cuh:181-227).
-    - Pending tids with no analyzable op trivially commit and never
-      install (they are absent from the verdict dict, exactly like the
-      distributed path's flag rows) but are recorded in the schedule.
-    - The install runs DISTRIBUTED in one pass: committed (tid → epoch)
-      joins the staged writes, and one window ordered
-      (install_epoch DESC, tid ASC, seq DESC) picks each key's winner —
-      identical to the per-epoch last-write + newest-epoch-wins merge
-      because epoch resolution dominates the composite order and the
-      within-epoch order is unchanged.
-    """
-    spark = ops0.sparkSession
-    op_rows = [
-        (r["tid"], r["k"], bool(r["is_update"]))
-        for r in ops0.select("tid", "k", "is_update").collect()
-        if r["k"] is not None
-    ]
-    stats, tid_epoch = _sim_schedule(
-        op_rows, cur, reorder=reorder, max_epochs=max_epochs
-    )
-    if not tid_epoch:
-        return stats, None
-    emap = spark.createDataFrame(
-        sorted(tid_epoch.items()), "tid long, _install_epoch int"
-    )
-    writes = ops0.join(F.broadcast(emap), "tid").filter(F.col("is_update"))
-    wd = W.partitionBy("k").orderBy(
-        F.col("_install_epoch").desc(), F.col("tid").asc(), F.col("seq").desc()
-    )
-    delta = (
-        writes.withColumn("_rn", F.row_number().over(wd))
-        .filter(F.col("_rn") == 1)
-        .select("k", *[F.col(f"new_{c}").alias(c) for c in value_cols])
-    )
-    return stats, delta
-
-
 def _sim_schedule(
     op_rows: list[tuple],
     cur: set,
@@ -341,8 +394,8 @@ def _sim_schedule(
     max_epochs: int,
 ) -> tuple[list[dict], dict]:
     """The pure-Python drain schedule shared by the batch fast path
-    (``_drain_sim``) and the streaming per-trigger step
-    (``stream_drain_step``): epoch-by-epoch verdicts over the
+    (``run_batch``'s driver-sim branch) and the streaming per-trigger
+    step (``stream_drain_step``): epoch-by-epoch verdicts over the
     capacity-bounded (tid, k, is_update) tuples, never touching a
     DataFrame. Returns (per-epoch stats, committed tid → install
     epoch)."""
@@ -616,7 +669,7 @@ def stream_drain_step(
     # Install, fully driver-side: per key the winner is the NEWEST epoch,
     # ties to smallest tid then largest seq — the same composite order
     # the distributed install window uses ((_install_epoch DESC, tid
-    # ASC, seq DESC), see _drain_sim); committed writes to MISSING keys
+    # ASC, seq DESC), same as run_batch); committed writes to MISSING keys
     # are no-ops (ref: TrancM_func.cuh:32-34). Overwriting the memtable
     # entry IS the cross-trigger newest-wins merge.
     best: dict = {}

@@ -1001,20 +1001,19 @@ def mart_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    mx = o.agg(F.max("o_orderdate").alias("mx"))
+    # r10 optimization (guide §1.2: don't compute what you throw away):
+    # the oracle's recency axis orders by rec_days DESC = days-to-corpus-
+    # max ASC of last_order — but subtracting the corpus max shifts every
+    # value by the SAME constant, so ranking/bucketing by plain
+    # days-since-epoch of last_order is order-identical and the whole
+    # max(o_orderdate) subtree (a second full orders scan + 1-row
+    # broadcast) disappears: ONE fact scan feeds the query.
     cust = (
         o.groupBy("k")
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("freq"),
             F.sum("cents").cast("long").alias("cents"),
-        )
-        .crossJoin(F.broadcast(mx))
-        .select(
-            "k",
-            F.datediff("mx", "last_order").alias("rec_days"),
-            "freq",
-            "cents",
         )
     )
     from bishe_gpu_database_spark.functions.rank import grouped_rank, ntile_from_rank
@@ -1031,9 +1030,12 @@ def mart_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The three quintile axes as ONE tagged (axis, v, key) stream —
     # grouped_rank partitioned on the tag ranks all three in a single
     # range shuffle with no driver collect. Axis order keys are cast to
-    # one bigint domain (recency DESC becomes -rec_days ASC).
+    # one bigint domain (recency DESC becomes last_order days ASC — see
+    # the constant-shift note above).
     axes = {
-        "r": (-F.col("rec_days")).cast("bigint"),
+        "r": F.datediff("last_order", F.lit("1970-01-01").cast("date")).cast(
+            "bigint"
+        ),
         "f": F.col("freq").cast("bigint"),
         "m": F.col("cents").cast("bigint"),
     }
@@ -1081,9 +1083,9 @@ def mart_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = cust.crossJoin(F.broadcast(carr)).select(
         "cents",
-        bucket((-F.col("rec_days")).cast("bigint"), "cuts_r").alias("r"),
-        bucket(F.col("freq").cast("bigint"), "cuts_f").alias("f"),
-        bucket(F.col("cents").cast("bigint"), "cuts_m").alias("m"),
+        bucket(axes["r"], "cuts_r").alias("r"),
+        bucket(axes["f"], "cuts_f").alias("f"),
+        bucket(axes["m"], "cuts_m").alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers"),
