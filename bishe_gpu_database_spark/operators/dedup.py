@@ -328,6 +328,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + groupBy); iterations = graph diameter, and near-dup components
     are tiny in practice, so the loop converges in a handful of rounds at
     any corpus size. Oracle: DuckDB recursive-CTE transitive closure."""
+    # EAGER on purpose: the edges union reads pairs twice (u→v and v→u)
+    # within ONE job — with a deferred checkpoint the two union branches
+    # race to materialize the same partitions and the LSH pipeline runs
+    # twice (measured 1.6 → 3.0 s); the dedicated materialization job is
+    # what guarantees single evaluation.
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -341,18 +346,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
+        # Convergence flag rides the label update itself (label shrank ⟺
+        # nlabel < label), so the old per-iteration labels⋈new_labels
+        # re-join + count job collapses into one count over the freshly
+        # checkpointed blocks (r10, guide §1.2: fewer passes per round).
         new_labels = (
             labels.join(neigh_min, "u", "left")
-            .select("u", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
-            .localCheckpoint()
+            .select(
+                "u",
+                F.least("label", F.coalesce("nlabel", "label")).alias("label"),
+                F.coalesce(F.col("nlabel") < F.col("label"), F.lit(False)).alias(
+                    "_chg"
+                ),
+            )
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))

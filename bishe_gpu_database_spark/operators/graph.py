@@ -169,11 +169,45 @@ def graph_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN pyramid cannot express. Each recursion step is one co-partitioned
     join of the frontier against the successor map; the frontier shrinks
     monotonically. dedup_clusters covers the set-stabilizing iterative
-    shape driver-side; this is the declarative-engine form."""
+    shape driver-side; this is the declarative-engine form.
+
+    r10 optimization (guide §2.4 — remove repeated work from the loop):
+    the successor map ``nxt`` and the roots ``start`` are STATIC CTEs,
+    but UnionLoop inlines every CTE into each recursion step, re-running
+    the nation self-join + aggregate once per depth level. Materializing
+    them once (localCheckpoint → temp view) makes each step a single
+    frontier⋈successor-map join over cached blocks — the same
+    loop-invariant hoisting the PageRank edge checkpoint does. Results
+    are identical: the recursion sees the same successor rows."""
     t(spark, sf_dir, "nation").createOrReplaceTempView("_rcte_nation")
-    return spark.sql(_ORACLE_RCTE.replace("nation n1", "_rcte_nation n1")
-                     .replace("nation n2", "_rcte_nation n2")
-                     .replace("FROM nation GROUP", "FROM _rcte_nation GROUP"))
+    nxt = spark.sql(
+        """
+        SELECT n1.n_regionkey AS rk, n1.n_nationkey AS cur,
+               min(n2.n_nationkey) AS next_nk
+        FROM _rcte_nation n1 LEFT JOIN _rcte_nation n2
+          ON n2.n_regionkey = n1.n_regionkey
+         AND n2.n_nationkey > n1.n_nationkey
+        GROUP BY n1.n_regionkey, n1.n_nationkey
+        """
+    ).localCheckpoint(eager=False)
+    nxt.createOrReplaceTempView("_rcte_nxt")
+    start = spark.sql(
+        "SELECT n_regionkey AS rk, min(n_nationkey) AS nk "
+        "FROM _rcte_nation GROUP BY 1"
+    ).localCheckpoint(eager=False)
+    start.createOrReplaceTempView("_rcte_start")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT rk, nk, 1 AS depth FROM _rcte_start
+          UNION ALL
+          SELECT w.rk, x.next_nk, w.depth + 1
+          FROM walk w JOIN _rcte_nxt x ON x.rk = w.rk AND x.cur = w.nk
+          WHERE x.next_nk IS NOT NULL
+        )
+        SELECT rk AS region_key, nk AS nation_key, depth FROM walk
+        """
+    )
 
 
 _ORACLE_TRI = """
@@ -337,12 +371,45 @@ def graph_shortest_cost_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitions already pays. Unlike reachability (graph_reachability_
     rcte) this recursion carries an accumulating MEASURE and settles it
     by aggregation — the other half of recursive-query semantics.
-    Integer costs only: truncated division both engines."""
+    Integer costs only: truncated division both engines.
+
+    r10 optimization (guide §2.4): the edge table is a STATIC CTE over
+    the EVENTS FACT (a user-key shuffle + window + aggregate), and
+    UnionLoop inlines it into every recursion step — the fixture paid
+    that fact pass once per hop. Materializing the dimension-sized edge
+    map once (localCheckpoint → temp view) leaves each hop a
+    frontier⋈edges join over cached blocks; the heavy transition count
+    runs exactly once, which is the whole scale argument of the
+    docstring. Results identical (same edge rows feed the recursion)."""
     t(spark, sf_dir, "events").createOrReplaceTempView("_sssp_events")
+    edges = spark.sql(
+        """
+        WITH trans AS (
+          SELECT src, dst, count(*) AS n FROM (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS dst
+            FROM _sssp_events
+          ) WHERE dst IS NOT NULL GROUP BY src, dst
+        )
+        SELECT src, dst, CAST(1000000 AS BIGINT) DIV n AS w
+        FROM trans WHERE src <> dst
+        """
+    ).localCheckpoint(eager=False)
+    edges.createOrReplaceTempView("_sssp_edges")
     return spark.sql(
-        _ORACLE_SSSP.format(str="STRING")
-        .replace("FROM events", "FROM _sssp_events")
-        .replace("1000000 AS BIGINT) / n", "1000000 AS BIGINT) DIV n")
+        """
+        WITH RECURSIVE paths AS (
+          SELECT CAST('signup' AS STRING) AS node, CAST(0 AS BIGINT) AS cost,
+                 0 AS depth
+          UNION ALL
+          SELECT e.dst, p.cost + CAST(e.w AS BIGINT), p.depth + 1
+          FROM paths p JOIN _sssp_edges e ON e.src = p.node
+          WHERE p.depth < 4
+        )
+        SELECT node, min(cost) AS min_cost
+        FROM paths GROUP BY node
+        """
     )
 
 
@@ -401,6 +468,11 @@ def graph_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     od = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r10: checkpoint the HALF-sized e0 and derive the reversed union
+    # lazily — exactly graph_pagerank_3iter's layout. The old eager
+    # checkpoint OF THE UNION evaluated the fact-join derivation twice
+    # (once per union branch) and stored 2|E| rows; this stores |E| and
+    # the union is a zero-shuffle projection over cached blocks.
     e0 = (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .select(
@@ -408,10 +480,11 @@ def graph_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") + F.lit(_OFFSET)).alias("c"),
         )
         .distinct()
+        .localCheckpoint()
     )
     edges = e0.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionByName(
         e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    ).localCheckpoint()
+    )
     labels = edges.select(F.col("src").alias("node_id")).distinct().select(
         "node_id", F.col("node_id").alias("lbl")
     )
@@ -464,10 +537,15 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, and the global top-20 is a TakeOrdered, not a sort."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     od = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r10: checkpoint the incidence list — the pairing self-join reads it
+    # on BOTH sides, and without the checkpoint the fact-derivation join
+    # + distinct evaluated once per side (ReuseExchange does not apply
+    # across the self-join's two alias subtrees here).
     cs = (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .localCheckpoint()
     )
     a, b = cs.alias("a"), cs.alias("b")
     pairs = (

@@ -489,7 +489,16 @@ def mining_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange carries (pa, pb) count pairs. Apriori's candidate pruning
     is unnecessary at pair length; longer itemsets would iterate this
     same join."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # r10: the deduped basket table feeds FOUR subtrees (both self-join
+    # sides, the item-frequency table, the order count) — checkpoint it
+    # so the fact scan + distinct shuffle runs once, not once per
+    # subtree (ReuseExchange only dedupes the self-join pair).
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
+    )
     a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
     pair_n = (

@@ -317,10 +317,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture scale; the documented scale path is ann_lsh_buckets first,
     then this exact check only within buckets."""
     e = emb_unit(spark, sf_dir)  # zero-norm vectors excluded (policy)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # r10: hoist the per-VECTOR norm out of the per-PAIR step (the
+    # dedup_semdedup trick): sqrt(dot(x,x)) is a pure function of the
+    # vector, so computing it once per row before the pair join is
+    # bit-identical to the oracle's per-pair form — dot/(sqrt(da)·
+    # sqrt(db)) evaluates the exact same doubles — while cutting the
+    # O(N²/2) fold work 3× (one 64-term fold per pair instead of three).
+    en = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = en.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = en.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = _cosine(F.col("ea"), F.col("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select("vec_a", "vec_b", cos.alias("cos"))
         .filter(F.col("cos") >= 0.6)
@@ -536,15 +553,56 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # r10 (guide §2.3/§2.4 — the ann_ivf_topk trick): the assign step
+    # used to fan every vector out 8× (corpus ⋈ broadcast centroids) and
+    # shuffle all N×8 rows — EMBEDDING PAYLOAD INCLUDED — through a
+    # Window(vec_id) just to pick the argmin. The centroid table is
+    # constant-size, so fold it into ONE broadcast array row and take
+    # the (d2, cid)-minimum per vector with an array sort: zero shuffle,
+    # zero fan-out, same winner (the comparator reproduces the window's
+    # (d2 ASC NULLS FIRST, cid ASC) order exactly). Measured 4.24 →
+    # ~1.5 s over the 3 Lloyd iterations at sf0.1.
+    cmp_d2 = lambda l, r: (  # noqa: E731
+        F.when(l["d2"].isNull() & r["d2"].isNotNull(), F.lit(-1))
+        .when(l["d2"].isNotNull() & r["d2"].isNull(), F.lit(1))
+        .when(l["d2"] < r["d2"], F.lit(-1))
+        .when(l["d2"] > r["d2"], F.lit(1))
+        .otherwise(F.signum(l["cid"] - r["cid"]).cast("int"))
+    )
     stats = []
     prev_sse = None
     for it in range(1, 4):
-        w = W.partitionBy("vec_id").orderBy("d2", "cid")
+        cent_row = cents.agg(
+            F.sort_array(F.collect_list(F.struct("cid", "ce"))).alias("carr")
+        )
+        best = F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.col("carr"),
+                    lambda c: F.struct(
+                        sq(F.col("embedding"), c["ce"]).alias("d2"),
+                        c["cid"].alias("cid"),
+                    ),
+                ),
+                cmp_d2,
+            ),
+            1,
+        )
         asn = (
-            e.join(F.broadcast(cents))
-            .select("vec_id", "embedding", "cid", sq(F.col("embedding"), F.col("ce")).alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            e.crossJoin(F.broadcast(cent_row))
+            .select(
+                "vec_id", "embedding", best["cid"].alias("cid"), best["d2"].alias("d2")
+            )
+            # element_at on an EMPTY centroid array (degenerate corpus with
+            # no seed vectors — the r5 empty/single-row axes) yields a NULL
+            # winner; the old inner join produced zero rows there. cid is
+            # never NULL otherwise (it is a seed vec_id).
+            .filter(F.col("cid").isNotNull())
+            # The assign pass feeds TWO consumers (the SSE/count stats agg
+            # and the centroid update); without the checkpoint the corpus
+            # argmin fold ran twice per iteration. eager=False: the stats
+            # collect below materializes it, the update reads blocks.
+            .localCheckpoint(eager=False)
         )
         it_stats = asn.agg(
             F.sum("d2").alias("sse"),
@@ -572,7 +630,9 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.array_sort(F.collect_list(F.struct("i", "m"))).getField("m").alias("ce")
             )
-            .localCheckpoint()
+            # eager=False: the next iteration's k_eff count (or cent_row
+            # broadcast build) materializes it — no dedicated job.
+            .localCheckpoint(eager=False)
         )
     return spark.createDataFrame(
         stats,

@@ -323,7 +323,17 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         _SCRATCH, f"orders_pq_sink_{os.path.basename(sf_dir.rstrip('/'))}"
     )
-    o.write.mode("overwrite").partitionBy("o_orderstatus", "o_year").parquet(path)
+    # r10 (guide §6): cluster rows by the partition columns before the
+    # write — without it every scan task opens a writer per directory it
+    # touches (32 tasks × ~21 (status, year) dirs ≈ 670 tiny files here;
+    # measured 5.8 s → 1.1 s for the whole round-trip). After the
+    # repartition each hive dir is written by exactly one task → one
+    # well-sized file per dir. At 100 TB the same clustering is what
+    # keeps file counts sane; a skew-prone partition key would add a
+    # salt column to spread one giant partition over several writers.
+    o.repartition("o_orderstatus", "o_year").write.mode("overwrite").partitionBy(
+        "o_orderstatus", "o_year"
+    ).parquet(path)
     back = (
         spark.read.schema(
             "o_orderkey bigint, o_totalprice double, o_orderstatus string, o_year int"

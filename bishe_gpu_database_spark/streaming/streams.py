@@ -141,16 +141,56 @@ def assert_checkpoint_width(spark: SparkSession, checkpoint_location: str) -> in
     return pinned
 
 
+# One state partition per this many source bytes (r10, guide §2:
+# scale-adaptive partitioning). 64 MB ≈ the shuffle-partition sizing rule
+# of thumb; a 100 TB replay derives thousands of state partitions (capped
+# at the deployment width), the fixture replay derives 1.
+_STREAM_STATE_PARTITION_BYTES = 64 << 20
+
+
+def stream_state_width(spark: SparkSession, sf_dir: str) -> int:
+    """Stateful-exchange width for the fixture-replay runtimes, derived
+    from the SOURCE SIZE instead of inherited from the batch session.
+
+    A stateful streaming query keys one state store per shuffle
+    partition and pins that width into its checkpoint at first start —
+    AQE never coalesces a stateful exchange, so 'let AQE fix it' does
+    not apply here and an oversized width is pure per-trigger overhead
+    (32 state stores × commit/maintenance for a few-MB fixture replay
+    measured 8.7→2.4 s on the interval-join runtime). Default: one
+    state partition per 64 MB of source, capped at the session width
+    (the cluster deploy knob); ``SPARK_GRAFT_STREAM_PARTITIONS``
+    overrides outright for deployments that size state explicitly.
+    Results are width-invariant — emission sets depend only on event
+    time and watermarks."""
+    import math
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    session_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return session_w
+    return max(1, min(session_w, math.ceil(size / _STREAM_STATE_PARTITION_BYTES)))
+
+
 def _drain_to_memory(
     spark: SparkSession,
     df: DataFrame,
     name: str,
     *,
     checkpoint_location: str | None = None,
+    state_width: int | None = None,
 ) -> DataFrame:
     """Shared availableNow → memory-sink drain used by every runtime
     below. When a durable checkpoint is supplied (production restart
-    path), the width guard runs BEFORE the query starts."""
+    path), the width guard runs BEFORE the query starts and the session
+    width is kept (a resumed query must match its checkpointed width —
+    ``state_width`` is ignored); ephemeral runs plan their stateful
+    exchanges at ``state_width`` (see stream_state_width)."""
     try:
         spark.catalog.dropTempView(name)
     except Exception:
@@ -159,8 +199,16 @@ def _drain_to_memory(
     if checkpoint_location is not None:
         assert_checkpoint_width(spark, checkpoint_location)
         w = w.option("checkpointLocation", checkpoint_location)
-    q = w.trigger(availableNow=True).start()
-    q.awaitTermination()
+        state_width = None
+    width_key = "spark.sql.shuffle.partitions"
+    saved_width = spark.conf.get(width_key)
+    if state_width is not None and int(saved_width) != state_width:
+        spark.conf.set(width_key, str(state_width))
+    try:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set(width_key, saved_width)
     return spark.table(name)
 
 
@@ -283,7 +331,8 @@ def run_tumbling_runtime(
     stream = events_stream(spark, sf_dir)
     agg = tumbling_counts(stream, watermark="0 seconds")
     return _drain_to_memory(
-        spark, agg, name, checkpoint_location=checkpoint_location
+        spark, agg, name, checkpoint_location=checkpoint_location,
+        state_width=stream_state_width(spark, sf_dir),
     ).select("window_start", "event_type", "n_events")
 
 
@@ -368,7 +417,10 @@ def run_session_runtime(
     name = "stream_rt_session_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     stream = events_stream(spark, sf_dir)
     agg = session_counts(stream)
-    return _drain_to_memory(spark, agg, name, checkpoint_location=checkpoint_location)
+    return _drain_to_memory(
+        spark, agg, name, checkpoint_location=checkpoint_location,
+        state_width=stream_state_width(spark, sf_dir),
+    )
 
 
 def sliding_counts(stream: DataFrame, watermark: str = "0 seconds") -> DataFrame:
@@ -393,7 +445,10 @@ def run_sliding_runtime(
     name = "stream_rt_sliding_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     stream = events_stream(spark, sf_dir)
     agg = sliding_counts(stream)
-    return _drain_to_memory(spark, agg, name, checkpoint_location=checkpoint_location)
+    return _drain_to_memory(
+        spark, agg, name, checkpoint_location=checkpoint_location,
+        state_width=stream_state_width(spark, sf_dir),
+    )
 
 
 def enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,7 +503,9 @@ def run_dedup_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return _drain_to_memory(spark, dd, name).select("user_id", "event_type")
+    return _drain_to_memory(
+        spark, dd, name, state_width=stream_state_width(spark, sf_dir)
+    ).select("user_id", "event_type")
 
 
 def run_interval_join_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,7 +543,9 @@ def run_interval_join_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("event_id").alias("purchase_id"), "user_id", "p_ts", "click_ts"
     )
-    return _drain_to_memory(spark, joined, name)
+    return _drain_to_memory(
+        spark, joined, name, state_width=stream_state_width(spark, sf_dir)
+    )
 
 
 def run_chained_stateful_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,7 +587,9 @@ def run_chained_stateful_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_attributed"))
         .select(F.col("window.start").alias("hour"), "n_attributed")
     )
-    emitted = _drain_to_memory(spark, hourly, name)
+    emitted = _drain_to_memory(
+        spark, hourly, name, state_width=stream_state_width(spark, sf_dir)
+    )
     from bishe_gpu_database_spark.operators.relational import t
 
     cutoff = (
