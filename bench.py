@@ -61,6 +61,63 @@ HEADLINE = [
 ]
 
 
+# r11 (r10 verdict item 7): one headline-scale data point ABOVE the
+# latency-bound sf0.1 fixture. The whole 28-query portfolio at sf0.1 is
+# job-scheduling-bound (BENCH_r10_c8: 8 cores beat 32), so core-count
+# scaling is invisible to the headline numbers; this block times a small
+# set of genuinely heavy queries once per measure pass on the synthetic
+# sf1 (10x key-shifted replicas, scripts/scale_probe_sf1.synthesize —
+# raw-data re-layout like the relayout ingest, no query results cached).
+# Additions-only: the driver contract's `queries` dict is untouched; the
+# compact line gains one `sf1_sum_sec` field. Disable with
+# SPARK_GRAFT_SF1_BLOCK=0.
+SF1_PROBES = [
+    "q1_pricing_summary",        # scan + partial agg
+    "join_sortmerge_large",      # fact-fact shuffle join
+    "dedup_minhash_lsh_pairs",   # map-side signatures + band self-join
+    "graph_pagerank_3iter",      # iterative broadcast-join loop
+    "mart_rfm_segments",         # one-scan multi-axis rank
+]
+
+
+def _sf1_block(spark, sf_dir: str) -> dict:
+    """Synthesize (once per box) and time the SF1_PROBES at sf1, 2 reps,
+    min kept. Never fails the bench — returns {} on any error."""
+    import time as _t
+
+    if os.environ.get("SPARK_GRAFT_SF1_BLOCK", "1") == "0":
+        return {}
+    if os.path.basename(sf_dir.rstrip("/")) != "sf0.1":
+        return {}  # the synthesizer replicates the sf0.1 fixture only
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "scale_probe_sf1",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "scale_probe_sf1.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.synthesize(spark)
+        out: dict = {}
+        for name in SF1_PROBES:
+            best = float("inf")
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                REGISTRY[name].fn(spark, mod.SF1).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, _t.perf_counter() - t0)
+            out[name] = round(best, 3)
+            print(f"# sf1 {name}: {best:.3f}s", file=sys.stderr, flush=True)
+        return {"dir": mod.SF1, "queries": out,
+                "sum_sec": round(sum(out.values()), 3)}
+    except Exception as e:  # the sf1 block must never fail the bench line
+        print(f"# sf1 block failed: {e}", file=sys.stderr, flush=True)
+        return {}
+
+
 # The repo's own clean-session bar (see README noise discipline): the
 # probe query timed at bench start/middle/end should agree within ~60%.
 # BENCH_r07.json shipped with spread 2.631 — a dirty box — and every
@@ -151,6 +208,7 @@ def compact_payload(payload: dict, detail_path: str) -> dict:
         "anchor_p50_sec": (payload.get("anchor") or {}).get("p50_sec"),
         "portfolio_p50_sum_sec": round(sum(queries_p50.values()), 3),
         "aria_txn_per_sec": txn,
+        "sf1_sum_sec": (payload.get("sf1_probe") or {}).get("sum_sec"),
         "n_registered_queries": payload.get("n_registered_queries"),
         "detail": detail_path,
     }
@@ -506,6 +564,8 @@ def main() -> None:
         except Exception as e:  # never fail the bench line
             print(f"# aria drain failed: {e}", file=sys.stderr, flush=True)
 
+        sf1_probe = _sf1_block(spark, sf_dir)
+
         sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
         # Anchor normalization (r5 verdict item 2): the box swings 1.5-2×
         # between sessions, so absolute seconds are not comparable across
@@ -533,6 +593,7 @@ def main() -> None:
                         (max(probes) - min(probes)) / max(min(probes), 1e-9), 3
                     ),
                     "aria": aria,
+                    "sf1_probe": sf1_probe,
                     "n_registered_queries": len(REGISTRY),
                     "anchor": {"query": probe_name, "p50_sec": anchor_p50},
                     "anchor_ratios_p50": anchor_ratios,

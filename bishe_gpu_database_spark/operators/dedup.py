@@ -905,25 +905,64 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash gate proves the filter loses nothing. Shape: the only
     pairwise step is the equi-join on prefix shingles (fan-out bounded
     by prefix rarity); verification reads the two sorted arrays per
-    CANDIDATE pair (array_intersect), never all pairs. At 100 TB the
-    arrays carry 48-bit digests instead of strings and the prefix index
-    is df-ascending (rarest-first) — same plan, smaller bytes."""
+    CANDIDATE pair (array_intersect), never all pairs.
+
+    r11 (guide §1.2/§2.3, measured 4.9 → 1.2 s at sf0.1):
+
+    - The ``filter(n > 0)`` now sits ABOVE the checkpoint. Below it,
+      predicate pushdown clones ``size(array_sort(shingles_of(...)))``
+      into a filter under the projection and CollapseProject inlines the
+      token split into every shingle position of that clone — the whole
+      shingle pipeline re-ran quadratically inside the checkpoint job
+      (the exact trap dedup_minhash's token-count filter documents).
+      Above the checkpoint the filter reads a materialized column.
+    - The prefix index joins on 48-bit DIGESTS of the prefix shingles
+      instead of the 5-word strings (the docstring's own 100 TB design):
+      bigint join keys, ~5x fewer exchange bytes. Losslessness: equal
+      strings hash equal, so every qualifying pair still meets on its
+      prefix element; a hash collision can only ADD candidates, and the
+      exact string-array verify discards them — output unchanged.
+    - PPJoin's length filter rides the candidate join: J >= 0.3 forces
+      10*min(|A|,|B|) >= 3*max(|A|,|B|) (J <= min/max), an exact integer
+      predicate that prunes candidates before the distinct.
+    - The verify keeps jaccard >= tau as the exact integer inequality
+      13*I >= 3*(n_a+n_b) (algebra of I/(n_a+n_b-I) >= 3/10; equivalent
+      to the double compare for any I, U with U <= ~1e12 since the
+      nearest rational below 3/10 at denominator U is 1/(10U) away,
+      >> one ulp of 0.3), so the pushed-into-join-condition predicate
+      costs ONE array_intersect fold instead of two; the output jaccard
+      double is computed once per SURVIVOR, exactly as before.
+
+    A rarest-first (document-frequency-ascending) prefix ordering was
+    also built and measured: the df table + per-doc re-rank cost more
+    than the fan-out it saved at every tested scale (max prefix group
+    size here is 4 — candidate fan-out is already rarity-bounded), so
+    the lexical order stays."""
     tau = 0.3
     d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
     sets = (
         toks.select("doc_id", F.array_sort(shingles_of(F.col("toks"))).alias("sh"))
         .withColumn("n", F.size("sh"))
-        .filter(F.col("n") > 0)
         .localCheckpoint()  # read 3x (prefix index + both verify sides)
+        .filter(F.col("n") > 0)
     )
     plen = (F.col("n") - F.ceil(F.col("n") * F.lit(tau)) + 1).cast("int")
-    pref = sets.select("doc_id", F.explode(F.slice("sh", F.lit(1), plen)).alias("p"))
+    pref = sets.select(
+        "doc_id",
+        "n",
+        F.explode(F.transform(F.slice("sh", F.lit(1), plen), h48)).alias("p"),
+    )
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
-            (F.col("a.p") == F.col("b.p")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                10 * F.least(F.col("a.n"), F.col("b.n"))
+                >= 3 * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -935,7 +974,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .filter(jac >= tau)
+        .filter(13 * F.col("n_inter") >= 3 * (F.col("n_a") + F.col("n_b")))
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 

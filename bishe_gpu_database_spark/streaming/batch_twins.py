@@ -179,28 +179,49 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated to attribution counts per purchase. The streaming runtime
     form — watermarks bounding both sides' state — runs in
     tests/test_streaming.py::test_stream_stream_interval_join_matches_batch;
-    this twin gives it a DuckDB oracle. At scale the join shuffles both
-    sides once on user_id and the interval predicate bounds each probe to
-    a 30-minute neighborhood (state ∝ watermark horizon, not history)."""
-    e = t(spark, sf_dir, "events")
-    c = e.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    this twin gives it a DuckDB oracle.
+
+    r11 (guide §2.4/§3, r10 verdict item 2): the old form scanned
+    events twice (clicks, purchases) and planned a clicks-side-BUILD
+    range join — per purchase, the whole per-user click set is probed
+    and range-filtered, a fan-out of clicks x purchases per user, and
+    the build side (every click, unbounded at the 100 TB design point)
+    had to broadcast or shuffle. Reformulated as ONE scan + ONE shuffle:
+    clicks and purchases ride the same user-keyed exchange, and a RANGE
+    frame over event-time micros ([-30 min, 0], exactly the oracle's
+    closed interval — unix_micros is lossless on the micros timestamps
+    the fixtures carry) counts each purchase row's preceding clicks
+    in a single sorted pass with no pair blowup. The trailing groupBy
+    reproduces the oracle's GROUP BY (event_id, p_ts) exactly even for
+    duplicate purchase rows (their join-multiplied click counts SUM).
+    The null-user guard mirrors the oracle's equi-join dropping NULL
+    user matches."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    ec = e.filter(F.col("event_type").isin("click", "purchase"))
+    click_ts = F.when(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull(), F.col("ts")
     )
-    p = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("p_ts"), "event_id"
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-30 * 60 * 1_000_000, 0)
     )
+    # Both window expressions in ONE select so they share a single
+    # Window node (and one Sort): chained withColumn interleaves fresh
+    # projections that block the CollapseWindow rule.
     return (
-        p.join(
-            c,
-            (p.user_id == c.c_user)
-            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
-            & (F.col("c_ts") <= F.col("p_ts")),
-            "left",
+        ec.select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.count(click_ts).over(w).alias("n_c"),
+            F.max(click_ts).over(w).alias("lc"),
         )
-        .groupBy(F.col("event_id").alias("purchase_id"), "p_ts")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
         .agg(
-            F.count("c_ts").alias("n_clicks_30m"),
-            F.max("c_ts").alias("last_click_ts"),
+            F.sum("n_c").alias("n_clicks_30m"),
+            F.max("lc").alias("last_click_ts"),
         )
     )
 

@@ -241,12 +241,40 @@ def check(old: dict, new: dict, threshold: float = THRESHOLD) -> dict:
                 f"drops > {threshold}x but >=1 payload is NOT noise_clean "
                 f"— informational only: {aria_regs}"
             )
+    # Lens 5 (r11, r10 verdict item 7): the sf1 mini-portfolio — the one
+    # block where the fixture is NOT scheduling-latency-bound, so it is
+    # the only headline-adjacent signal for lost parallelism / plan-shape
+    # regressions at data scale. Informational (drift-corrected print +
+    # WARN) for now: the block is new in r11, so there is at most one
+    # prior payload to regress against and its noise behavior is
+    # uncharacterized; promote to a FAIL lens once two rounds of payloads
+    # exist.
+    s1o = (old.get("sf1_probe") or {}).get("queries") or {}
+    s1n = (new.get("sf1_probe") or {}).get("queries") or {}
+    sf1_warns = []
+    for q in sorted(set(s1o) & set(s1n)):
+        f1 = s1n[q] / s1o[q] if s1o[q] else float("inf")
+        corr = f1 / drift if drift > 0 else f1
+        mark = ""
+        if corr > threshold:
+            sf1_warns.append((q, round(corr, 3)))
+            mark = " <-- sf1-warn"
+        lines.append(
+            f"sf1:{q:35s} old {s1o[q]:7.3f}s  new {s1n[q]:7.3f}s  "
+            f"factor {f1:5.2f}  drift-corr {corr:5.2f}{mark}"
+        )
+    if sf1_warns:
+        lines.append(
+            f"\nWARN: {len(sf1_warns)} sf1-probe (drift-corrected) moves "
+            f"> {threshold}x — informational lens: {sf1_warns}"
+        )
     if not fail:
         lines.append("\nOK: no regression above threshold on any active lens")
     return {
         "portfolio_regressions": portfolio_regs,
         "absolute_regressions": absolute_regs,
         "aria_regressions": aria_regs,
+        "sf1_warns": sf1_warns,
         "portfolio_drift": round(drift, 4),
         "both_clean": both_clean,
         "fail": fail,
